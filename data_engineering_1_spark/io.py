@@ -1,0 +1,97 @@
+"""Fixture-table loaders and generic sources/sinks.
+
+The driver fixtures (TESTDATA.md) are one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}``. Loading is a plain
+``spark.read.parquet`` so Catalyst gets predicate pushdown, column pruning
+and (on a partitioned layout at real scale) partition pruning for free.
+
+Sink helpers reproduce the reference's persistence semantics Spark-first:
+  - CSV chunk export (reference: src/pdf_extractor.py:217-240, utf-8-sig CSV)
+  - idempotent load guard (reference: src/vector_store.py:114-117 "skip if
+    populated") -> mode("ignore")
+  - destructive rebuild (reference: src/vector_store.py:96-107
+    reset_collection) -> mode("overwrite")
+  - JSON inspection dump (reference: src/vector_store.py:184-205)
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one fixture table. Lazy: nothing is read until an action runs."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in (names or TABLES))
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for the SQL surface."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
+    """Parquet sink; ``mode='ignore'`` gives the reference's idempotent-load
+    guard (src/vector_store.py:114-117), ``'overwrite'`` its destructive
+    reset (src/vector_store.py:96-107)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_chunk_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Chunk CSV export, mirroring the reference's save_extracted_text
+    (src/pdf_extractor.py:230-237: pandas to_csv utf-8-sig, header, no index).
+    Spark writes a directory of part files — the distributed equivalent."""
+    (
+        df.write.mode(mode)
+        .option("header", True)
+        .option("encoding", "UTF-8")
+        .csv(path)
+    )
+
+
+def read_chunk_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """Chunk CSV source, mirroring the reference's reload path
+    (src/main.py:47-65: pd.read_csv over ``*_extracted.csv``)."""
+    reader = spark.read.option("header", True)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines dump, mirroring save_content_for_inspection
+    (src/vector_store.py:184-205)."""
+    df.write.mode(mode).json(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    reader = spark.read
+    if schema:
+        reader = reader.schema(schema)
+    return reader.json(path)
