@@ -37,8 +37,35 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one fixture table. Lazy: nothing is read until an action runs."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Scan one fixture table. Lazy: nothing is read until an action runs.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark does
+    not read natively; we read it as a nanosecond long
+    (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
+    exactly what DuckDB's scanner does (verified: its TIMESTAMP_NS -> µs
+    TIMESTAMP conversion truncates), so oracle comparisons stay exact.
+    """
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _read_parquet_nanos_safe(spark, path)
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+    return df
+
+
+def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution
+        return df
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

@@ -1,1 +1,217 @@
-"""Placeholder — filled in as operators land."""
+"""Scalar function surface (SURVEY.md §2.8): date/time, string, math,
+conditional, JSON, array/higher-order families over the fixture tables.
+
+REF precedents are the string ops of the extraction pipeline
+(regexp_replace/length/trim/substring at src/pdf_extractor.py:30-55,
+format strings at src/qa_system.py:34); the rest is [north-star].
+
+Engine-parity notes baked into the oracles:
+  - DuckDB year()/length()/instr() return BIGINT where Spark gives INT ->
+    explicit INTEGER casts;
+  - DuckDB date_trunc returns DATE, Spark TIMESTAMP -> cast;
+  - sqrt is IEEE-correctly-rounded (safe raw); ln is not guaranteed across
+    libms -> ROUND(.., 6) on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..io import load_table
+from .registry import declared_query
+
+
+@declared_query(
+    "scalar_datetime_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)    AS yr,
+           CAST(month(o_orderdate) AS INTEGER)   AS mon,
+           CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(date_diff('day', DATE '1995-01-01',
+                          CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_epoch
+    FROM orders
+    """,
+)
+def scalar_datetime_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract parts, truncate, interval arithmetic,
+    day difference."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mon"),
+        F.quarter("o_orderdate").cast("int").alias("qtr"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("int")
+        .alias("days_since_epoch"),
+    )
+
+
+@declared_query(
+    "scalar_string_part",
+    oracle="""
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           CAST(instr(p_type, 'a') AS INTEGER) AS first_a,
+           split_part(p_type, ' ', 1) AS type_head,
+           concat_ws('-', p_brand, p_type) AS brand_type,
+           CAST(length(p_name) AS INTEGER) AS name_len,
+           replace(p_name, 'a', '@') AS name_subst,
+           reverse(p_brand) AS brand_rev,
+           starts_with(p_name, 'a') AS starts_a,
+           ends_with(p_type, 'd') AS ends_d
+    FROM part
+    """,
+)
+def scalar_string_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: case, substring, pad, locate, split, concat, replace,
+    reverse, prefix/suffix tests (REF analogs: src/pdf_extractor.py:30-55,
+    :101-102, :251)."""
+    pa = load_table(spark, sf_dir, "part")
+    return pa.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.instr(F.col("p_type"), "a").cast("int").alias("first_a"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_head"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.replace(F.col("p_name"), F.lit("a"), F.lit("@")).alias("name_subst"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.startswith(F.col("p_name"), F.lit("a")).alias("starts_a"),
+        F.endswith(F.col("p_type"), F.lit("d")).alias("ends_d"),
+    )
+
+
+@declared_query(
+    "scalar_math_conditional",
+    oracle="""
+    SELECT c_custkey,
+           abs(c_acctbal) AS abs_bal,
+           CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+           CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+           sqrt(abs(c_acctbal)) AS sqrt_bal,
+           CAST(ROUND(ln(abs(c_acctbal) + 1), 6) AS DOUBLE) AS log_bal,
+           c_acctbal * c_acctbal AS bal_sq,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_masked
+    FROM customer
+    """,
+)
+def scalar_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional family: abs/floor/ceil/sqrt/ln, CASE WHEN,
+    coalesce+nullif."""
+    cu = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return cu.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.floor(bal).cast("bigint").alias("floor_bal"),
+        F.ceil(bal).cast("bigint").alias("ceil_bal"),
+        F.sqrt(F.abs(bal)).alias("sqrt_bal"),
+        F.round(F.log(F.abs(bal) + 1), 6).alias("log_bal"),
+        (bal * bal).alias("bal_sq"),
+        F.when(bal < 0, "debt")
+        .when(bal < 5000, "mid")
+        .otherwise("high")
+        .alias("bal_band"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("OTHER"))
+        .alias("seg_masked"),
+    )
+
+
+@declared_query(
+    "json_extract_events",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS INTEGER) AS k_int,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    """,
+)
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family over events.props ('{"k": <int>}'): typed extraction via
+    from_json (schema'd, vectorized) and string extraction via
+    get_json_object."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.IntegerType())]))
+    return ev.select(
+        "event_id",
+        parsed.getField("k").alias("k_int"),
+        F.get_json_object("props", "$.k").alias("k_str"),
+    )
+
+
+@declared_query(
+    "array_ops_documents",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(tokens) AS INTEGER) AS n_tokens,
+           tokens[1] AS first_token,
+           tokens[-1] AS last_token,
+           list_contains(tokens, 'data') AS has_data,
+           list_sort(tokens)[1] AS min_token,
+           array_to_string(list_sort(tokens)[1:3], '|') AS top3_sorted
+    FROM tok
+    """,
+)
+def array_ops_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size, element_at (incl. negative index), contains,
+    sort, slice, join — over tokenized document text."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = F.split(F.col("text"), " ")
+    sorted_tokens = F.array_sort(tokens)
+    return docs.select(
+        "doc_id",
+        F.size(tokens).cast("int").alias("n_tokens"),
+        F.element_at(tokens, 1).alias("first_token"),
+        F.element_at(tokens, -1).alias("last_token"),
+        F.array_contains(tokens, "data").alias("has_data"),
+        F.element_at(sorted_tokens, 1).alias("min_token"),
+        F.array_join(F.slice(sorted_tokens, 1, 3), "|").alias("top3_sorted"),
+    )
+
+
+@declared_query(
+    "format_context_strings",
+    oracle="""
+    SELECT doc_id,
+           printf('[来源%d: 文档《%s》第%d段]', CAST(doc_id AS INTEGER), source,
+                  CAST(doc_id % 10 AS INTEGER)) AS citation
+    FROM documents
+    WHERE doc_id < 100
+    """,
+)
+def format_context_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REF Q1/Q2 citation formatting (src/qa_system.py:34 template
+    '[来源{i}: 文档《{source}》第{page}页第{paragraph}段]') via
+    format_string."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        F.format_string(
+            "[来源%d: 文档《%s》第%d段]",
+            F.col("doc_id").cast("int"),
+            F.col("source"),
+            (F.col("doc_id") % 10).cast("int"),
+        ).alias("citation"),
+    )
