@@ -1,0 +1,159 @@
+"""Similarity-search operators: exact top-k, k-NN join, centroids, IVF.
+
+Reproduces (and generalizes) the reference's retrieval surface:
+  - E2 cosine top-k search (src/vector_store.py:152-175: Chroma
+    ``collection.query(query_texts=[q], n_results=top_k)``, cosine space,
+    default top_k=5) — here exact and distributed: the query vector
+    broadcasts, scoring is a narrow map, and ``orderBy().limit(k)``
+    compiles to TakeOrderedAndProject (per-partition top-k + driver merge,
+    no global sort shuffle);
+  - E5 k-NN join (many queries at once): broadcast the query side, score,
+    per-query window top-k — one shuffle on query_id;
+  - label centroids + IVF assignment: the scale path for ANN — at 100 TB
+    you search only the probed cluster(s), turning a full scan into a
+    1/n_clusters scan. Centroid aggregation uses exact DECIMAL sums so the
+    plan is deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vector import cosine_similarity
+
+DEFAULT_TOP_K = 5  # reference default: src/vector_store.py:152, main.py:99
+
+
+def topk_by_cosine(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    vec_col: str = "embedding",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine search for a single query vector (1-row DF).
+
+    The broadcast cross-join attaches the query vector without shuffling
+    the (large) vectors side; orderBy+limit avoids a global sort.
+    Deterministic tie-break on id_col.
+    """
+    scored = vectors.crossJoin(F.broadcast(query)).withColumn(
+        "cosine_sim",
+        F.round(cosine_similarity(vec_col, query_vec_col), 6),
+    )
+    return (
+        scored.orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+        .drop(query_vec_col)
+    )
+
+
+def knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """E5: every query row -> its k nearest neighbors (excluding itself
+    when ids collide). Queries broadcast; ranking is one shuffle on
+    query_id."""
+    scored = (
+        vectors.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .withColumn(
+            "cosine_sim", F.round(cosine_similarity(vec_col, query_vec_col), 6)
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rn")
+    )
+
+
+def label_centroids(
+    vectors: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label elementwise mean as (label, pos, centroid_val) rows.
+
+    posexplode fans out to one row per element; the groupBy(label, pos)
+    aggregate sums DECIMAL(18,8)-cast elements (exact) and divides by the
+    count — deterministic under any shuffle order, unlike a double sum.
+    """
+    exploded = vectors.select(
+        F.col(label_col),
+        F.posexplode(vec_col).alias("pos0", "val"),
+    ).select(
+        label_col,
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("val").cast("decimal(18,8)").alias("val_dec"),
+    )
+    return (
+        exploded.groupBy(label_col, "pos")
+        .agg(
+            F.round(
+                F.sum("val_dec").cast("double") / F.count("val_dec"), 6
+            ).alias("centroid_val")
+        )
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF cluster assignment: each vector -> highest-dot-product centroid.
+
+    Relational formulation (posexplode + equi-join on pos + exact decimal
+    partial sums + argmax window) so the whole thing is shuffle-bounded
+    and deterministic; this is the build step of an IVF index where, at
+    scale, queries probe only their nearest cluster's partition.
+    Centroids arrive as (label, pos, centroid_val) from label_centroids.
+    """
+    exploded = vectors.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("pos0", "val"),
+    ).select(
+        id_col,
+        (F.col("pos0") + 1).cast("int").alias("pos"),
+        F.col("val").cast("decimal(18,8)").alias("val_dec"),
+    )
+    cent = centroids.select(
+        F.col(label_col).alias("centroid_label"),
+        "pos",
+        F.col("centroid_val").cast("decimal(12,6)").alias("cent_dec"),
+    )
+    dots = (
+        exploded.join(F.broadcast(cent), "pos")
+        .groupBy(id_col, "centroid_label")
+        .agg(
+            F.sum(F.col("val_dec") * F.col("cent_dec"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("dot"), F.asc("centroid_label")
+    )
+    return (
+        dots.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            id_col,
+            F.col("centroid_label").alias("assigned_label"),
+            F.round("dot", 6).alias("dot"),
+        )
+    )

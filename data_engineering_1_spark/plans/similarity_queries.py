@@ -1,1 +1,198 @@
-"""Placeholder — filled in as operators land."""
+"""Similarity-search declared queries (SURVEY.md §2.4 E2-E5 + IVF).
+
+The reference's retrieval core — cosine top-k over an embedding collection
+(src/vector_store.py:152-175) — plus the [north-star] generalizations:
+k-NN join, pairwise near-dup by cosine, label centroids, and IVF cluster
+assignment (the 100 TB ANN scale path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.vector import o_cosine, o_dot, o_norm, vec_dot, vec_norm
+from ..io import load_table
+from ..operators.similarity import (
+    ivf_assign,
+    knn_join,
+    label_centroids,
+    topk_by_cosine,
+)
+from .registry import declared_query
+
+_O_CENTROIDS = """
+        SELECT label, CAST(i AS INTEGER) AS pos,
+               CAST(ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8)))
+                               AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+                   AS centroid_val
+        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+        GROUP BY label, i
+"""
+
+
+@declared_query(
+    "cosine_topk_vec0",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id, e.label,
+           CAST(ROUND({o_cosine('e.embedding', 'q.query_vec')}, 6) AS DOUBLE)
+               AS cosine_sim
+    FROM embeddings e CROSS JOIN q
+    ORDER BY cosine_sim DESC, e.vec_id
+    LIMIT 5
+    """,
+)
+def cosine_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2/E3: exact cosine top-5 for one query vector (the reference's
+    similarity_search with top_k=5, src/vector_store.py:152-175, exact
+    instead of HNSW-approximate). orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition top-k, no global sort."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return topk_by_cosine(emb, query, k=5).select(
+        "vec_id", "label", "cosine_sim"
+    )
+
+
+@declared_query(
+    "knn_join_mod100",
+    oracle=f"""
+    WITH qs AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               CAST(ROUND({o_cosine('e.embedding', 'q.query_vec')}, 6)
+                    AS DOUBLE) AS cosine_sim
+        FROM embeddings e CROSS JOIN qs q
+        WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, cosine_sim, rn
+    FROM (
+        SELECT query_id, vec_id, cosine_sim,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS rn
+        FROM scored
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def knn_join_mod100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 k-NN join: each query vector (vec_id % 100 = 0) -> its 3 nearest
+    neighbors. Query side broadcasts; one shuffle on query_id for the
+    ranking window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return knn_join(emb, queries, k=3)
+
+
+@declared_query(
+    "vector_norms",
+    oracle=f"""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INTEGER) AS dim,
+           CAST(ROUND({o_norm('embedding')}, 6) AS DOUBLE) AS l2_norm,
+           CAST(ROUND({o_dot('embedding', 'embedding')}, 6) AS DOUBLE)
+               AS self_dot
+    FROM embeddings
+    """,
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector kernel sanity surface: dimension, L2 norm, self dot product
+    (zip_with/aggregate fold — SURVEY.md §2.8 array family)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(vec_norm("embedding"), 6).alias("l2_norm"),
+        F.round(vec_dot("embedding", "embedding"), 6).alias("self_dot"),
+    )
+
+
+@declared_query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           CAST(ROUND({o_cosine('a.embedding', 'b.embedding')}, 6) AS DOUBLE)
+               AS cosine_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND({o_cosine('a.embedding', 'b.embedding')}, 6) >= 0.3
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: all pairs with cosine >=
+    0.3 (fixture embeddings are random; real near-dup thresholds sit at
+    ~0.95). Exact O(n^2) formulation — the declared-correct baseline; the
+    LSH-bucketed variant that replaces it at scale is
+    operators/similarity.py:ivf_assign + per-cluster pairing."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
+    )
+    from ..functions.vector import cosine_similarity
+
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine_sim", F.round(cosine_similarity("emb_a", "emb_b"), 6)
+        )
+        .filter(F.col("cosine_sim") >= 0.3)
+        .select("vec_a", "vec_b", "cosine_sim")
+    )
+
+
+@declared_query(
+    "embedding_centroids",
+    oracle=f"""
+    {_O_CENTROIDS}
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, elementwise (label, pos, centroid_val) — exact
+    DECIMAL partial sums keep the aggregate deterministic under any
+    partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return label_centroids(emb)
+
+
+@declared_query(
+    "ivf_assignment",
+    oracle=f"""
+    WITH cent AS (
+        {_O_CENTROIDS}
+    ), dots AS (
+        SELECT e.vec_id, c.label AS centroid_label,
+               CAST(SUM(CAST(e.embedding[c.pos] AS DECIMAL(18,8))
+                        * CAST(c.centroid_val AS DECIMAL(12,6)))
+                    AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN cent c
+        GROUP BY e.vec_id, c.label
+    )
+    SELECT vec_id, assigned_label, dot
+    FROM (
+        SELECT vec_id, centroid_label AS assigned_label,
+               CAST(ROUND(dot, 6) AS DOUBLE) AS dot,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dot DESC, centroid_label) AS rn
+        FROM dots
+    ) t
+    WHERE rn = 1
+    """,
+)
+def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index build step: assign every vector to its
+    highest-dot-product label centroid (argmax via window, exact decimal
+    dot products). At 100 TB this partitions the corpus so ANN queries
+    probe one cluster instead of scanning everything."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb, label_centroids(emb))
