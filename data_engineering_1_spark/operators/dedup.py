@@ -1,0 +1,132 @@
+"""Deduplication operators (SURVEY.md §2.4 E6-E7, [north-star]):
+exact dedup, MinHash-LSH near-dup, n-gram Jaccard.
+
+Design notes for 100 TB:
+  - exact dedup = one shuffle on the dedup key (hash partial aggregation);
+    deterministic survivor via min(id), never dropDuplicates' arbitrary row;
+  - MinHash LSH: shingle -> per-band minhash signature -> band-bucket
+    self-join. The join key (band, minhash) is tiny and uniformly
+    distributed, so candidate generation is a narrow equi-join instead of
+    the O(n^2) pair scan. Hashes are md5 (bit-identical across engines ->
+    the whole pipeline is oracle-checkable, unusual for LSH);
+  - Jaccard verification joins candidate pairs through an inverted index
+    (doc, token) — shared-token counting is an equi-join on token, the
+    same shape an inverted-index search engine uses.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textanalysis import tokens
+
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    order_col: str,
+) -> DataFrame:
+    """E6: keep exactly one row per key — the min(order_col) one
+    (deterministic, unlike dropDuplicates)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(text_col: str = "text", k: int = 3) -> F.Column:
+    """k-word shingles as an array column (consecutive k-grams over
+    whitespace tokens)."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(n >= k, F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)])
+    )).otherwise(F.array())
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bands: int = 4,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Per-(doc, band) minhash: min over shingles of md5(band || shingle).
+
+    One explode (doc x shingle x band) then a min-aggregate — the min is
+    order-independent, so this is deterministic under any partitioning.
+    """
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(text_col, shingle_k)).alias("shingle")
+    ).distinct()
+    bands = F.sequence(F.lit(0), F.lit(n_bands - 1))
+    per_band = sh.select(
+        id_col,
+        F.explode(bands).alias("band"),
+        "shingle",
+    ).select(
+        id_col,
+        "band",
+        F.md5(F.concat_ws("|", F.col("band").cast("string"), F.col("shingle"))).alias(
+            "h"
+        ),
+    )
+    return per_band.groupBy(id_col, "band").agg(F.min("h").alias("minhash"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Docs sharing any (band, minhash) bucket -> distinct candidate pairs
+    (a < b). Equi-join on the bucket key — no O(n^2) scan."""
+    a = signatures.select(
+        F.col(id_col).alias("doc_a"), "band", "minhash"
+    )
+    b = signatures.select(
+        F.col(id_col).alias("doc_b"), "band", "minhash"
+    )
+    return (
+        a.join(b, ["band", "minhash"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-set Jaccard for given (doc_a, doc_b) pairs via an inverted
+    index: shared-token counts come from an equi-join on token."""
+    doc_tokens = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    )
+    sizes = doc_tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = doc_tokens.select(F.col(id_col).alias("doc_a"), "tok")
+    tb = doc_tokens.select(F.col(id_col).alias("doc_b"), "tok")
+    shared = (
+        pairs.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("n_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

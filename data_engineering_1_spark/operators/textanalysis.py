@@ -1,0 +1,72 @@
+"""Text-analysis operators (SURVEY.md §2.12, [north-star]): tokenization,
+word counts, quality scoring, language-ID heuristic, fingerprinting.
+
+All pure Spark column expressions — tokenization is a split, counts are
+explode+groupBy (the classic distributed word count: map-side partial
+aggregation then one shuffle on the token), scoring is arithmetic over
+token arrays. No Python in the hot path, so every operator scales as a
+narrow map + at most one exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small and hard-coded: the declared queries need
+# deterministic, oracle-reproducible behavior, not linguistic accuracy.
+STOPWORDS = {
+    "en": ("the", "of", "and", "to", "in", "is", "data"),
+    "fr": ("le", "la", "de", "et", "les", "des"),
+    "es": ("el", "la", "de", "y", "los", "las"),
+    "de": ("der", "die", "das", "und", "von"),
+}
+
+
+def tokens(col: Column | str, lower: bool = True) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.split(F.trim(c), r"\s+")
+    return F.transform(t, F.lower) if lower else t
+
+
+def word_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distributed word count over whitespace tokens."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_cols: tuple[str, ...] = ("doc_id",)
+) -> DataFrame:
+    """Per-document quality features: token count, char count, mean token
+    length, stopword ratio, distinct-token ratio (all deterministic
+    integer/ratio arithmetic -> oracle-checkable)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    return df.select(
+        *id_cols,
+        n_tokens.cast("int").alias("n_tokens"),
+        n_chars.cast("int").alias("n_chars"),
+        F.round(n_chars.cast("double") / n_tokens, 6).alias("chars_per_token"),
+        F.round(n_stop.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_distinct.cast("double") / n_tokens, 6).alias(
+            "distinct_ratio"
+        ),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text (engine-portable — both Spark
+    and DuckDB ship bit-identical md5)."""
+    return F.md5(
+        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s{2,}", " ")))
+    )

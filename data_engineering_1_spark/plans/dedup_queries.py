@@ -1,1 +1,124 @@
-"""Placeholder — filled in as operators land."""
+"""Deduplication declared queries (SURVEY.md §2.4 E6-E7).
+
+The full MinHash-LSH pipeline here is oracle-checkable end-to-end because
+every hash is md5 (bit-identical across engines) and every aggregate is a
+min/count — unusual for LSH implementations and deliberate: the judge can
+verify candidate generation, not just trust it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from .registry import declared_query
+
+_O_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
+# DuckDB twin of the shingle->band->minhash pipeline
+# (operators/dedup.py:minhash_signatures with k=3, n_bands=4).
+_O_SIGNATURES = f"""
+    toks AS (SELECT doc_id, {_O_TOK} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+        WHERE len(t) >= 3
+    ), sig AS (
+        SELECT doc_id, band,
+               min(md5(concat_ws('|', CAST(band AS VARCHAR), shingle)))
+                   AS minhash
+        FROM sh CROSS JOIN generate_series(0, 3) AS b(band)
+        GROUP BY doc_id, band
+    )
+"""
+
+
+@declared_query(
+    "dedup_docs_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+        SELECT doc_id, lang, source, n_chars,
+               row_number() OVER (PARTITION BY lang, source
+                                  ORDER BY doc_id) AS rn
+        FROM documents
+    ) t
+    WHERE rn = 1
+    """,
+)
+def dedup_docs_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 exact dedup: one deterministic survivor (min doc_id) per
+    (lang, source) key — the hash-groupBy dedup shape; one shuffle on the
+    key."""
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, ("lang", "source"), "doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@declared_query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_O_SIGNATURES}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.minhash = b.minhash
+    WHERE a.doc_id < b.doc_id
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 MinHash-LSH candidate generation: 3-word shingles -> 4 banded
+    md5 minhashes -> bucket equi-join. Candidate pairs come from a join on
+    the tiny (band, minhash) key, not an O(n^2) scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(minhash_signatures(docs))
+
+
+@declared_query(
+    "jaccard_neardup_pairs",
+    oracle=f"""
+    WITH {_O_SIGNATURES},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.minhash = b.minhash
+        WHERE a.doc_id < b.doc_id
+    ), dt AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct({_O_TOK})) AS tok
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM dt GROUP BY doc_id
+    ), shared AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM cand c
+        JOIN dt ta ON ta.doc_id = c.doc_a
+        JOIN dt tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT s.doc_a, s.doc_b,
+           CAST(ROUND(CAST(s.n_shared AS DOUBLE)
+                / (x.n_tok + y.n_tok - s.n_shared), 6) AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes x ON s.doc_a = x.doc_id
+    JOIN sizes y ON s.doc_b = y.doc_id
+    WHERE ROUND(CAST(s.n_shared AS DOUBLE)
+                / (x.n_tok + y.n_tok - s.n_shared), 6) >= 0.8
+    """,
+)
+def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7 verification stage: token-set Jaccard >= 0.8 over the LSH
+    candidates, computed through an inverted index (equi-join on token) —
+    the candidate filter plus verify shape of a production near-dup
+    pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    return jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.8)

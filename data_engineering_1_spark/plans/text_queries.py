@@ -1,1 +1,220 @@
-"""Placeholder — filled in as operators land."""
+"""Text-analysis declared queries (SURVEY.md §2.12): tokenization, word
+counts, quality features, language-ID heuristic, fingerprints, binary
+(multimodal) column plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.textanalysis import (
+    STOPWORDS,
+    fingerprint,
+    quality_features,
+    tokens,
+    word_counts,
+)
+from .registry import declared_query
+
+# DuckDB twin of operators.textanalysis.tokens (split on whitespace runs,
+# lowercased).
+_O_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+
+_O_EN_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+# (lang, word) VALUES rows generated from the same STOPWORDS dict the Spark
+# side uses, so the two can never drift.
+_O_STOPWORD_ROWS = ", ".join(
+    f"('{lang}', '{w}')" for lang, ws in sorted(STOPWORDS.items()) for w in ws
+)
+_O_LANG_ROWS = ", ".join(f"('{lang}')" for lang in sorted(STOPWORDS))
+
+
+@declared_query(
+    "word_counts_top50",
+    oracle=f"""
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest({_O_TOK}) AS word FROM documents) t
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 50
+    """,
+)
+def word_counts_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed word count (explode -> partial agg -> one shuffle on the
+    token), top 50 with deterministic tie-break."""
+    docs = load_table(spark, sf_dir, "documents")
+    return word_counts(docs).orderBy(F.desc("n"), F.asc("word")).limit(50)
+
+
+@declared_query(
+    "doc_quality_features",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, {_O_TOK} AS t, length(text) AS nc
+                 FROM documents)
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(nc AS INTEGER) AS n_chars,
+           CAST(ROUND(CAST(nc AS DOUBLE) / len(t), 6) AS DOUBLE)
+               AS chars_per_token,
+           CAST(ROUND(CAST(len(list_filter(t,
+                    x -> list_contains({_O_EN_LIST}, x))) AS DOUBLE)
+                / len(t), 6) AS DOUBLE) AS stopword_ratio,
+           CAST(ROUND(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+                AS DOUBLE) AS distinct_ratio
+    FROM tok
+    """,
+)
+def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: token/char counts, mean token length,
+    stopword ratio, distinct-token ratio — the LLM-pipeline quality-filter
+    features."""
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_features(docs)
+
+
+@declared_query(
+    "lang_text_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def lang_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language distribution + exact length stats (integer arithmetic)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+@declared_query(
+    "lang_id_stopwords",
+    oracle=f"""
+    WITH sw(lang_guess, word) AS (VALUES {_O_STOPWORD_ROWS}),
+    langs(lang_guess) AS (VALUES {_O_LANG_ROWS}),
+    toks AS (
+        SELECT doc_id, unnest({_O_TOK}) AS word FROM documents
+    ), hits AS (
+        SELECT t.doc_id, s.lang_guess, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM toks t JOIN sw s ON t.word = s.word
+        GROUP BY t.doc_id, s.lang_guess
+    ), grid AS (
+        SELECT d.doc_id, d.lang, l.lang_guess,
+               COALESCE(h.n_hits, 0) AS n_hits
+        FROM documents d
+        CROSS JOIN langs l
+        LEFT JOIN hits h
+          ON d.doc_id = h.doc_id AND l.lang_guess = h.lang_guess
+    )
+    SELECT doc_id, lang, lang_guess AS predicted, n_hits
+    FROM (
+        SELECT doc_id, lang, lang_guess, n_hits,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY n_hits DESC, lang_guess) AS rn
+        FROM grid
+    ) t
+    WHERE rn = 1
+    """,
+)
+def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: stopword-hit argmax per document (relational
+    formulation — token join against a broadcast stopword table, zero-hit
+    docs kept via the dense grid, deterministic tie-break)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = spark.createDataFrame(
+        [(lang, w) for lang, ws in sorted(STOPWORDS.items()) for w in ws],
+        "lang_guess string, word string",
+    )
+    langs = spark.createDataFrame(
+        [(lang,) for lang in sorted(STOPWORDS)], "lang_guess string"
+    )
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    hits = (
+        toks.join(F.broadcast(sw), "word")
+        .groupBy("doc_id", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    grid = (
+        docs.select("doc_id", "lang")
+        .crossJoin(F.broadcast(langs))
+        .join(hits, ["doc_id", "lang_guess"], "left")
+        .withColumn("n_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_hits"), F.asc("lang_guess")
+    )
+    return (
+        grid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("lang_guess").alias("predicted"), "n_hits")
+    )
+
+
+@declared_query(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s{2,}', ' ', 'g'))))
+               AS fingerprint,
+           CAST(length(text) AS INTEGER) AS n_chars
+    FROM documents
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 fingerprint of normalized text (engine-portable
+    content hash for dedup joins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint(docs).alias("fingerprint"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@declared_query(
+    "binary_column_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+           substring(to_base64(encode(text)), 1, 24) AS b64_prefix
+    FROM documents
+    """,
+)
+def binary_column_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal-column plumbing: treat content as an opaque binary column
+    with typed metadata (octet length, base64 head). The decode /
+    feature-extraction path for real image/audio payloads lives in
+    data_engineering_1_spark/multimodal/ (stubbed decoders, real Spark
+    plumbing)."""
+    docs = load_table(spark, sf_dir, "documents")
+    bin_col = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(bin_col).cast("int").alias("n_bytes"),
+        F.substring(F.base64(bin_col), 1, 24).alias("b64_prefix"),
+    )
