@@ -33,9 +33,17 @@ DEFAULT_MIN_CHUNK = 50  # reference src/pdf_extractor.py:50
 
 
 def clean_whitespace(col: Column | str) -> Column:
-    """``re.sub(r'\\s{2,}', ' ', s).strip()`` (src/pdf_extractor.py:30)."""
+    """``re.sub(r'\\s{2,}', ' ', s).strip()`` (src/pdf_extractor.py:30).
+
+    The strip is a regex (``^\\s+|\\s+$``), not ``F.trim`` — Spark's trim
+    removes only spaces, while Python's ``str.strip()`` removes tabs and
+    newlines too; a single trailing ``\\n`` survives the run-collapse
+    (it's not a run of 2+) and must still be stripped.
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.trim(F.regexp_replace(c, r"\s{2,}", " "))
+    return F.regexp_replace(
+        F.regexp_replace(c, r"\s{2,}", " "), r"^\s+|\s+$", ""
+    )
 
 
 def clean_documents(

@@ -20,9 +20,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity
+from ..functions.vector import cosine_similarity, vec_dot, vec_norm
 
 DEFAULT_TOP_K = 5  # reference default: src/vector_store.py:152, main.py:99
+
+
+def with_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Precompute the L2 norm once per vector *before* any pairwise join.
+
+    cosine(a,b) = dot(a,b) / (|a| * |b|): |a| and |b| are per-vector, so
+    computing them inside an n^2 pair join wastes 2/3 of the kernel work.
+    The precomputed value is the same double the per-pair expression would
+    produce (pure function of the array), so oracle hashes are unaffected.
+    """
+    return df.withColumn(out_col, vec_norm(vec_col))
+
+
+def paired_cosine(vec_a: str, vec_b: str, norm_a: str, norm_b: str) -> F.Column:
+    """dot/(norm_a*norm_b) with precomputed norms — bit-identical to
+    cosine_similarity(vec_a, vec_b)."""
+    return vec_dot(vec_a, vec_b) / (F.col(norm_a) * F.col(norm_b))
 
 
 def topk_by_cosine(
@@ -39,14 +56,21 @@ def topk_by_cosine(
     the (large) vectors side; orderBy+limit avoids a global sort.
     Deterministic tie-break on id_col.
     """
-    scored = vectors.crossJoin(F.broadcast(query)).withColumn(
-        "cosine_sim",
-        F.round(cosine_similarity(vec_col, query_vec_col), 6),
+    scored = (
+        with_norm(vectors, vec_col, "__norm_v")
+        .crossJoin(F.broadcast(with_norm(query, query_vec_col, "__norm_q")))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                paired_cosine(vec_col, query_vec_col, "__norm_v", "__norm_q"),
+                6,
+            ),
+        )
     )
     return (
         scored.orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
-        .drop(query_vec_col)
+        .drop(query_vec_col, "__norm_v", "__norm_q")
     )
 
 
@@ -63,10 +87,15 @@ def knn_join(
     when ids collide). Queries broadcast; ranking is one shuffle on
     query_id."""
     scored = (
-        vectors.crossJoin(F.broadcast(queries))
+        with_norm(vectors, vec_col, "__norm_v")
+        .crossJoin(F.broadcast(with_norm(queries, query_vec_col, "__norm_q")))
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn(
-            "cosine_sim", F.round(cosine_similarity(vec_col, query_vec_col), 6)
+            "cosine_sim",
+            F.round(
+                paired_cosine(vec_col, query_vec_col, "__norm_v", "__norm_q"),
+                6,
+            ),
         )
     )
     w = Window.partitionBy(query_id_col).orderBy(

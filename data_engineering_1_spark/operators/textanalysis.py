@@ -24,9 +24,15 @@ STOPWORDS = {
 }
 
 
-def tokens(col: Column | str, lower: bool = True) -> Column:
+def strip_ws(col: Column | str) -> Column:
+    """Python-str.strip()-style whitespace strip (Spark trim only strips
+    spaces)."""
     c = F.col(col) if isinstance(col, str) else col
-    t = F.split(F.trim(c), r"\s+")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def tokens(col: Column | str, lower: bool = True) -> Column:
+    t = F.split(strip_ws(col), r"\s+")
     return F.transform(t, F.lower) if lower else t
 
 
@@ -68,5 +74,7 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> Column:
     whitespace-normalized, lowercased text (engine-portable — both Spark
     and DuckDB ship bit-identical md5)."""
     return F.md5(
-        F.lower(F.trim(F.regexp_replace(F.col(text_col), r"\s{2,}", " ")))
+        F.lower(
+            strip_ws(F.regexp_replace(F.col(text_col), r"\s{2,}", " "))
+        )
     )

@@ -16,8 +16,12 @@ from .registry import declared_query
 
 # DuckDB twin of the clean step (src/pdf_extractor.py:30). NB: DuckDB
 # regexp_replace is single-match unless the 'g' flag is passed; Spark's
-# replaces all matches by default.
-_CLEAN_SQL = "trim(regexp_replace(text, '\\s{2,}', ' ', 'g'))"
+# replaces all matches by default. The strip is a regex, not trim():
+# SQL trim removes only spaces, Python str.strip() all whitespace.
+_CLEAN_SQL = (
+    "regexp_replace(regexp_replace(text, '\\s{2,}', ' ', 'g'),"
+    " '^\\s+|\\s+$', '', 'g')"
+)
 
 
 @declared_query(

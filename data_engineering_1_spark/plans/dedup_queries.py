@@ -20,10 +20,14 @@ from ..operators.dedup import (
 )
 from .registry import declared_query
 
-_O_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+_O_TOK = (
+    "string_split_regex(lower(regexp_replace("
+    "text, '^\\s+|\\s+$', '', 'g')), '\\s+')"
+)
 
 # DuckDB twin of the shingle->band->minhash pipeline
-# (operators/dedup.py:minhash_signatures with k=3, n_bands=4).
+# (operators/dedup.py:minhash_signatures with k=3, n_bands=4,
+# rows_per_band=2: band signature = concat of the 2 row minhashes).
 _O_SIGNATURES = f"""
     toks AS (SELECT doc_id, {_O_TOK} AS t FROM documents),
     sh AS (
@@ -32,11 +36,17 @@ _O_SIGNATURES = f"""
         FROM toks, LATERAL (
             SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
         WHERE len(t) >= 3
+    ), hashed AS (
+        SELECT doc_id, band, j,
+               md5(concat_ws('|', CAST(band AS VARCHAR),
+                             CAST(j AS VARCHAR), shingle)) AS h
+        FROM sh CROSS JOIN generate_series(0, 3) AS b(band)
+             CROSS JOIN generate_series(0, 1) AS r(j)
     ), sig AS (
         SELECT doc_id, band,
-               min(md5(concat_ws('|', CAST(band AS VARCHAR), shingle)))
-                   AS minhash
-        FROM sh CROSS JOIN generate_series(0, 3) AS b(band)
+               concat_ws('|', min(CASE WHEN j = 0 THEN h END),
+                              min(CASE WHEN j = 1 THEN h END)) AS minhash
+        FROM hashed
         GROUP BY doc_id, band
     )
 """

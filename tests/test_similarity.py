@@ -1,0 +1,111 @@
+"""Vector kernel and similarity operator tests (SURVEY.md §2.4)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from data_engineering_1_spark.functions.vector import (
+    cosine_similarity,
+    vec_dot,
+    vec_norm,
+)
+from data_engineering_1_spark.operators.similarity import (
+    knn_join,
+    label_centroids,
+    topk_by_cosine,
+)
+
+VECS = {
+    1: [1.0, 0.0, 0.0, 0.0],
+    2: [0.0, 1.0, 0.0, 0.0],   # orthogonal to 1
+    3: [2.0, 0.0, 0.0, 0.0],   # parallel to 1
+    4: [-1.0, 0.0, 0.0, 0.0],  # opposite of 1
+    5: [1.0, 1.0, 0.0, 0.0],   # 45 degrees from 1
+    6: [1.0, 0.0, 0.0, 0.0],   # duplicate of 1
+}
+
+
+@pytest.fixture(scope="module")
+def vec_df(spark):
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(VECS),
+            "embedding": [np.array(v, dtype=np.float32) for v in VECS.values()],
+            "label": [i % 2 for i in VECS],
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_kernel_matches_numpy(vec_df):
+    rows = vec_df.select(
+        "vec_id",
+        vec_dot("embedding", "embedding").alias("dot"),
+        vec_norm("embedding").alias("norm"),
+    ).collect()
+    for r in rows:
+        v = np.array(VECS[r.vec_id])
+        assert r.dot == pytest.approx(float(v @ v), abs=1e-12)
+        assert r.norm == pytest.approx(float(np.linalg.norm(v)), abs=1e-12)
+
+
+def test_known_cosines(spark, vec_df):
+    q = vec_df.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("query_vec")
+    )
+    got = {
+        r.vec_id: r.cosine_sim
+        for r in vec_df.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(cosine_similarity("embedding", "query_vec"), 6).alias(
+                "cosine_sim"
+            ),
+        )
+        .collect()
+    }
+    assert got[1] == 1.0
+    assert got[2] == 0.0
+    assert got[3] == 1.0
+    assert got[4] == -1.0
+    assert got[5] == pytest.approx(1 / math.sqrt(2), abs=1e-6)
+    assert got[6] == 1.0
+
+
+def test_topk_deterministic_tiebreak(vec_df):
+    """Reference semantics: top_k=5 cosine ranking (vector_store.py:152-175)
+    with ties broken by id — ids 1,3,6 all have cosine 1."""
+    q = vec_df.filter(F.col("vec_id") == 1).select(
+        F.col("embedding").alias("query_vec")
+    )
+    rows = topk_by_cosine(vec_df, q, k=3).select("vec_id").collect()
+    assert [r.vec_id for r in rows] == [1, 3, 6]
+
+
+def test_knn_join_excludes_self(vec_df):
+    queries = vec_df.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = knn_join(vec_df, queries, k=2).collect()
+    assert all(r.vec_id != r.query_id for r in out)
+    got = {(r.query_id, r.rn): r.vec_id for r in out}
+    # query 1's nearest (excluding itself): 3 then 6 (both cos=1, id order)
+    assert got[(1, 1)] == 3 and got[(1, 2)] == 6
+
+
+def test_label_centroids_exact(vec_df):
+    cent = {
+        (r.label, r.pos): r.centroid_val for r in label_centroids(vec_df).collect()
+    }
+    # label 1 = vecs 1,3,5 -> mean dim1 = (1+2+1)/3
+    assert cent[(1, 1)] == pytest.approx(4 / 3, abs=1e-6)
+    # label 0 = vecs 2,4,6 -> mean dim1 = (0-1+1)/3 = 0
+    assert cent[(0, 1)] == 0.0
