@@ -1,0 +1,259 @@
+"""Structured Streaming surface (SURVEY.md §2.9, ST1-ST7).
+
+The reference has no streaming at all (its REPL at src/main.py:89-103 is
+synchronous); this whole module is [north-star], driven by the ``events``
+fixture stream table. Each pipeline here is the true streaming form of a
+batch declared query in ``plans/events_queries.py`` (events_tumbling_10m,
+events_sliding_10m_5m, sessionize_users, dedup_first_event) — the batch
+twins carry the DuckDB oracle; these carry the incremental semantics
+(watermarks, late-data drop, state stores).
+
+Scale notes: every pipeline keys its state by (window/bucket, key) so state
+is partitioned across executors by the same shuffle as the aggregation;
+watermarks bound state size — without one, a windowed agg on an unbounded
+stream grows state forever. foreachBatch sinks write idempotently by epoch
+so task retries don't duplicate output.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+
+
+def events_file_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """ST7 source: file stream over the events parquet.
+
+    The fixture writes ``ts`` as TIMESTAMP(NANOS), which Spark's parquet
+    reader only surfaces as a long (legacy nanosAsLong) — so the stream
+    reads ``ts`` as a nanos long and truncates to microseconds, exactly
+    like the batch loader (io.load_table) and DuckDB's scanner.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = (
+        spark.readStream.schema(EVENTS_SCHEMA.replace("ts TIMESTAMP", "ts BIGINT"))
+        .format("parquet")
+        # the file source wants a directory: stream the sf dir, filtered
+        # down to the events table file
+        .option("pathGlobFilter", "events.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.load(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """ST7 source: built-in rate source shaped like the events table, for
+    demos/tests that need an unbounded generator with no files."""
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 100).alias("user_id"),
+        F.element_at(
+            F.array(F.lit("view"), F.lit("click"), F.lit("purchase")),
+            (F.col("value") % 3 + 1).cast("int"),
+        ).alias("event_type"),
+        (F.col("value") % 1000 / 10.0).alias("value"),
+        F.format_string('{"k": %d}', (F.col("value") % 100).cast("int")).alias(
+            "props"
+        ),
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST1 + ST4: watermarked tumbling-window count/sum per event_type.
+
+    Batch twin with oracle: plans/events_queries.py::events_tumbling_10m.
+    The watermark drops events later than ``watermark`` behind the max
+    seen ts AND lets the store evict windows older than that — state is
+    O(active windows x event types), not O(stream length).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_avg(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST2: sliding-window average value per user (batch twin:
+    events_sliding_10m_5m). Each event lands in window/slide buckets."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_counts(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST3: native session windows — a session closes after ``gap`` of
+    per-user silence. Batch twin (lag+cumsum emulation, oracle ✓):
+    plans/events_queries.py::sessionize_users."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: Iterable[str] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST5: streaming dedup — first event per key, with state bounded by
+    the watermark (dropDuplicatesWithinWatermark keeps a key's fingerprint
+    only until the watermark passes it). Batch twin: dedup_first_event."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
+_RUNNING_STATE_SCHEMA = "total DOUBLE, n BIGINT"
+_RUNNING_OUT_SCHEMA = (
+    "user_id BIGINT, batch_events BIGINT, running_events BIGINT, "
+    "running_value DOUBLE"
+)
+
+
+def _running_totals_fn(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    total, n = state.get if state.exists else (0.0, 0)
+    batch_n = 0
+    for pdf in pdfs:
+        batch_n += len(pdf)
+        n += len(pdf)
+        total += float(pdf["value"].fillna(0.0).sum())
+    state.update((total, n))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "batch_events": [batch_n],
+            "running_events": [n],
+            "running_value": [total],
+        }
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """ST6: arbitrary stateful per-key processing via applyInPandasWithState
+    — a running (count, sum(value)) per user, state carried across
+    micro-batches. The grouped shuffle co-locates each user's events with
+    that user's state row; state lives in the executor-local state store."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_totals_fn,
+        outputStructType=_RUNNING_OUT_SCHEMA,
+        stateStructType=_RUNNING_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> DataFrame:
+    """Drain a stream into an in-memory table with availableNow (process
+    everything currently available, then stop) and return it as a batch
+    DataFrame — the test/demo harness for every pipeline above."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+    return stream_df.sparkSession.table(name)
+
+
+def run_foreach_batch_parquet(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> None:
+    """ST7 sink: foreachBatch writing each micro-batch to parquet,
+    partitioned by epoch so a retried batch overwrites its own output
+    (idempotent replay) instead of appending duplicates."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()

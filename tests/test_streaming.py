@@ -1,0 +1,149 @@
+"""Structured Streaming pipelines (SURVEY.md §2.9) vs their batch twins.
+
+Each stream is drained with trigger(availableNow) over the sf0.001 events
+parquet and compared against the equivalent batch DataFrame computation —
+the batch declared queries carry the DuckDB oracle; these tests pin the
+streaming results to the batch semantics.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_1_spark.io import load_table
+from data_engineering_1_spark.streaming import pipelines as sp
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def _drain(stream_df, name, tmp_path, mode="complete"):
+    return sp.run_to_memory(
+        stream_df, name, str(tmp_path / f"ckpt_{name}"), output_mode=mode
+    )
+
+
+def test_tumbling_counts_matches_batch(spark, sf_dir, events_batch, tmp_path):
+    out = _drain(
+        sp.tumbling_counts(sp.events_file_stream(spark, sf_dir)),
+        "t_tumbling",
+        tmp_path,
+    ).toPandas()
+    exp = (
+        events_batch.groupBy(
+            F.window("ts", "10 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    out = out.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert (out["n_events"].values == exp["n_events"].values).all()
+    assert abs(out["total_value"] - exp["total_value"]).max() < 1e-6
+
+
+def test_sliding_avg_matches_batch(spark, sf_dir, events_batch, tmp_path):
+    out = _drain(
+        sp.sliding_avg(sp.events_file_stream(spark, sf_dir)),
+        "t_sliding",
+        tmp_path,
+    ).toPandas()
+    exp_rows = (
+        events_batch.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id"
+        )
+        .count()
+        .count()
+    )
+    assert len(out) == exp_rows
+    # every event lands in exactly two sliding windows
+    assert out["n_events"].sum() == 2 * events_batch.count()
+
+
+def test_session_counts_covers_all_events(spark, sf_dir, events_batch, tmp_path):
+    out = _drain(
+        sp.session_counts(sp.events_file_stream(spark, sf_dir)),
+        "t_session",
+        tmp_path,
+    ).toPandas()
+    # sessions partition the events: totals must match exactly
+    assert out["n_events"].sum() == events_batch.count()
+    # session starts/ends are consistent
+    assert (out["session_end"] > out["session_start"]).all()
+    # one session per user minimum
+    assert out["user_id"].nunique() == events_batch.select("user_id").distinct().count()
+
+
+def test_dedup_stream_matches_batch(spark, sf_dir, events_batch, tmp_path):
+    out = _drain(
+        sp.dedup_stream(sp.events_file_stream(spark, sf_dir)),
+        "t_dedup",
+        tmp_path,
+        mode="append",
+    )
+    exp = events_batch.select("user_id", "event_type").distinct().count()
+    assert out.count() == exp
+    assert out.select("user_id", "event_type").distinct().count() == exp
+
+
+def test_stateful_running_totals(spark, sf_dir, events_batch, tmp_path):
+    out_dir = str(tmp_path / "running_out")
+    sp.run_foreach_batch_parquet(
+        sp.running_user_totals(sp.events_file_stream(spark, sf_dir)),
+        out_dir,
+        str(tmp_path / "ckpt_running"),
+        output_mode="update",
+    )
+    files = glob.glob(os.path.join(out_dir, "epoch=*/*.parquet"))
+    assert files, "foreachBatch sink wrote no parquet"
+    got = (
+        spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+        .groupBy("user_id")
+        .agg(
+            F.max("running_events").alias("running_events"),
+            F.max("running_value").alias("running_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        events_batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("running_events"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("running_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert (got["user_id"].values == exp["user_id"].values).all()
+    assert (got["running_events"].values == exp["running_events"].values).all()
+    assert abs(got["running_value"] - exp["running_value"]).max() < 1e-6
+
+
+def test_rate_stream_schema(spark):
+    df = sp.rate_stream(spark)
+    assert df.isStreaming
+    assert [f.name for f in df.schema.fields] == [
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ]
