@@ -1,0 +1,137 @@
+"""Embedding UDF (E1) + QA composition (Q1-Q6) + full pipeline golden test.
+
+The LLM client is always injected (a recording stub) — the network call is
+never exercised, matching SURVEY.md §2.11's exclusion of Q3 from the
+correctness surface.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_1_spark.functions.embedding import (
+    hash_embed_texts,
+    hash_embedder,
+)
+from data_engineering_1_spark.operators import qa
+from data_engineering_1_spark.sources import pdf as P
+
+
+class TestHashEmbedder:
+    def test_deterministic_and_normalized(self):
+        a = hash_embed_texts(pd.Series(["hello world", "hello world", ""]))
+        assert a[0] == a[1]
+        assert abs(np.linalg.norm(a[0]) - 1.0) < 1e-9
+        assert np.linalg.norm(a[2]) == 0.0  # empty text -> zero vector
+        assert len(a[0]) == 64
+
+    def test_case_insensitive_tokens(self):
+        a = hash_embed_texts(pd.Series(["Hello World", "hello world"]))
+        assert a[0] == a[1]
+
+    def test_distinct_texts_differ(self):
+        a = hash_embed_texts(pd.Series(["alpha beta gamma", "delta epsilon zeta"]))
+        assert a[0] != a[1]
+
+    def test_udf_matches_local(self, spark):
+        df = spark.createDataFrame(
+            [("spark engine",), ("vector search",)], "text string"
+        )
+        got = [r.e for r in df.select(hash_embedder()("text").alias("e")).collect()]
+        exp = hash_embed_texts(pd.Series(["spark engine", "vector search"]))
+        for g, e in zip(got, exp):
+            assert np.allclose(g, e, atol=1e-6)
+
+
+class TestContextFormatting:
+    DOCS = [
+        {"text": "第一段内容", "source": "课件一.pdf", "page_number": 3,
+         "paragraph_number": 2},
+        {"text": "second passage", "source": "notes.pdf", "page_number": 1,
+         "paragraph_number": 7},
+    ]
+
+    def test_golden_citation_string(self):
+        ctx = qa.format_context_rows(self.DOCS)
+        assert ctx == (
+            "[来源1: 文档《课件一.pdf》第3页第2段]\n第一段内容\n"
+            "\n"
+            "[来源2: 文档《notes.pdf》第1页第7段]\nsecond passage\n"
+        )
+
+    def test_spark_twin_matches_driver_side(self, spark):
+        rows = [
+            (i + 1, d["source"], d["page_number"], d["paragraph_number"], d["text"])
+            for i, d in enumerate(self.DOCS)
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "rank int, source string, page_number int, paragraph_number int, text string",
+        )
+        got = qa.format_context_df(df).collect()[0]["context"]
+        assert got == qa.format_context_rows(self.DOCS)
+
+    def test_prompt_assembly(self):
+        p = qa.build_user_prompt("CTX", "什么是数据工程?")
+        assert p.startswith("参考文档：\n        CTX\n")
+        assert "用户问题：什么是数据工程?" in p
+        assert p.endswith("注明信息来源：")
+
+
+class TestAnswerFlow:
+    def test_no_client_returns_no_key_answer(self):
+        assert qa.generate_answer("q", [], None) == qa.NO_KEY_ANSWER
+
+    def test_exception_captured_as_value(self):
+        def boom(sys_p, user_p):
+            raise RuntimeError("connection refused")
+
+        out = qa.generate_answer("q", [], boom)
+        assert out == "生成答案时出错: connection refused"
+
+    def test_client_receives_templates(self):
+        seen = {}
+
+        def record(sys_p, user_p):
+            seen["sys"], seen["user"] = sys_p, user_p
+            return "ANSWER"
+
+        docs = TestContextFormatting.DOCS
+        assert qa.generate_answer("my question", docs, record) == "ANSWER"
+        assert seen["sys"] == qa.SYSTEM_PROMPT
+        assert qa.format_context_rows(docs).splitlines()[0] in seen["user"]
+        assert "用户问题：my question" in seen["user"]
+
+
+class TestFullPipeline:
+    @pytest.fixture(scope="class")
+    def chunk_table(self, spark, tmp_path_factory):
+        d = tmp_path_factory.mktemp("qa_pdfs")
+        (d / "spark.pdf").write_text(
+            "Apache Spark is a distributed engine for large scale data.\n\n"
+            "Cats purr when they are content and relaxed at home daily.",
+            encoding="utf-8",
+        )
+        chunks = P.extract_chunks(spark, str(d)).withColumn(
+            "doc_id", F.monotonically_increasing_id()
+        )
+        return chunks.withColumn("embedding", hash_embedder()("text")).cache()
+
+    def test_answer_with_sources(self, spark, chunk_table):
+        resp = qa.answer_with_sources(
+            spark,
+            "distributed engine for data",
+            chunk_table,
+            client=lambda s, u: "the answer",
+            top_k=1,
+        )
+        assert resp["answer"] == "the answer"
+        assert len(resp["sources"]) == 1
+        top = resp["sources"][0]
+        assert "Spark" in top["text"]  # retrieval found the on-topic chunk
+        assert 0.0 < top["similarity"] <= 1.0
+        assert top["metadata"]["source"] == "spark.pdf"
+        assert top["metadata"]["page_number"] == 1
