@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.dedup import (
+    simhash,
+    simhash_neardup_pairs,
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
@@ -132,3 +134,70 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     cands = lsh_candidate_pairs(minhash_signatures(docs))
     return jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.8)
+
+
+# DuckDB twin of operators/dedup.py:simhash — token hash = first 8 md5 hex
+# chars as int (identical on both engines), each of the 32 bits votes
+# +1/-1 per token occurrence, positive vote sum sets the bit.
+_O_SIMHASH = f"""
+    stoks AS (SELECT doc_id, unnest({_O_TOK}) AS word FROM documents),
+    shashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(word), 1, 8))::BIGINT AS h
+        FROM stoks
+    ), svotes AS (
+        SELECT doc_id, bit,
+               SUM(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM shashed, LATERAL (
+            SELECT unnest(generate_series(0, 31)) AS bit) b
+        GROUP BY doc_id, bit
+    ), sfp AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit)
+                             ELSE 0 END) AS BIGINT) AS simhash
+        FROM svotes GROUP BY doc_id
+    )
+"""
+
+
+@declared_query(
+    "simhash_docs",
+    oracle=f"""
+    WITH {_O_SIMHASH}
+    SELECT doc_id, simhash FROM sfp
+    """,
+)
+def simhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/SimHash fingerprints per document (32-bit, engine-portable md5
+    token hashes; see operators/dedup.py:simhash for the vote shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs)
+
+
+@declared_query(
+    "simhash_neardup",
+    oracle=f"""
+    WITH {_O_SIMHASH},
+    banded AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * 8)) & 255 AS val
+        FROM sfp, LATERAL (
+            SELECT unnest(generate_series(0, 3)) AS band) b
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.val = b.val
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= 3
+    """,
+)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7/SimHash near-dup pairs: byte-band LSH candidates (pigeonhole over
+    4 bands), verified at hamming distance <= 3 via bit_count(xor)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(simhash(docs))

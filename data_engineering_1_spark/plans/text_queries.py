@@ -222,3 +222,45 @@ def binary_column_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(bin_col).cast("int").alias("n_bytes"),
         F.substring(F.base64(bin_col), 1, 24).alias("b64_prefix"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | non-space symbol runs
+# (the GPT-2-style coarse split, minus byte fallback). Same RE2/Java-regex
+# subset on both engines.
+_BPE_RE = r"\p{L}+|\p{N}+|[^\s\p{L}\p{N}]+"
+
+
+@declared_query(
+    "token_counts_bpe",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(text, '{_BPE_RE}') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^\\p{{L}}')))
+                AS INTEGER) AS n_word_tokens,
+           CAST(len(list_filter(t, x -> regexp_matches(x, '^\\p{{N}}')))
+                AS INTEGER) AS n_number_tokens,
+           CAST(len(t) - len(list_filter(t, x -> regexp_matches(x, '^\\p{{L}}')))
+                    - len(list_filter(t, x -> regexp_matches(x, '^\\p{{N}}')))
+                AS INTEGER) AS n_symbol_tokens
+    FROM tok
+    """,
+)
+def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting with a BPE-style pre-tokenizer regex (letter / digit /
+    symbol runs) — the LLM-pipeline cost estimator. Pure JVM regex, no UDF;
+    one projection, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    n_words = F.size(F.filter(t, lambda x: x.rlike(r"^\p{L}")))
+    n_nums = F.size(F.filter(t, lambda x: x.rlike(r"^\p{N}")))
+    return docs.select(
+        "doc_id",
+        F.size(t).cast("int").alias("n_tokens"),
+        n_words.cast("int").alias("n_word_tokens"),
+        n_nums.cast("int").alias("n_number_tokens"),
+        (F.size(t) - n_words - n_nums).cast("int").alias("n_symbol_tokens"),
+    )
