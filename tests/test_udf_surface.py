@@ -1,0 +1,151 @@
+"""UDF/UDAF/UDTF surface (§2.10) + multimodal decode plumbing (§2.12)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_1_spark.functions.udfs import (
+    clean_whitespace_pyudf,
+    mapinpandas_tokens,
+    register_udfs,
+    weighted_mean_udaf,
+    zscore_per_group,
+)
+from data_engineering_1_spark.multimodal import decode as MM
+from data_engineering_1_spark.operators.chunking import (
+    chunk_text,
+    clean_whitespace,
+)
+
+
+class TestUDTFChunker:
+    def test_matches_pure_spark_chunker(self, spark):
+        register_udfs(spark)
+        text = "All work and no play makes a dull boy. " * 30  # 1170 chars
+        via_udtf = spark.sql(
+            "SELECT chunk_number, chunk_text FROM chunk_text_udtf(%s)"
+            % ("'" + text.rstrip() + "'",)
+        ).collect()
+        via_plan = (
+            chunk_text(
+                spark.createDataFrame([(text.rstrip(),)], "cleaned string")
+            )
+            .select("chunk_number", "chunk_text")
+            .collect()
+        )
+        assert sorted(
+            [(r.chunk_number, r.chunk_text) for r in via_udtf]
+        ) == sorted([(r.chunk_number, r.chunk_text) for r in via_plan])
+
+    def test_short_text_passthrough(self, spark):
+        register_udfs(spark)
+        rows = spark.sql(
+            "SELECT * FROM chunk_text_udtf('short text')"
+        ).collect()
+        assert [(r.chunk_number, r.chunk_text) for r in rows] == [
+            (None, "short text")
+        ]
+
+
+class TestPandasUDAF:
+    def test_weighted_mean_vs_sql(self, spark):
+        df = spark.createDataFrame(
+            [("a", 10.0, 1.0), ("a", 20.0, 3.0), ("b", 5.0, 2.0)],
+            "g string, v double, w double",
+        )
+        got = {
+            r.g: r.wm
+            for r in df.groupBy("g")
+            .agg(weighted_mean_udaf("v", "w").alias("wm"))
+            .collect()
+        }
+        assert got["a"] == pytest.approx((10 + 60) / 4.0)
+        assert got["b"] == pytest.approx(5.0)
+
+
+class TestGroupedMap:
+    def test_zscore_per_group(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 7.0)],
+            "g string, v double",
+        )
+        out = zscore_per_group(df, "g", "v").collect()
+        a = sorted(r.zscore for r in out if r.g == "a")
+        assert a == pytest.approx([-1.2247448, 0.0, 1.2247448], abs=1e-6)
+        assert [r.zscore for r in out if r.g == "b"] == [0.0]
+
+
+class TestSlowPathPinned:
+    def test_python_udf_equals_jvm_expression(self, spark):
+        df = spark.createDataFrame(
+            [("  a   b\t\tc  \n",), ("x",), (None,)], "s string"
+        )
+        both = df.select(
+            clean_whitespace_pyudf()("s").alias("py"),
+            clean_whitespace("s").alias("jvm"),
+        ).collect()
+        for r in both:
+            assert r.py == r.jvm
+
+
+class TestMapInPandasTokens:
+    def test_matches_explode_split(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello  World"), (2, ""), (3, " one two  three ")],
+            "doc_id bigint, text string",
+        )
+        got = sorted(
+            (r.doc_id, r.token) for r in mapinpandas_tokens(df).collect()
+        )
+        assert got == [(1, "hello"), (1, "world"), (3, "one"), (3, "three"), (3, "two")]
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", b"\x89PNGfake-image-bytes-1", {}),
+        (2, "image", b"\x89PNGfake-image-bytes-2", {}),
+        (3, "audio", b"RIFFfake-wave-data", {}),
+        (4, "video", b"\x00\x00ftypfake-mp4", {"duration_ms": "3500"}),
+        (5, "video", b"\x00\x00ftypfake-mp4-b", {}),  # no duration meta
+    ]
+    return spark.createDataFrame(
+        rows, "media_id bigint, modality string, content binary, meta map<string,string>"
+    )
+
+
+class TestMultimodal:
+    def test_image_features_deterministic(self, spark, media):
+        out = {r.media_id: r for r in MM.image_features(media).collect()}
+        assert set(out) == {1, 2}
+        r = out[1]
+        assert r.sha256 == hashlib.sha256(b"\x89PNGfake-image-bytes-1").hexdigest()
+        assert r.decoder == "fake-md5"
+        assert r.width >= 16 and r.height >= 16
+        # re-running yields identical fakes (pure function of bytes)
+        again = {x.media_id: x for x in MM.image_features(media).collect()}
+        assert (r.width, r.height, r.mean_luma) == (
+            again[1].width, again[1].height, again[1].mean_luma,
+        )
+
+    def test_audio_features(self, spark, media):
+        rows = MM.audio_features(media).collect()
+        assert len(rows) == 1 and rows[0].media_id == 3
+        assert rows[0].sample_rate in (8000, 16000, 22050, 44100)
+        assert 0.0 <= rows[0].rms <= 1.0
+
+    def test_frame_sampling_fanout(self, spark, media):
+        frames = MM.sample_frames(media, every_ms=1000).collect()
+        by_id = {}
+        for f in frames:
+            by_id.setdefault(f.media_id, []).append(f)
+        # 3500ms at 1fps -> frames at 0,1000,2000,3000
+        assert sorted(f.ts_ms for f in by_id[4]) == [0, 1000, 2000, 3000]
+        assert sorted(f.frame_idx for f in by_id[4]) == [0, 1, 2, 3]
+        assert 5 not in by_id  # no duration meta -> no frames
+        # distinct frames get distinct digests
+        digests = [f.frame_sha256 for f in by_id[4]]
+        assert len(set(digests)) == 4
