@@ -384,11 +384,21 @@ def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_lineitem_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A5 cube over the lineitem flag pair."""
+    """A5 cube over the lineitem flag pair.
+
+    Pre-aggregates to one partial per (flag, status) BEFORE the cube:
+    Spark's cube plans an Expand of the full input (4 copies of every
+    row through the shuffle); cubing the ~6 partials instead re-aggregates
+    sums-of-sums — identical results (sum/count are re-aggregable), 2.4M
+    fewer expanded rows at sf0.1, and the win grows linearly with scale."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        sum_dec("l_quantity").alias("sum_qty"),
+    partials = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("__pn"),
+        F.sum(dec("l_quantity")).alias("__pq"),
+    )
+    return partials.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("__pn").alias("n"),
+        F.sum("__pq").cast("double").alias("sum_qty"),
     )
 
 
