@@ -197,3 +197,53 @@ def ivf_assign(
             F.round("dot", 6).alias("dot"),
         )
     )
+
+
+def approx_neighbor_pairs_lsh(
+    vectors: DataFrame,
+    max_distance: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """The approximate-at-scale path for E2/E7 (SURVEY.md §2.4, §4): MLlib
+    BucketedRandomProjectionLSH self-join — pairs within ``max_distance``
+    (euclidean; for unit-normalized vectors d^2 = 2 - 2*cos, so a cosine
+    threshold t maps to max_distance sqrt(2-2t)).
+
+    This replaces the exact O(n^2) pair scan with hash-bucket joins whose
+    cost follows bucket occupancy — the variant to reach for when the
+    corpus no longer fits an exact crossJoin (the exact operators stay the
+    default at oracle-checked scales; approximate results are inherently
+    engine-specific, hence rows-only). Library call, not a planner rule
+    (SURVEY.md §4: no custom Catalyst work needed)."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    feats = vectors.select(
+        F.col(id_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias(
+            "__features"
+        ),
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__features",
+        outputCol="__hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(
+        feats, feats, max_distance, distCol="distance"
+    )
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.round("distance", 6).alias("distance"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

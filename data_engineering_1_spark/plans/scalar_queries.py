@@ -220,3 +220,30 @@ def format_context_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 10).cast("int"),
         ).alias("citation"),
     )
+
+
+@declared_query(
+    "map_ops_events",
+    oracle="""
+    SELECT event_id,
+           json_keys(props) AS prop_keys,
+           CAST(len(json_keys(props)) AS INTEGER) AS n_props,
+           CAST(props->>'k' AS INTEGER) AS k_val,
+           CAST(props->>'k' IS NOT NULL AS BOOLEAN) AS has_k
+    FROM events
+    """,
+)
+def map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (§2.8): parse events.props into MAP<STRING,INT> once,
+    then map_keys / size / element_at / containment — the typed-map
+    counterpart of json_extract_events (same single-parse discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    ev = ev.withColumn("__m", m)
+    return ev.select(
+        "event_id",
+        F.map_keys("__m").alias("prop_keys"),
+        F.size(F.map_keys("__m")).cast("int").alias("n_props"),
+        F.element_at("__m", "k").alias("k_val"),
+        F.element_at("__m", "k").isNotNull().alias("has_k"),
+    )

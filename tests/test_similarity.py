@@ -109,3 +109,26 @@ def test_label_centroids_exact(vec_df):
     assert cent[(1, 1)] == pytest.approx(4 / 3, abs=1e-6)
     # label 0 = vecs 2,4,6 -> mean dim1 = (0-1+1)/3 = 0
     assert cent[(0, 1)] == 0.0
+
+
+class TestApproxLSH:
+    def test_finds_planted_near_dups(self, spark):
+        import random
+
+        from data_engineering_1_spark.operators.similarity import (
+            approx_neighbor_pairs_lsh,
+        )
+
+        rng = random.Random(7)
+        base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(30)]
+        rows = [(i, v) for i, v in enumerate(base)]
+        # plant: 100+i is a tiny perturbation of i for i in 0..4
+        for i in range(5):
+            rows.append((100 + i, [x + 0.001 for x in base[i]]))
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        pairs = approx_neighbor_pairs_lsh(df, max_distance=0.1).collect()
+        got = {(r.id_a, r.id_b) for r in pairs}
+        for i in range(5):
+            assert (i, 100 + i) in got
+        # no false accepts beyond the planted ones at this radius
+        assert all(b - a == 100 for a, b in got)
