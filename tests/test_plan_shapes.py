@@ -71,9 +71,10 @@ def test_word_counts_map_side_combine(plans):
 
 
 def test_scan_prunes_columns(plans):
-    # vector_norms touches only (vec_id, embedding); the parquet scan must
-    # not read the label column
-    p = plans("vector_norms")
+    # q1 touches 7 of lineitem's 11 columns; the key columns must not
+    # reach the parquet scan
+    p = plans("q1_pricing_summary")
     scan = next(l for l in p.splitlines() if "FileScan" in l)
-    assert "embedding" in scan
-    assert "label" not in scan
+    assert "l_quantity" in scan
+    for unused in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert unused not in scan
