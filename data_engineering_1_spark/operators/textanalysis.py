@@ -78,3 +78,54 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> Column:
             strip_ws(F.regexp_replace(F.col(text_col), r"\s{2,}", " "))
         )
     )
+
+
+def ngrams(tokens_col: Column | str, n: int = 2) -> Column:
+    """Word n-grams as an array column — pure Spark twin of MLlib's NGram
+    transformer (space-joined consecutive n-tuples), usable inside any
+    plan without a Pipeline."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    sz = F.size(t)
+    idx = F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(0)))
+    return F.when(
+        sz >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 1,
+) -> DataFrame:
+    """Relational TF-IDF: (doc, term, tf, df, idf, tf_idf) — exact, not
+    MLlib's hashed approximation. Two shuffles total: one groupBy on
+    (doc, term) for tf, one on term for document frequency; idf is the
+    smoothed ln((N+1)/(df+1)) + 1.
+
+    Exact term identity beats HashingTF's collisions for pipeline-quality
+    work; at extreme vocabulary the term aggregate can be salted
+    (operators.skew.salted_aggregate)."""
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_df)
+    )
+    idf = F.round(
+        F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("idf", idf)
+        .withColumn("tf_idf", F.round(F.col("tf") * F.col("idf"), 6))
+        .select(id_col, "term", "tf", "df", "idf", "tf_idf")
+    )

@@ -264,3 +264,35 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_nums.cast("int").alias("n_number_tokens"),
         (F.size(t) - n_words - n_nums).cast("int").alias("n_symbol_tokens"),
     )
+
+
+@declared_query(
+    "bigram_counts_top30",
+    oracle=f"""
+    WITH toks AS (SELECT {_O_TOK} AS t FROM documents),
+    bg AS (
+        SELECT concat_ws(' ', t[i], t[i+1]) AS bigram
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        WHERE len(t) >= 2
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM bg
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 30
+    """,
+)
+def bigram_counts_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram counts (n-gram family, §2.12): explode the in-row bigram
+    array, one shuffle with map-side combine, deterministic top-30."""
+    from ..operators.textanalysis import ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(ngrams(tokens("text"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(30)
+    )
