@@ -208,6 +208,56 @@ def page_paragraphs(page: dict[str, Any]) -> list[str]:
     return segment_plain(page["raw"])
 
 
+DOC_META_SCHEMA = (
+    "filename STRING, total_pages INT, author STRING, title STRING"
+)
+
+
+def document_metadata(files: DataFrame) -> DataFrame:
+    """P7 (src/pdf_extractor.py:208-215): per-document metadata with
+    defaults — author falls back to '未知', title to the filename stem.
+
+    The decode leg (mapInPandas) emits raw PDF metadata (None when absent
+    or when running on the stub decoder); the default-filling is the P7
+    relational projection itself — F.coalesce over JVM columns, exactly
+    SURVEY §2.2's mapping, applied AFTER the python boundary so it stays
+    in codegen."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:
+            import fitz  # type: ignore
+        except ImportError:
+            fitz = None
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                filename = os.path.basename(path)
+                data = bytes(content)
+                author = title = None
+                if fitz is not None and data[:5] == b"%PDF-":
+                    with fitz.open(stream=data, filetype="pdf") as doc:
+                        pages = len(doc)
+                        author = doc.metadata.get("author") or None
+                        title = doc.metadata.get("title") or None
+                else:
+                    pages = len(decode_pages(data, path))
+                rows.append((filename, pages, author, title))
+            yield pd.DataFrame(
+                rows, columns=["filename", "total_pages", "author", "title"]
+            )
+
+    raw = files.select("path", "content").mapInPandas(
+        run, schema=DOC_META_SCHEMA
+    )
+    stem = F.regexp_replace("filename", r"\.[^.]*$", "")
+    return raw.select(
+        "filename",
+        "total_pages",
+        F.coalesce("author", F.lit("未知")).alias("author"),
+        F.coalesce("title", stem).alias("title"),
+    )
+
+
 def scan_pdf_dir(spark: SparkSession, pdf_dir: str) -> DataFrame:
     """S1: distributed directory scan, one row per ``*.pdf`` file
     (case-insensitive, matching the reference's ``.lower().endswith``)."""

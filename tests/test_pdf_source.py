@@ -186,3 +186,18 @@ class TestPipeline:
         c2 = next(r.text for r in a if r.chunk_number == 2)
         assert len(c1) == 500
         assert c1[450:] == c2[:50]  # 50-char overlap
+
+
+class TestDocumentMetadata:
+    def test_defaults_applied(self, spark, pdf_dir):
+        out = {
+            r.filename: r
+            for r in P.document_metadata(P.scan_pdf_dir(spark, pdf_dir)).collect()
+        }
+        assert set(out) == {"doc_a.pdf", "doc_b.PDF"}
+        a = out["doc_a.pdf"]
+        assert a.author == "未知"  # stub decoder has no metadata -> default
+        assert a.title == "doc_a"  # filename stem default
+        assert a.total_pages == 2
+        assert out["doc_b.PDF"].title == "doc_b"
+        assert out["doc_b.PDF"].total_pages == 1
