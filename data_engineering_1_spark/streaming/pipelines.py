@@ -205,6 +205,67 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+class _RunningTotalsProcessor:
+    """Deferred-import holder: pyspark.sql.streaming.stateful_processor is
+    a Spark 4 module; build() returns a StatefulProcessor subclass
+    instance."""
+
+    @staticmethod
+    def build():
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class RunningTotals(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._totals = handle.getValueState(
+                    "totals", _RUNNING_STATE_SCHEMA
+                )
+
+            def handleInputRows(self, key, rows, timerValues):
+                total, n = (
+                    self._totals.get() if self._totals.exists() else (0.0, 0)
+                )
+                batch_n = 0
+                for pdf in rows:
+                    batch_n += len(pdf)
+                    n += len(pdf)
+                    total += float(pdf["value"].fillna(0.0).sum())
+                self._totals.update((total, n))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "batch_events": [batch_n],
+                        "running_events": [n],
+                        "running_value": [total],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return RunningTotals()
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """ST6 via transformWithStateInPandas (Spark 4's successor to
+    applyInPandasWithState): same running per-user totals, but state is a
+    named ValueState on a StatefulProcessor — the API that adds state TTL,
+    timers, and multiple state variables per key.
+
+    Runtime requirement: the transformWithState python<->JVM state server
+    speaks protobuf, so this path needs the ``protobuf`` package (absent
+    in this container — the test skips; ``running_user_totals`` is the
+    dependency-free equivalent)."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotalsProcessor.build(),
+        outputStructType=_RUNNING_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

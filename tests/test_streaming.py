@@ -147,3 +147,37 @@ def test_rate_stream_schema(spark):
         "value",
         "props",
     ]
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir, events_batch, tmp_path):
+    # the transformWithState runtime speaks protobuf to the JVM state
+    # server; without the protobuf package the API cannot run at all
+    pytest.importorskip("google.protobuf.descriptor")
+    out_dir = str(tmp_path / "tws_out")
+    sp.run_foreach_batch_parquet(
+        sp.running_user_totals_tws(sp.events_file_stream(spark, sf_dir)),
+        out_dir,
+        str(tmp_path / "ckpt_tws"),
+        output_mode="update",
+    )
+    got = (
+        spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+        .groupBy("user_id")
+        .agg(F.max("running_events").alias("n"), F.max("running_value").alias("v"))
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    exp = (
+        events_batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.coalesce("value", F.lit(0.0))).alias("v"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert (got["user_id"].values == exp["user_id"].values).all()
+    assert (got["n"].values == exp["n"].values).all()
+    assert abs(got["v"] - exp["v"]).max() < 1e-6
