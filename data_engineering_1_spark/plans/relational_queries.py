@@ -30,18 +30,28 @@ _O_CHARGE = (
 )
 
 
+# The multiply inputs use the narrowest decimal that bounds the data
+# (price < 10^10, discount/tax in [0,1]) so every product keeps precision
+# <= 18 and stays on Spark's long-backed Decimal path — a (18,2) x (18,2)
+# multiply widens to precision 37 (128-bit per row; measurably slower
+# before JIT warmup, equal after). Values are exact either way, so the
+# (18,x)-cast oracle fragments above hash identically.
+
+
 def _disc_price() -> F.Column:
-    one = F.lit(1).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(4,2)")
     return (
-        dec("l_extendedprice") * (one - dec("l_discount")).cast("decimal(18,2)")
-    ).cast("decimal(18,4)")
+        dec("l_extendedprice").cast("decimal(12,2)")
+        * (one - dec("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")
+    ).cast("decimal(12,4)")  # (12,2)x(4,2) -> (17,4), value < 10^8
 
 
 def _charge() -> F.Column:
-    one = F.lit(1).cast("decimal(18,2)")
+    one = F.lit(1).cast("decimal(4,2)")
     return (
-        _disc_price() * (one + dec("l_tax")).cast("decimal(18,2)")
-    ).cast("decimal(18,6)")
+        _disc_price()
+        * (one + dec("l_tax").cast("decimal(4,2)")).cast("decimal(4,2)")
+    ).cast("decimal(18,6)")  # (12,4)x(4,2) -> (17,6)
 
 
 @declared_query(

@@ -285,12 +285,18 @@ def token_counts_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bigram_counts_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Word-bigram counts (n-gram family, §2.12): explode the in-row bigram
-    array, one shuffle with map-side combine, deterministic top-30."""
+    array, one shuffle with map-side combine, deterministic top-30.
+
+    The token array is materialized into a column BEFORE the n-gram
+    lambda: handing the raw split() expression to ngrams() makes every
+    element_at re-tokenize the document (the shingle trap of
+    operators/dedup.py — measured 25x slower here)."""
     from ..operators.textanalysis import ngrams
 
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(ngrams(tokens("text"), 2)).alias("bigram"))
+        docs.select(tokens("text").alias("__toks"))
+        .select(F.explode(ngrams(F.col("__toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), F.asc("bigram"))
