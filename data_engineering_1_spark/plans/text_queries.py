@@ -302,3 +302,38 @@ def bigram_counts_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(30)
     )
+
+
+@declared_query(
+    "doc_length_percentiles",
+    oracle="""
+    SELECT lang,
+           CAST(ROUND(quantile_cont(n_chars, 0.25), 6) AS DOUBLE) AS p25,
+           CAST(ROUND(quantile_cont(n_chars, 0.50), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(n_chars, 0.90), 6) AS DOUBLE) AS p90,
+           CAST(ROUND(quantile_cont(n_chars, 0.99), 6) AS DOUBLE) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated length percentiles per language (§2.12 "length
+    stats"). F.percentile is the exact sort-based aggregate — matches
+    DuckDB quantile_cont bit-for-bit on integer inputs; the approximate
+    sketch variant (percentile_approx) is the at-scale swap but is
+    engine-specific, hence not declared."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = lambda p: F.round(F.percentile("n_chars", F.lit(p)), 6)
+    return (
+        docs.groupBy("lang")
+        .agg(
+            pct(0.25).alias("p25"),
+            pct(0.50).alias("p50"),
+            pct(0.90).alias("p90"),
+            pct(0.99).alias("p99"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("lang")
+    )
