@@ -555,3 +555,42 @@ def region_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(counts.n_customers, F.lit(0)).alias("n_customers"),
         )
     )
+
+
+@declared_query(
+    "nation_extremes_full_outer",
+    oracle="""
+    WITH hc AS (
+        SELECT c_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_rich
+        FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+    ), ps AS (
+        SELECT s_nationkey AS nk, CAST(COUNT(*) AS BIGINT) AS n_poor
+        FROM supplier WHERE s_acctbal < -800 GROUP BY s_nationkey
+    )
+    SELECT COALESCE(hc.nk, ps.nk) AS nationkey,
+           COALESCE(n_rich, 0) AS n_rich,
+           COALESCE(n_poor, 0) AS n_poor
+    FROM hc FULL OUTER JOIN ps ON hc.nk = ps.nk
+    """,
+)
+def nation_extremes_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 full outer join: per-nation counts of rich customers vs
+    deep-debt suppliers — both filters are sparse, so each side holds
+    nations the other misses and all three match cases appear."""
+    cu = load_table(spark, sf_dir, "customer")
+    su = load_table(spark, sf_dir, "supplier")
+    hc = (
+        cu.filter(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk_c"))
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+    ps = (
+        su.filter(F.col("s_acctbal") < -800)
+        .groupBy(F.col("s_nationkey").alias("nk_s"))
+        .agg(F.count(F.lit(1)).alias("n_poor"))
+    )
+    return hc.join(ps, hc.nk_c == ps.nk_s, "full").select(
+        F.coalesce("nk_c", "nk_s").alias("nationkey"),
+        F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
+        F.coalesce("n_poor", F.lit(0)).alias("n_poor"),
+    )
