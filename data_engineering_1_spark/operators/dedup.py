@@ -94,34 +94,46 @@ def minhash_signatures(
         )
         .distinct()
     )
-    bands = F.sequence(F.lit(0), F.lit(n_bands - 1))
-    rows = F.sequence(F.lit(0), F.lit(rows_per_band - 1))
-    per_hash = (
-        sh.select(id_col, F.explode(bands).alias("band"), "shingle")
-        .select(id_col, "band", F.explode(rows).alias("j"), "shingle")
-        .select(
-            id_col,
-            "band",
-            "j",
-            F.md5(
+    # All n_bands*rows_per_band hashes are computed as COLUMNS of the one
+    # shingle row, and the mins as one groupBy(doc) with b*r aggregates —
+    # the band fan-out happens in-row AFTER aggregation (4 rows per doc,
+    # not 8 rows per shingle). Same min values as any exploded
+    # formulation, so the DuckDB oracle keeps its straightforward
+    # unnest-based shape. 8x fewer exploded rows and one less wide
+    # shuffle; at local sf0.1 stage-latency floors hide most of it
+    # (~10% on the downstream jaccard pipeline), the row-volume win is
+    # what matters at scale.
+    hashed = sh.select(
+        id_col,
+        *[
+            F.md5(F.concat_ws("|", F.lit(str(b)), F.lit(str(j)), "shingle")).alias(
+                f"__h_{b}_{j}"
+            )
+            for b in range(n_bands)
+            for j in range(rows_per_band)
+        ],
+    )
+    mins = hashed.groupBy(id_col).agg(
+        *[
+            F.min(f"__h_{b}_{j}").alias(f"__m_{b}_{j}")
+            for b in range(n_bands)
+            for j in range(rows_per_band)
+        ]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
                 F.concat_ws(
-                    "|",
-                    F.col("band").cast("string"),
-                    F.col("j").cast("string"),
-                    F.col("shingle"),
-                )
-            ).alias("h"),
-        )
+                    "|", *[F.col(f"__m_{b}_{j}") for j in range(rows_per_band)]
+                ).alias("minhash"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    return per_hash.groupBy(id_col, "band").agg(
-        F.concat_ws(
-            "|",
-            *[
-                F.min(F.when(F.col("j") == j, F.col("h")))
-                for j in range(rows_per_band)
-            ],
-        ).alias("minhash")
-    )
+    return mins.select(
+        id_col, F.explode(band_structs).alias("__b")
+    ).select(id_col, "__b.band", "__b.minhash")
 
 
 def lsh_candidate_pairs(signatures: DataFrame, id_col: str = "doc_id") -> DataFrame:
