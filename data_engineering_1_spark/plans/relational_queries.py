@@ -594,3 +594,33 @@ def nation_extremes_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_rich", F.lit(0)).alias("n_rich"),
         F.coalesce("n_poor", F.lit(0)).alias("n_poor"),
     )
+
+
+@declared_query(
+    "grouping_sets_orders",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 explicit GROUPING SETS (the non-hierarchical cousin of
+    rollup/cube): per-priority totals, per-status totals, and the grand
+    total in one pass — Catalyst plans a single Expand over the chosen
+    sets, not three scans."""
+    od = load_table(spark, sf_dir, "orders")
+    od.createOrReplaceTempView("__orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(1) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM __orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
