@@ -624,3 +624,38 @@ def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@declared_query(
+    "order_value_distribution",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           CAST(ROUND(percent_rank() OVER w, 6) AS DOUBLE) AS pct_rank,
+           CAST(ROUND(cume_dist() OVER w, 6) AS DOUBLE) AS cume,
+           CAST(first_value(o_orderkey) OVER w AS BIGINT) AS cheapest_key,
+           CAST(last_value(o_orderkey) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS BIGINT) AS priciest_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def order_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W2 distribution + boundary analytics: percent_rank, cume_dist,
+    first/last order key per priority (last_value needs the full-partition
+    frame — the default running frame would return the current row)."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return od.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("o_orderkey").over(w).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+    )
