@@ -59,13 +59,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:
+    """Read parquet, retrying with nanosAsLong only for the specific
+    TIMESTAMP(NANOS) incompatibility. Genuine errors (missing path,
+    corrupt footer) propagate untouched, and the legacy conf is restored
+    after schema resolution so the session-wide setting is not mutated
+    as a side effect (the returned plan captures the conf at analysis
+    time, so restoring it immediately is safe)."""
     try:
         df = spark.read.parquet(path)
         df.schema  # force schema resolution
         return df
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — filtered by message below
+        msg = str(exc)
+        if "NANOS" not in msg and "nanosAsLong" not in msg:
+            raise
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(path)
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # resolve under the legacy conf
+            return df
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:

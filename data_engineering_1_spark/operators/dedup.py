@@ -216,7 +216,17 @@ def simhash_neardup_pairs(
 
     The band equi-join replaces the O(n^2) pairwise scan — same LSH shape
     as the minhash path, so it scales with bucket occupancy, not corpus
-    size squared."""
+    size squared.
+
+    The pigeonhole recall guarantee requires max_hamming < n_bands (a
+    pair differing in >= n_bands bits can differ in every band); enforce
+    it so callers cannot silently under-recall."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs n_bands >= {max_hamming + 1} "
+            f"(got {n_bands}): pigeonhole recall only holds for "
+            "max_hamming < n_bands"
+        )
     width = SIMHASH_BITS // n_bands
     mask = (1 << width) - 1
     banded = sh.select(

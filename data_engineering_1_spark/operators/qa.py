@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.embedding import hash_embed_texts
+from ..functions.embedding import DEFAULT_DIM, hash_embed_texts
 from .similarity import topk_by_cosine
 
 # Q2: prompt templates, verbatim from src/qa_system.py:52-66 (including the
@@ -152,15 +152,18 @@ def answer_with_sources(
     id_col: str = "doc_id",
     text_col: str = "text",
     vec_col: str = "embedding",
+    dim: int = DEFAULT_DIM,
 ) -> dict[str, Any]:
     """Q4 (src/qa_system.py:111-138): embed the query, exact distributed
     top-k over the chunk table, then driver-side context/LLM composition.
     ``chunks`` must carry (id_col, text_col, vec_col [+ metadata cols]);
     ``similarity`` is plain cosine (reference: 1 - cosine_distance,
-    src/vector_store.py:172 — the same number)."""
-    qvec = hash_embed_texts(
-        pd.Series([query]), dim=len(chunks.select(vec_col).first()[0])
-    )[0]
+    src/vector_store.py:172 — the same number).
+
+    ``dim`` is a parameter (default: the fixture embedding width) rather
+    than a ``.first()`` sniff of the vector column — the only driver
+    action here is the by-design collect of the k retrieved rows."""
+    qvec = hash_embed_texts(pd.Series([query]), dim=dim)[0]
     qdf = spark.createDataFrame([(qvec,)], "query_vec array<float>")
     hits = topk_by_cosine(
         chunks, qdf, k=top_k, vec_col=vec_col, id_col=id_col

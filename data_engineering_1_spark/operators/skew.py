@@ -74,8 +74,20 @@ def salted_join(
 
     The skewed side gets a random salt; the small side is replicated
     ``n_salts`` times (explode), so each (key, salt) bucket joins a slice
-    of the hot key's rows. Output equals the unsalted join exactly —
-    salt columns never escape."""
+    of the hot key's rows. Output equals the unsalted join exactly for
+    the salt-safe join types (inner/left/left_semi/left_anti, where every
+    output row is anchored to exactly one skewed-side row). right/full
+    outer would emit each unmatched replicated small-side row ``n_salts``
+    times, so they are rejected — salt the other side instead, or rely on
+    AQE's skew-join splitting for sort-merge outer joins."""
+    salt_safe = {"inner", "left", "left_outer", "leftouter",
+                 "left_semi", "leftsemi", "semi",
+                 "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in salt_safe:
+        raise ValueError(
+            f"salted_join does not preserve '{how}' semantics (unmatched "
+            f"replicated rows would duplicate); use one of {sorted(salt_safe)}"
+        )
     keys = list(on)
     salted_l = skewed.withColumn("__salt", _salt(n_salts))
     salted_r = small.withColumn(

@@ -111,20 +111,25 @@ def tf_idf(
 
     Exact term identity beats HashingTF's collisions for pipeline-quality
     work; at extreme vocabulary the term aggregate can be salted
-    (operators.skew.salted_aggregate)."""
+    (operators.skew.salted_aggregate).
+
+    Fully lazy: the corpus size N enters the plan as a broadcast 1-row
+    aggregate cross-joined in, not a driver-side count — no eager extra
+    pass over the corpus at build time."""
     toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    n_docs = df.select(id_col).distinct().count()
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n_docs"))
     dfreq = (
         tf.groupBy("term")
         .agg(F.countDistinct(id_col).alias("df"))
         .filter(F.col("df") >= min_df)
     )
     idf = F.round(
-        F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
+        F.log((F.col("__n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0, 6
     )
     return (
         tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn("idf", idf)
         .withColumn("tf_idf", F.round(F.col("tf") * F.col("idf"), 6))
         .select(id_col, "term", "tf", "df", "idf", "tf_idf")

@@ -226,7 +226,7 @@ def format_context_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "map_ops_events",
     oracle="""
     SELECT event_id,
-           json_keys(props) AS prop_keys,
+           array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
            CAST(len(json_keys(props)) AS INTEGER) AS n_props,
            CAST(props->>'k' AS INTEGER) AS k_val,
            CAST(props->>'k' IS NOT NULL AS BOOLEAN) AS has_k
@@ -236,13 +236,19 @@ def format_context_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map family (§2.8): parse events.props into MAP<STRING,INT> once,
     then map_keys / size / element_at / containment — the typed-map
-    counterpart of json_extract_events (same single-parse discipline)."""
+    counterpart of json_extract_events (same single-parse discipline).
+
+    prop_keys is projected as a sorted comma-joined STRING (not a raw
+    array column): the driver's oracle canonicalizer sorts/factorizes
+    result columns through pandas, which cannot hash list values — the
+    round-1 red row. The typed-map logic is unchanged; only the output
+    projection is scalarized."""
     ev = load_table(spark, sf_dir, "events")
     m = F.from_json("props", "map<string,int>")
     ev = ev.withColumn("__m", m)
     return ev.select(
         "event_id",
-        F.map_keys("__m").alias("prop_keys"),
+        F.array_join(F.sort_array(F.map_keys("__m")), ",").alias("prop_keys"),
         F.size(F.map_keys("__m")).cast("int").alias("n_props"),
         F.element_at("__m", "k").alias("k_val"),
         F.element_at("__m", "k").isNotNull().alias("has_k"),
