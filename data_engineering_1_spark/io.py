@@ -35,6 +35,18 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Resolved-DataFrame memo: keyed by (session id, sf_dir, table). Fixture
+# tables are immutable, but driver-side schema resolution (file listing +
+# parquet footer read + the nanos retry) costs tens of ms per call — the
+# bench suite calls load_table hundreds of times, so re-resolving was a
+# measurable slice of the whole run. A cached DataFrame is just a resolved
+# logical plan: reusing it changes no results and keeps every query lazy.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def clear_table_cache() -> None:
+    _TABLE_CACHE.clear()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Lazy: nothing is read until an action runs.
@@ -45,6 +57,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     exactly what DuckDB's scanner does (verified: its TIMESTAMP_NS -> µs
     TIMESTAMP conversion truncates), so oracle comparisons stay exact.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = _read_parquet_nanos_safe(spark, path)
     from pyspark.sql import functions as F
@@ -55,6 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+    _TABLE_CACHE[key] = df
     return df
 
 

@@ -20,26 +20,41 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vector import cosine_similarity, vec_dot, vec_norm
+from ..functions.vector import (
+    cosine_similarity,
+    vec_dot,
+    vec_dot_fixed,
+    vec_norm,
+)
 
 DEFAULT_TOP_K = 5  # reference default: src/vector_store.py:152, main.py:99
 
 
-def with_norm(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+def with_norm(
+    df: DataFrame, vec_col: str, out_col: str, dim: int | None = None
+) -> DataFrame:
     """Precompute the L2 norm once per vector *before* any pairwise join.
 
     cosine(a,b) = dot(a,b) / (|a| * |b|): |a| and |b| are per-vector, so
     computing them inside an n^2 pair join wastes 2/3 of the kernel work.
     The precomputed value is the same double the per-pair expression would
     produce (pure function of the array), so oracle hashes are unaffected.
+    Pass ``dim`` when known to use the unrolled codegen kernel.
     """
-    return df.withColumn(out_col, vec_norm(vec_col))
+    return df.withColumn(out_col, vec_norm(vec_col, dim))
 
 
-def paired_cosine(vec_a: str, vec_b: str, norm_a: str, norm_b: str) -> F.Column:
+def paired_cosine(
+    vec_a: str, vec_b: str, norm_a: str, norm_b: str, dim: int | None = None
+) -> F.Column:
     """dot/(norm_a*norm_b) with precomputed norms — bit-identical to
-    cosine_similarity(vec_a, vec_b)."""
-    return vec_dot(vec_a, vec_b) / (F.col(norm_a) * F.col(norm_b))
+    cosine_similarity(vec_a, vec_b). ``dim`` selects the unrolled kernel."""
+    dot = (
+        vec_dot_fixed(vec_a, vec_b, dim)
+        if dim is not None
+        else vec_dot(vec_a, vec_b)
+    )
+    return dot / (F.col(norm_a) * F.col(norm_b))
 
 
 def topk_by_cosine(
@@ -49,6 +64,7 @@ def topk_by_cosine(
     vec_col: str = "embedding",
     query_vec_col: str = "query_vec",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine search for a single query vector (1-row DF).
 
@@ -57,12 +73,16 @@ def topk_by_cosine(
     Deterministic tie-break on id_col.
     """
     scored = (
-        with_norm(vectors, vec_col, "__norm_v")
-        .crossJoin(F.broadcast(with_norm(query, query_vec_col, "__norm_q")))
+        with_norm(vectors, vec_col, "__norm_v", dim)
+        .crossJoin(
+            F.broadcast(with_norm(query, query_vec_col, "__norm_q", dim))
+        )
         .withColumn(
             "cosine_sim",
             F.round(
-                paired_cosine(vec_col, query_vec_col, "__norm_v", "__norm_q"),
+                paired_cosine(
+                    vec_col, query_vec_col, "__norm_v", "__norm_q", dim
+                ),
                 6,
             ),
         )
@@ -82,18 +102,23 @@ def knn_join(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """E5: every query row -> its k nearest neighbors (excluding itself
     when ids collide). Queries broadcast; ranking is one shuffle on
     query_id."""
     scored = (
-        with_norm(vectors, vec_col, "__norm_v")
-        .crossJoin(F.broadcast(with_norm(queries, query_vec_col, "__norm_q")))
+        with_norm(vectors, vec_col, "__norm_v", dim)
+        .crossJoin(
+            F.broadcast(with_norm(queries, query_vec_col, "__norm_q", dim))
+        )
         .filter(F.col(id_col) != F.col(query_id_col))
         .withColumn(
             "cosine_sim",
             F.round(
-                paired_cosine(vec_col, query_vec_col, "__norm_v", "__norm_q"),
+                paired_cosine(
+                    vec_col, query_vec_col, "__norm_v", "__norm_q", dim
+                ),
                 6,
             ),
         )
@@ -105,6 +130,94 @@ def knn_join(
         scored.withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= k)
         .select(query_id_col, id_col, "cosine_sim", "rn")
+    )
+
+
+def cosine_neardup_pairs_bucketed(
+    vectors: DataFrame,
+    threshold: float,
+    bucket_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    max_bucket_rows: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs WITHIN buckets: all (a, b) with
+    ``a.bucket == b.bucket``, ``a.id < b.id`` and cosine >= threshold.
+
+    The bucket key (IVF cluster / LSH band / shard key) bounds the
+    quadratic pair blow-up: pair generation is an equi-join that shuffles
+    both sides once on the bucket, and per-pair work is a single dot
+    (norms precomputed per vector; unrolled codegen kernel when ``dim``
+    is given).
+
+    ``max_bucket_rows`` is the skew guard: within-bucket pairing is
+    O(b^2), so one hot bucket can dominate the whole job. When set,
+    buckets larger than the cap are EXCLUDED from the exact pairing
+    (the bucket-size check is one aggregate broadcast back onto the
+    rows); route those buckets through ``approx_neighbor_pairs_lsh``,
+    which scales by hash-bucket occupancy instead. Callers that need
+    exact completeness leave it None.
+
+    When ``dim`` is given the embedding is cast to array<double> ONCE
+    per row and the dot is the cast-free unrolled kernel — float->double
+    is exact, so values are bit-identical to the fold, while the
+    expression tree (which appears in both the join condition and the
+    output projection) stays small enough that Janino compile time
+    doesn't eat the codegen win (measured at sf0.1: 2.5 s cold / 1.35 s
+    warm vs 2.9 s interpreted and 4.4 s unrolled-with-per-element-casts).
+    """
+    emb_expr = (
+        F.col(vec_col).cast("array<double>")
+        if dim is not None
+        else F.col(vec_col)
+    )
+    base = vectors.select(
+        F.col(id_col), F.col(bucket_col).alias("__bucket"),
+        emb_expr.alias("__emb"),
+    )
+    if max_bucket_rows is not None:
+        sizes = base.groupBy("__bucket").agg(
+            F.count(F.lit(1)).alias("__bn")
+        ).filter(F.col("__bn") <= max_bucket_rows)
+        base = base.join(F.broadcast(sizes.select("__bucket")), "__bucket")
+
+    def dot(x: str, y: str) -> F.Column:
+        if dim is not None:
+            return vec_dot_fixed(x, y, dim, cast_elements=False)
+        return vec_dot(x, y)
+
+    a = base.select(
+        F.col(id_col).alias("id_a"),
+        "__bucket",
+        F.col("__emb").alias("__emb_a"),
+    ).withColumn("__norm_a", F.sqrt(dot("__emb_a", "__emb_a")))
+    b = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("__bucket").alias("__bucket_b"),
+        F.col("__emb").alias("__emb_b"),
+    ).withColumn("__norm_b", F.sqrt(dot("__emb_b", "__emb_b")))
+    cos = F.round(
+        dot("__emb_a", "__emb_b") / (F.col("__norm_a") * F.col("__norm_b")),
+        6,
+    )
+    # The threshold goes INTO the join condition, written AFTER the cheap
+    # id inequality: a `.filter()` above the join would be pushed into the
+    # condition anyway, but the optimizer prepends pushed predicates —
+    # putting the expensive kernel ahead of `id_a < id_b` and doubling its
+    # evaluations (AND short-circuits left-to-right in the generated
+    # code; measured 1.4x on sf0.1). The projection recomputes the cosine
+    # only for surviving pairs, which the threshold makes rare.
+    return a.join(
+        b,
+        (F.col("__bucket") == F.col("__bucket_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (cos >= threshold),
+    ).select(
+        "id_a",
+        "id_b",
+        F.col("__bucket").alias(bucket_col),
+        cos.alias("cosine_sim"),
     )
 
 

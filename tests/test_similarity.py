@@ -132,3 +132,55 @@ class TestApproxLSH:
             assert (i, 100 + i) in got
         # no false accepts beyond the planted ones at this radius
         assert all(b - a == 100 for a, b in got)
+
+
+def test_unrolled_dot_bit_identical_to_fold(vec_df):
+    """vec_dot_fixed must produce the exact double vec_dot produces (same
+    left-fold addition order), since declared-query oracles assume it."""
+    from data_engineering_1_spark.functions.vector import vec_dot_fixed
+
+    rows = vec_df.select(
+        vec_dot("embedding", "embedding").alias("fold"),
+        vec_dot_fixed("embedding", "embedding", 4).alias("unrolled"),
+    ).collect()
+    for r in rows:
+        assert r.fold == r.unrolled  # bitwise, not approx
+
+
+class TestBucketedNearDup:
+    def _df(self, spark, sizes):
+        """Buckets of the given sizes; identical vectors within a bucket."""
+        rows = []
+        vid = 0
+        for bucket, n in enumerate(sizes):
+            for _ in range(n):
+                rows.append((vid, bucket, [1.0, float(bucket), 0.5, 0.0]))
+                vid += 1
+        return spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+
+    def test_exact_pairs_within_buckets(self, spark):
+        from data_engineering_1_spark.operators.similarity import (
+            cosine_neardup_pairs_bucketed,
+        )
+
+        df = self._df(spark, [3, 2])
+        got = cosine_neardup_pairs_bucketed(df, threshold=0.9, dim=4).collect()
+        # identical vectors: all within-bucket pairs, cosine 1.0
+        pairs = {(r.id_a, r.id_b) for r in got}
+        assert pairs == {(0, 1), (0, 2), (1, 2), (3, 4)}
+        assert all(r.cosine_sim == pytest.approx(1.0) for r in got)
+
+    def test_max_bucket_rows_excludes_hot_bucket(self, spark):
+        from data_engineering_1_spark.operators.similarity import (
+            cosine_neardup_pairs_bucketed,
+        )
+
+        df = self._df(spark, [5, 2])
+        got = cosine_neardup_pairs_bucketed(
+            df, threshold=0.9, dim=4, max_bucket_rows=3
+        ).collect()
+        # bucket 0 (5 rows) is over the cap -> excluded from exact pairing;
+        # bucket 1 (2 rows) survives
+        assert {(r.id_a, r.id_b) for r in got} == {(5, 6)}
