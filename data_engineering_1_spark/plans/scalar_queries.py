@@ -253,3 +253,141 @@ def map_ops_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("__m", "k").alias("k_val"),
         F.element_at("__m", "k").isNotNull().alias("has_k"),
     )
+
+
+@declared_query(
+    "map_explode_events",
+    oracle="""
+    SELECT event_id, map_key, map_val FROM (
+        SELECT event_id, 'day' AS map_key,
+               CAST(day(ts) AS INTEGER) AS map_val FROM events
+        UNION ALL
+        SELECT event_id, 'k', CAST(props->>'k' AS INTEGER) FROM events
+        UNION ALL
+        SELECT event_id, 'vi', CAST(floor(value) AS INTEGER) FROM events
+    ) t
+    """,
+)
+def map_explode_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (§2.8): EXPLODE of a map — one (key, value) row per map
+    entry. The map is constructed in-row with create_map from typed
+    columns (day-of-month, the props 'k' value, floored event value), so
+    the explode is a pure row fan-out with no shuffle; at scale the only
+    cost is the 3x row multiplier, which Spark pipelines inside the same
+    stage. The oracle reconstructs the identical rowset as a UNION ALL of
+    the three entries (engine-portable: no map type needed on the DuckDB
+    side)."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("day"), F.dayofmonth("ts").cast("int"),
+        F.lit("k"), F.from_json("props", "map<string,int>")["k"],
+        F.lit("vi"), F.floor("value").cast("int"),
+    )
+    return ev.select(
+        "event_id", F.explode(m).alias("map_key", "map_val")
+    )
+
+
+@declared_query(
+    "map_hof_events",
+    oracle="""
+    SELECT event_id,
+           'k=' || (props->>'k') AS entries_str,
+           CAST(props->>'k' AS INTEGER) AS vals_sum,
+           CAST((CAST(props->>'k' AS INTEGER) > 50) AS INTEGER)
+             AS n_over_50,
+           'K' AS keys_upper,
+           CAST(props->>'k' AS INTEGER) * 2 AS k_doubled,
+           2 AS n_after_concat
+    FROM events
+    """,
+)
+def map_hof_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions (§2.8): map_entries, map_values,
+    map_filter, transform_keys, transform_values, map_concat — the full
+    HOF-map surface over the single-parse typed map. Every output is
+    scalarized (joined strings / counts) for the driver's pandas
+    canonicalizer. The oracle derives each value from the known
+    single-key {"k": int} structure directly, which keeps it portable
+    while still pinning our map kernels to exact values."""
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("__m", F.from_json("props", "map<string,int>"))
+    entries_str = F.array_join(
+        F.transform(
+            F.map_entries("__m"),
+            lambda e: F.concat_ws("=", e["key"], e["value"].cast("string")),
+        ),
+        ",",
+    )
+    vals_sum = F.aggregate(
+        F.map_values("__m"), F.lit(0), lambda acc, x: acc + x
+    )
+    n_over_50 = F.size(
+        F.map_entries(F.map_filter("__m", lambda k, v: v > 50))
+    ).cast("int")
+    keys_upper = F.array_join(
+        F.sort_array(
+            F.map_keys(F.transform_keys("__m", lambda k, v: F.upper(k)))
+        ),
+        ",",
+    )
+    k_doubled = F.element_at(
+        F.transform_values("__m", lambda k, v: v * 2), "k"
+    )
+    n_after_concat = F.size(
+        F.map_keys(
+            F.map_concat("__m", F.create_map(F.lit("t"), F.lit(1)))
+        )
+    ).cast("int")
+    return ev.select(
+        "event_id",
+        entries_str.alias("entries_str"),
+        vals_sum.alias("vals_sum"),
+        n_over_50.alias("n_over_50"),
+        keys_upper.alias("keys_upper"),
+        k_doubled.alias("k_doubled"),
+        n_after_concat.alias("n_after_concat"),
+    )
+
+
+@declared_query(
+    "nested_json_roundtrip_orders",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey AS cust_key,
+           o_orderstatus AS status,
+           o_totalprice AS total_price,
+           o_orderpriority AS priority
+    FROM orders
+    """,
+)
+def nested_json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested JSON structs (§2.8): serialize a two-level struct with
+    to_json, parse it back with a nested from_json schema, and extract
+    leaf fields. The oracle projects the base columns directly — equality
+    holds iff the engine's JSON round-trip is lossless (Jackson writes
+    doubles in shortest-round-trip form, so the re-parsed double is
+    bit-identical). Single from_json parse; both JSON kernels run inside
+    one projection, no shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    j = F.to_json(
+        F.struct(
+            F.col("o_custkey").alias("cust"),
+            F.struct(
+                F.col("o_orderstatus").alias("st"),
+                F.col("o_totalprice").alias("tp"),
+                F.col("o_orderpriority").alias("pri"),
+            ).alias("meta"),
+        )
+    )
+    parsed = F.from_json(
+        j, "struct<cust:bigint, meta:struct<st:string, tp:double, pri:string>>"
+    )
+    o = orders.withColumn("__p", parsed)
+    return o.select(
+        "o_orderkey",
+        F.col("__p.cust").alias("cust_key"),
+        F.col("__p.meta.st").alias("status"),
+        F.col("__p.meta.tp").alias("total_price"),
+        F.col("__p.meta.pri").alias("priority"),
+    )

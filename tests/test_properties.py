@@ -70,3 +70,185 @@ class TestSimHashProperties:
         fp = {r.doc_id: r.simhash for r in simhash(df).collect()}
         assert fp[1] == fp[2]  # bag-of-words: token order never matters
         assert 0 <= fp[1] < (1 << 32)
+
+
+class TestLshRecallProperties:
+    """MinHash-LSH pipeline invariants (VERDICT r1 item 10).
+
+    LSH recall is PROBABILISTIC over the hash family — at the shipped
+    (n_bands=4, rows_per_band=2) a true-Jaccard-0.8 pair buckets together
+    with p = 1-(1-J^2)^4 ~ 0.98 — but our hash family is FIXED
+    (md5(band|row|shingle)), so for any CONCRETE corpus candidacy is a
+    deterministic function of the shingle sets. derandomize=True makes
+    hypothesis replay the same corpora every run: the assertions below
+    are therefore stable, and what they pin is that the banding/bucketing
+    plumbing never drops a pair the hash family DID bucket together —
+    plus the two unconditional guarantees (identical shingle sets always
+    collide; emitted candidates really share a band bucket).
+    """
+
+    @staticmethod
+    def _corpus(spark, docs):
+        return spark.createDataFrame(
+            [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+            "doc_id long, text string",
+        )
+
+    @staticmethod
+    def _shingle_set(toks, k=3):
+        if len(toks) < k:
+            return set()
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    @staticmethod
+    def _jaccard(s1, s2):
+        if not s1 and not s2:
+            return 0.0
+        return len(s1 & s2) / len(s1 | s2)
+
+    BASE = [f"w{i}" for i in range(30)]
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        derandomize=True,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=29),  # mutate position
+                st.sampled_from(["x", "y", "z"]),  # replacement token
+            ),
+            min_size=0,
+            max_size=3,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=2, max_value=4),  # corpus copies
+    )
+    def test_high_jaccard_pairs_are_candidates(self, spark, mutations, n_docs):
+        from data_engineering_1_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        # n_docs near-copies of BASE, each with <=3 token substitutions:
+        # pairwise Jaccard stays high (>= ~0.6 with 3 mutations of 28
+        # shingle positions), most pairs >= 0.8
+        docs = [list(self.BASE)]
+        for d in range(1, n_docs):
+            toks = list(self.BASE)
+            for pos, repl in mutations[: d % (len(mutations) + 1)]:
+                toks[pos] = repl + str(d)
+            docs.append(toks)
+        df = self._corpus(spark, docs)
+        sigs = minhash_signatures(df)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(sigs).collect()
+        }
+        sets = [self._shingle_set(toks) for toks in docs]
+        # "No false negatives at J>=0.8" is NOT a theorem at (b=4, r=2):
+        # per-pair miss probability is (1-J^2)^4 ~ 1.7% at J=0.8, and
+        # hypothesis finds concrete misses (first run of this test did —
+        # a J=0.806 pair the md5 family never buckets together). The
+        # per-pair assertion is pinned where misses are near-impossible:
+        # J >= 0.95 => miss prob (1-0.9025)^4 ~ 9e-5, and derandomized
+        # examples make any pass/fail outcome reproducible. Aggregate
+        # recall at J >= 0.8 is covered by test_planted_corpus_recall.
+        strong_missed = []
+        for a in range(len(docs)):
+            for b in range(a + 1, len(docs)):
+                j = self._jaccard(sets[a], sets[b])
+                if j >= 0.95 and (a, b) not in got:
+                    strong_missed.append((a, b, j))
+        assert not strong_missed, (
+            f"near-certain pairs missed by LSH: {strong_missed}"
+        )
+
+    def test_planted_corpus_recall(self, spark):
+        """Aggregate recall on a fixed corpus with many planted high-J
+        pairs: 20 distinct base docs (60 tokens: 58 shingles) x 3
+        near-copies each (1 token mutated per copy) => 60 within-group
+        pairs. base-copy J = 55/61 ~ 0.90, copy-copy J = 52/64 ~ 0.81 —
+        all >= 0.8 (asserted).
+        Expected recall at (b=4, r=2) is ~0.98 per pair; the corpus and
+        hash family are fixed, so the observed set is deterministic —
+        the 0.9 floor just leaves slack for the family's known ~2% miss
+        rate without ever flaking."""
+        from data_engineering_1_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        docs, truth = [], []
+        doc_id = 0
+        for g in range(20):
+            base = [f"g{g}w{i}" for i in range(60)]
+            members = []
+            for c in range(3):
+                toks = list(base)
+                if c:  # copy 0 is the base itself
+                    toks[5 * c] = f"mut{g}_{c}"
+                docs.append(toks)
+                members.append(doc_id)
+                doc_id += 1
+            truth += [
+                (a, b)
+                for i, a in enumerate(members)
+                for b in members[i + 1 :]
+            ]
+        sets = [self._shingle_set(t) for t in docs]
+        assert all(self._jaccard(sets[a], sets[b]) >= 0.8 for a, b in truth)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(
+                minhash_signatures(self._corpus(spark, docs))
+            ).collect()
+        }
+        hit = sum((a, b) in got for a, b in truth)
+        assert hit / len(truth) >= 0.9, f"recall {hit}/{len(truth)}"
+
+    def test_identical_docs_always_candidates(self, spark):
+        """Unconditional: equal shingle sets => equal signatures in every
+        band => guaranteed candidacy (no hash luck involved)."""
+        from data_engineering_1_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        text = " ".join(self.BASE)
+        df = spark.createDataFrame(
+            [(0, text), (1, text), (2, "totally different words " * 3)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in lsh_candidate_pairs(minhash_signatures(df)).collect()
+        }
+        assert (0, 1) in got
+
+    def test_candidates_share_a_band_bucket(self, spark):
+        """Soundness: every emitted pair really collides in >=1 band."""
+        from data_engineering_1_spark.operators.dedup import (
+            lsh_candidate_pairs,
+            minhash_signatures,
+        )
+
+        docs = [list(self.BASE)]
+        for d in range(1, 4):
+            toks = list(self.BASE)
+            toks[d] = f"sub{d}"
+            docs.append(toks)
+        sigs = minhash_signatures(self._corpus(spark, docs))
+        pairs = lsh_candidate_pairs(sigs).collect()
+        by_doc = {}
+        for r in sigs.collect():
+            by_doc.setdefault(r.doc_id, {})[r.band] = r.minhash
+        for p in pairs:
+            shared = [
+                b
+                for b in by_doc[p.doc_a]
+                if by_doc[p.doc_a][b] == by_doc[p.doc_b].get(b)
+            ]
+            assert shared, f"pair ({p.doc_a},{p.doc_b}) shares no bucket"
