@@ -201,3 +201,81 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 bands), verified at hamming distance <= 3 via bit_count(xor)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_neardup_pairs(simhash(docs))
+
+
+@declared_query(
+    "dedup_clusters_lsh",
+    oracle=f"""
+    WITH RECURSIVE {_O_SIGNATURES},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.minhash = b.minhash
+        WHERE a.doc_id < b.doc_id
+    ), dt AS (
+        SELECT DISTINCT doc_id, unnest(list_distinct({_O_TOK})) AS tok
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM dt GROUP BY doc_id
+    ), shared AS (
+        SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM cand c
+        JOIN dt ta ON ta.doc_id = c.doc_a
+        JOIN dt tb ON tb.doc_id = c.doc_b AND tb.tok = ta.tok
+        GROUP BY c.doc_a, c.doc_b
+    ), pairs AS (
+        SELECT s.doc_a, s.doc_b
+        FROM shared s
+        JOIN sizes x ON s.doc_a = x.doc_id
+        JOIN sizes y ON s.doc_b = y.doc_id
+        WHERE ROUND(CAST(s.n_shared AS DOUBLE)
+                    / (x.n_tok + y.n_tok - s.n_shared), 6) >= 0.8
+    ), e AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT u AS node FROM e
+    ), reach(node, r) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT reach.node, e.v FROM reach JOIN e ON reach.r = e.u
+    ), comp AS (
+        SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+        FROM reach GROUP BY node
+    )
+    SELECT doc_id, component,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+             AS cluster_size,
+           (doc_id = component) AS is_survivor
+    FROM comp
+    """,
+)
+def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: LSH candidates -> Jaccard>=0.8 verify ->
+    connected components -> survivor flag (min doc_id per component).
+    This is the stage that turns pairwise near-dup evidence into an
+    actually deduplicated corpus — transitive closure matters because
+    A~B and B~C routinely hold while A~C is below threshold.
+
+    The component labels are deterministic (smallest reachable doc_id),
+    which is what makes an iterative distributed algorithm oracle-
+    checkable against a recursive-CTE transitive closure."""
+    from ..operators.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, lsh_candidate_pairs(minhash_signatures(docs))
+    ).filter(F.col("jaccard") >= 0.8)
+    comp = connected_components(
+        pairs, src="doc_a", dst="doc_b", node_out="doc_id"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component")
+    return comp.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_survivor"),
+    )

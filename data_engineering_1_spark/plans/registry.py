@@ -56,6 +56,7 @@ def load_all() -> None:
         dedup_queries,
         events_queries,
         relational_queries,
+        sampling_queries,
         scalar_queries,
         similarity_queries,
         text_queries,
