@@ -137,20 +137,19 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The pairing is bucketed by ``label`` — the production shape, where a
     cheap partitioner (IVF cluster / LSH band / shard key) bounds the
-    quadratic blow-up and turns the pair generation into an equi-join that
-    shuffles both sides once on the bucket key. Norms are precomputed per
-    vector, and the per-pair dot uses the dim-64 unrolled codegen kernel
-    (functions.vector.vec_dot_fixed) — same left-fold addition order as
-    the oracle's list_sum, so values stay bit-identical while the kernel
-    stays inside whole-stage codegen. The operator's ``max_bucket_rows``
-    guard (unset here: the declared query is exact) is the skew valve
-    that routes oversized buckets to the LSH approximate path at scale."""
+    quadratic blow-up: one shuffle on the bucket key, then an
+    Arrow-batched ``applyInPandas`` kernel scores each bucket's pairs as
+    a vectorized left fold over dimensions — the same addition order as
+    the oracle's list_sum, so values stay bit-identical (the wide
+    unrolled Spark-expression alternative generates a >8 KB codegen
+    method HotSpot refuses to JIT; see cosine_neardup_pairs_bucketed).
+    The operator's ``max_bucket_rows`` guard (unset here: the declared
+    query is exact) is the skew valve that routes oversized buckets to
+    the LSH approximate path at scale."""
     from ..operators.similarity import cosine_neardup_pairs_bucketed
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_neardup_pairs_bucketed(
-        emb, threshold=0.3, dim=64
-    ).select(
+    return cosine_neardup_pairs_bucketed(emb, threshold=0.3).select(
         F.col("id_a").alias("vec_a"),
         F.col("id_b").alias("vec_b"),
         "label",
