@@ -65,29 +65,43 @@ def connected_components(
         .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .persist()
     )
+    # Seed with iteration-1's result directly: comp0(u) = min(u, min(v)).
+    # Materializing the node set needs a shuffle on u either way
+    # (distinct); folding the first min-propagation into that same
+    # shuffle saves one full join+groupBy round.
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("u").alias("node"))
+        .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
+        .localCheckpoint(eager=True)
     )
     prev_sum = None
+    prev_ckpt = None
     for _ in range(max_iter):
-        nbr_min = sym.join(
-            labels, sym["v"] == labels["node"]
-        ).select(F.col("u").alias("node"), "comp")
-        labels = (
-            labels.union(nbr_min)
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
         cur = labels.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
         if cur is None or cur == prev_sum:
             break
         prev_sum = cur
+        nbr_min = sym.join(
+            labels, sym["v"] == labels["node"]
+        ).select(F.col("u").alias("node"), "comp")
+        new_labels = (
+            labels.union(nbr_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        # The superseded checkpoint's blocks are dead once the new one is
+        # materialized (nothing downstream can reference it) — free them,
+        # or repeated calls leak executor storage run over run.
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = labels
+        labels = new_labels
     sym.unpersist()  # labels is checkpointed; the edge cache is done
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
     return labels.select(
         F.col("node").alias(node_out), F.col("comp").alias(comp_out)
     )
