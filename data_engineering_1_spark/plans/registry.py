@@ -60,6 +60,7 @@ def load_all() -> None:
         scalar_queries,
         similarity_queries,
         text_queries,
+        tpch_queries,
     )
 
     _LOADED = True

@@ -1,0 +1,467 @@
+"""TPC-H-analog declared queries (SURVEY.md §2.5-§2.7 breadth).
+
+The fixture star schema is TPC-H-ish but misses a few canonical columns
+(no partsupp, no l_shipmode/l_commitdate, no c_phone), so these are
+*adaptations*: each keeps the canonical plan shape — the thing that
+matters at 100 TB — while binding to the columns that exist.
+
+Scale notes (local[32] tests correctness; the plan shapes target a
+1000-executor cluster):
+  * every dim (part/supplier/nation/customer-agg) that is orders of
+    magnitude smaller than lineitem gets an explicit broadcast hint so the
+    fact table never shuffles for the join;
+  * correlated EXISTS / scalar subqueries are expressed as semi joins and
+    broadcast 1-row aggregates — never a driver-side collect;
+  * single-row filter-aggregates (q6/q19) exist to pin predicate pushdown:
+    the parquet scan must carry PushedFilters, verified in
+    tests/test_plan_shapes.py.
+
+All money arithmetic follows the decimal discipline in _discipline.py so
+the DuckDB oracle hashes bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ._discipline import dec, o_sum_dec, sum_dec
+from .registry import declared_query
+
+
+def _disc_price() -> F.Column:
+    """l_extendedprice * (1 - l_discount) on the narrow-decimal path
+    (same formulation as relational_queries.q1; see the precision note
+    there)."""
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        dec("l_extendedprice").cast("decimal(12,2)")
+        * (one - dec("l_discount").cast("decimal(4,2)")).cast("decimal(4,2)")
+    ).cast("decimal(12,4)")
+
+
+_O_DISC_PRICE = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+    " AS DECIMAL(12,4))"
+)
+
+
+@declared_query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS -> left-semi join): orders in a
+    half-year window with at least one lineitem shipped after the order
+    date, counted per priority. The equi key (orderkey) drives the
+    shuffle; the date comparison rides along as a join residual — no
+    inequality blow-up, no subquery re-scan per row."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@declared_query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT {o_sum_dec('CAST(l_extendedprice AS DECIMAL(12,2))'
+                      " * CAST(l_discount AS DECIMAL(4,2))", 4)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure filter-aggregate. Every predicate is
+    scan-pushable (timestamp range, double range, double bound) and the
+    projection needs only 4 columns — at 100 TB this is the query where
+    pushdown + column pruning ARE the plan; test_plan_shapes pins
+    PushedFilters on the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = (
+        dec("l_extendedprice").cast("decimal(12,2)")
+        * dec("l_discount").cast("decimal(4,2)")
+    ).cast("decimal(18,4)")
+    return sel.agg(
+        F.sum(rev).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@declared_query(
+    "q7_nation_trade",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+           {o_sum_dec(_O_DISC_PRICE, 4)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ns ON s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c_nationkey = nc.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND ns.n_nationkey <> nc.n_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (nation-pair trade flows): 5-way join where every
+    dimension (supplier, nation x2, customer) is broadcast so the only
+    shuffle on the fact side is the lineitem<->orders equi join + the
+    final partial-aggregated groupBy. Cross-nation filter keeps the
+    diagonal out."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load_table(spark, sf_dir, "nation")
+    ns = na.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = na.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(ns), su.s_nationkey == ns.ns_key)
+        .join(F.broadcast(nc), cu.c_nationkey == nc.nc_key)
+        .filter(F.col("ns_key") != F.col("nc_key"))
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").alias("ship_year"),
+    ).agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+
+
+@declared_query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name,
+           {o_sum_dec(_O_DISC_PRICE, 4)} AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate < TIMESTAMP '1996-10-01'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (top returned-revenue customers): fact-fact equi join on
+    orderkey, broadcast customer-dim + nation, one aggregation, then a
+    global top-20 that Catalyst executes as TakeOrderedAndProject (no full
+    sort). Revenue ties break on custkey so LIMIT membership is
+    deterministic vs the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    na = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    agg = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    )
+    return agg.orderBy(F.desc("revenue"), "c_custkey").limit(20)
+
+
+@declared_query(
+    "q14_promo_effect",
+    oracle=f"""
+    SELECT CAST(ROUND(
+        100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                              THEN {_O_DISC_PRICE}
+                              ELSE CAST(0 AS DECIMAL(12,4)) END)
+                  AS DOUBLE)
+        / CAST(SUM({_O_DISC_PRICE}) AS DOUBLE), 6) AS DOUBLE)
+        AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promo revenue share): broadcast the part dim into a
+    month of lineitem, conditional decimal sums, one ratio. Both sums are
+    exact decimals, so the final double division is bit-identical to the
+    oracle's."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    dp = _disc_price()
+    zero = F.lit(0).cast("decimal(12,4)")
+    joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+    return joined.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", dp).otherwise(zero))
+            .cast("double")
+            / F.sum(dp).cast("double"),
+            6,
+        ).alias("promo_revenue_pct")
+    )
+
+
+@declared_query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_suppkey AS suppkey, {o_sum_dec(_O_DISC_PRICE, 4)} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier by quarterly revenue): the scalar MAX
+    subquery becomes a broadcast 1-row aggregate cross-joined back — the
+    classic Spark pattern for `= (SELECT MAX(..))` without any driver
+    action. Revenue is an exact decimal rendered as double, so equality
+    against the max is safe on both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(_disc_price()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(su), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@declared_query(
+    "q17_small_quantity",
+    oracle="""
+    WITH pq AS (
+        SELECT l_partkey AS pk,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / COUNT(l_quantity)) AS qty_cut
+        FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(ROUND(
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0,
+        6) AS DOUBLE) AS avg_yearly,
+        CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN pq ON l_partkey = pk
+    WHERE p_brand = 'Brand#23' AND l_quantity < qty_cut
+    """,
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity revenue): the correlated AVG subquery
+    becomes a per-part aggregate joined back on partkey. The per-part
+    average table is |part|-sized — broadcast it; lineitem is never
+    shuffled twice. The 0.2*avg threshold is the same double on both
+    engines (exact decimal sum / count)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    pq = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (F.sum(dec("l_quantity")).cast("double") / F.count("l_quantity"))
+        ).alias("qty_cut")
+    )
+    sel = (
+        li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey)
+        .join(F.broadcast(pq), li.l_partkey == pq.pk)
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+    )
+    return sel.agg(
+        F.round(
+            F.sum(dec("l_extendedprice").cast("decimal(12,2)")).cast("double")
+            / 7.0,
+            6,
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@declared_query(
+    "q18_large_orders",
+    oracle="""
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3, 4, 5
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    """,
+)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume orders): HAVING on a grouped sum. Spark
+    shape: aggregate lineitem by orderkey FIRST (map-side partials cut the
+    shuffle), filter > 300, then join the — now tiny — survivor set to
+    orders+customer with broadcasts on the shrunken side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("__sq"))
+        .filter(F.col("__sq") > F.lit(300).cast("decimal(18,2)"))
+    )
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        od.join(F.broadcast(big), od.o_orderkey == big.l_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            dec("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("__sq").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@declared_query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT {o_sum_dec(_O_DISC_PRICE, 4)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (disjunctive predicate join): three OR'd brand/size/qty
+    bands. Catalyst pushes the derivable per-side conjuncts (qty 1-30 on
+    lineitem, size 1-15 + brand IN (...) on part) down to the scans and
+    evaluates the residual OR after the broadcast join — the shape that
+    keeps a 100 TB scan from reading every row group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    sz = F.col("p_size")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & sz.between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & sz.between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).filter(cond)
+    return joined.agg(
+        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@declared_query(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH cut AS (
+        SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(c_acctbal) AS avg_bal
+        FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+    FROM customer, cut
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    """,
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (rich customers with no urgent order — the fixture
+    gives every customer *some* order, so the anti-join is against the
+    urgent subset to keep the result non-trivial): global scalar AVG as a
+    broadcast 1-row cross join, NOT EXISTS as a left-anti join on custkey
+    (shuffles only the custkeys of the filtered orders), grouped per
+    nation. No driver action anywhere."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    cut = cu.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(dec("c_acctbal")).cast("double") / F.count("c_acctbal")).alias(
+            "avg_bal"
+        )
+    )
+    rich = cu.crossJoin(F.broadcast(cut)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    idle = rich.join(od, rich.c_custkey == od.o_custkey, "left_anti")
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
+    )

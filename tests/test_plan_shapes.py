@@ -17,6 +17,9 @@ from data_engineering_1_spark.plans import registry
 
 @pytest.fixture(scope="module")
 def plans(spark, sf_dir):
+    # FileScan metadata (PushedFilters/ReadSchema) is truncated at 100
+    # chars by default, which hides the later entries from assertions.
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
     q = registry.get_queries()
 
     def get(name: str) -> str:
@@ -78,3 +81,46 @@ def test_scan_prunes_columns(plans):
     assert "l_quantity" in scan
     for unused in ("l_orderkey", "l_partkey", "l_suppkey"):
         assert unused not in scan
+
+
+def test_q6_filters_pushed_and_pruned(plans):
+    # TPC-H Q6: every predicate must reach the parquet scan, and the scan
+    # must read only the 4 referenced columns.
+    p = plans("q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    assert "LessThan(l_quantity,24.0)" in p
+    scan = next(l for l in p.splitlines() if "FileScan" in l)
+    for unused in ("l_orderkey", "l_partkey", "l_returnflag"):
+        assert unused not in scan
+
+
+def test_q10_topk_is_take_ordered(plans):
+    p = plans("q10_returned_items")
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p  # pushed to the lineitem scan
+
+
+def test_q7_dims_all_broadcast(plans):
+    # customer, supplier, nation x2 broadcast; only lineitem<->orders may
+    # merge-join.
+    p = plans("q7_nation_trade")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert p.count("SortMergeJoin") <= 1
+
+
+def test_q17_no_double_lineitem_shuffle(plans):
+    # the per-part avg side and the part filter are both broadcast, so
+    # lineitem itself never shuffles before the final 1-row aggregate.
+    p = plans("q17_small_quantity")
+    assert p.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in p
+
+
+def test_q4_semi_join_shape(plans):
+    # EXISTS compiles to a LeftSemi join with the date residual, not a
+    # cartesian or a per-row subquery.
+    p = plans("q4_order_priority")
+    assert "LeftSemi" in p
+    assert "Cartesian" not in p
