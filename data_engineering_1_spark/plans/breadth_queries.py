@@ -1,0 +1,300 @@
+"""Breadth declared queries: unpivot/melt, regex family, date-spine
+gap-fill, per-group top-k terms, statistical aggregates, ordered string
+aggregation, and embedding quantization (SURVEY.md §2.8, §2.12 breadth).
+
+Scale notes: every query here is a single declarative plan — the date
+spine is generated from a broadcast 1-row bounds aggregate (never a
+driver-side loop), the top-terms window rides the same shuffle as its
+groupBy, and the quantization pass is one scan with in-row lambda
+arithmetic (no shuffle at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.textanalysis import tokens
+from ._discipline import dec, o_avg6, o_sum_dec
+from .registry import declared_query
+from .text_queries import _O_TOK
+
+
+@declared_query(
+    "unpivot_part_metrics",
+    oracle=f"""
+    WITH up AS (
+        SELECT p_brand, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_brand, 'p_retailprice', CAST(p_retailprice AS DOUBLE)
+        FROM part
+    )
+    SELECT p_brand, metric,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           {o_avg6('value')} AS avg_value
+    FROM up GROUP BY 1, 2
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long unpivot (DataFrame.unpivot / SQL UNPIVOT): two part
+    metrics melted into (metric, value) rows, then re-aggregated per
+    brand. Spark's unpivot is a zero-shuffle Expand node — the oracle's
+    UNION ALL twin double-scans instead, which is exactly the cost the
+    operator avoids at scale."""
+    pa = load_table(spark, sf_dir, "part").select(
+        "p_brand",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    up = pa.unpivot(
+        ids=["p_brand"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return up.groupBy("p_brand", "metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("value")).cast("double") / F.count("value"), 6).alias(
+            "avg_value"
+        ),
+    )
+
+
+@declared_query(
+    "regex_text_features",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+ing)', 1) AS first_ing,
+           CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))
+                AS BIGINT) AS n_vowels,
+           CAST(CASE WHEN regexp_matches(text, '[0-9]') THEN 1 ELSE 0 END
+                AS INT) AS has_digit,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS BIGINT)
+               AS n_space_words
+    FROM documents
+    """,
+)
+def regex_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar family (§2.8): regexp_extract (first '-ing' word),
+    vowel count via replace-all length delta, rlike digit flag, and a
+    space-count word estimate. All JVM-side codegen expressions; both
+    engines' regexes stay in the shared POSIX-class subset (DuckDB is
+    RE2, Spark is java.util.regex — fancy lookarounds would diverge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]+ing)", 1).alias("first_ing"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[aeiou]", ""))
+        ).cast("bigint").alias("n_vowels"),
+        F.col("text").rlike("[0-9]").cast("int").alias("has_digit"),
+        (F.length(F.regexp_replace("text", "[^ ]", "")) + 1)
+        .cast("bigint")
+        .alias("n_space_words"),
+    )
+
+
+@declared_query(
+    "gapfill_daily_big_events",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS lo,
+               CAST(max(date_trunc('day', ts)) AS TIMESTAMP) AS hi
+        FROM events
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY))
+                    AS TIMESTAMP) AS day
+        FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events WHERE value > 300.0 GROUP BY 1, 2
+    )
+    SELECT s.day, t.event_type, COALESCE(d.n_events, 0) AS n_events
+    FROM spine s CROSS JOIN types t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+)
+def gapfill_daily_big_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill: a day spine from a broadcast 1-row min/max
+    bounds aggregate (sequence + explode — no driver loop, no literal
+    dates), crossed with the distinct event types, left-joined to the
+    sparse daily counts (high-value events only), zeros filled. The spine
+    side is tiny -> broadcast; the fact side aggregates before joining."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    bounds = ev.agg(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    daily = (
+        ev.filter(F.col("value") > 300.0)
+        .groupBy(day.alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    grid = spine.crossJoin(types)
+    return grid.join(
+        F.broadcast(daily),
+        ["day", "event_type"],
+        "left",
+    ).select(
+        "day",
+        "event_type",
+        F.coalesce("__n", F.lit(0)).alias("n_events"),
+    )
+
+
+@declared_query(
+    "top_terms_per_lang",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest({_O_TOK}) AS word FROM documents
+    ),
+    counts AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM tok WHERE word <> '' GROUP BY 1, 2
+    )
+    SELECT lang, word, n, CAST(rk AS INT) AS rk FROM (
+        SELECT lang, word, n,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY n DESC, word) AS rk
+        FROM counts
+    ) WHERE rk <= 3
+    """,
+)
+def top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k terms: tokenize, count per (lang, word) with
+    map-side partial combine, then a row_number window that reuses the
+    groupBy's hash partitioning on lang — one shuffle total for the
+    window (ties break on word for determinism)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("lang", F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "word")
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("lang", "word", "n", "rk")
+    )
+
+
+@declared_query(
+    "lineitem_stat_moments",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(ROUND(corr(l_quantity, l_extendedprice), 6) AS DOUBLE)
+               AS qty_price_corr,
+           CAST(ROUND(covar_pop(l_quantity, l_extendedprice), 6) AS DOUBLE)
+               AS qty_price_covar,
+           CAST(ROUND(stddev_samp(l_quantity), 6) AS DOUBLE) AS qty_stddev,
+           CAST(ROUND(var_pop(l_extendedprice), 6) AS DOUBLE) AS price_var
+    FROM lineitem GROUP BY 1
+    """,
+)
+def lineitem_stat_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (corr / covar_pop / stddev_samp /
+    var_pop) per return flag — single partial-aggregated pass; both
+    engines use numerically-stable co-moment merging, and round(6)
+    absorbs the last-ulp merge-order difference."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_pop("l_extendedprice"), 6).alias("price_var"),
+    )
+
+
+@declared_query(
+    "nation_segment_listagg",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS n_segments
+    FROM customer GROUP BY 1
+    """,
+)
+def nation_segment_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG semantics): per-nation sorted
+    distinct market segments as one CSV string. Spark shape:
+    collect_set -> array_sort -> array_join — the sort happens per
+    group (bounded cardinality), never globally."""
+    cu = load_table(spark, sf_dir, "customer")
+    return cu.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("c_mktsegment")), ","
+        ).alias("segments"),
+        F.size(F.collect_set("c_mktsegment")).cast("bigint").alias(
+            "n_segments"
+        ),
+    )
+
+
+@declared_query(
+    "embedding_quantize_int8",
+    oracle="""
+    SELECT vec_id,
+           CAST(ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS DOUBLE)
+               AS qmin,
+           CAST(ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS DOUBLE)
+               AS qmax,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor((CAST(x AS DOUBLE)
+                                 - CAST(list_min(embedding) AS DOUBLE))
+                                * 255.0
+                                / (CAST(list_max(embedding) AS DOUBLE)
+                                   - CAST(list_min(embedding) AS DOUBLE)))
+                          AS BIGINT))) AS BIGINT) AS qsum
+    FROM embeddings
+    WHERE CAST(list_max(embedding) AS DOUBLE)
+          <> CAST(list_min(embedding) AS DOUBLE)
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization of embeddings (the storage-shrink step
+    before ANN at 100 TB): per-vector min/max range, each element mapped
+    to floor((x-min)*255/range). Emitted as a checksum (qsum) plus the
+    rounded range so the driver hash stays scalar-typed. floor() on
+    identical doubles is bit-deterministic across engines — no
+    round-half ambiguity. Constant vectors are excluded on both sides
+    (zero range)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mn = F.array_min("embedding").cast("double")
+    mx = F.array_max("embedding").cast("double")
+    q = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.floor((x.cast("double") - mn) * 255.0 / (mx - mn)),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        emb.filter(mx != mn)
+        .select(
+            "vec_id",
+            F.round(mn, 6).alias("qmin"),
+            F.round(mx, 6).alias("qmax"),
+            q.alias("qsum"),
+        )
+    )
