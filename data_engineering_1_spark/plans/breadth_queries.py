@@ -298,3 +298,98 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.alias("qsum"),
         )
     )
+
+
+@declared_query(
+    "clicks_before_purchase_1h",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks_prev_hour
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    GROUP BY 1, 2
+    """,
+)
+def clicks_before_purchase_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (operators/rangejoin.py): clicks within the
+    hour before each purchase, counted per purchase. The oracle runs the
+    naive inequality join; the Spark side joins on (user_id, time_bucket)
+    equi keys with the inequality as residual — shuffle-partitionable,
+    bounded 2x fan-out, no BroadcastNestedLoop. test_plan_shapes pins the
+    no-BNLJ guarantee."""
+    from ..operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts")
+    )
+    # click_ts in [purchase_ts - 3600s, purchase_ts] <=>
+    # right_ts in [left_ts + lower, left_ts + upper], lower=-3600, upper=0
+    joined = interval_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="p_ts",
+        right_ts="c_ts",
+        lower_s=-3600,
+        upper_s=0,
+    )
+    return joined.groupBy("purchase_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks_prev_hour")
+    )
+
+
+@declared_query(
+    "customer_7day_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               AS spend_7d,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_orders_7d
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+)
+def customer_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 rangeBetween on event time: per customer, total spend and order
+    count over the trailing 7 calendar days (value-based frame over epoch
+    seconds — peer rows at the same timestamp aggregate together, unlike
+    rowsBetween). One shuffle on custkey; the frame scan is linear per
+    partition. Decimal sum keeps the window aggregate exact."""
+    od = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return od.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("spend_7d"),
+        F.count(F.lit(1)).over(w).alias("n_orders_7d"),
+    )
+
+
+@declared_query("approx_value_quantiles")  # rows-only: approx sketch
+def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6-family approximate quantiles (KLL-style sketch behind
+    approx_percentile): p50/p90/p99 of event value per event_type. No
+    oracle by design — the sketch's rank error is implementation-defined;
+    tests/test_events.py::test_approx_quantiles_within_tolerance pins it
+    against the exact interpolated percentile instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", 0.5, 1000).alias("p50"),
+        F.approx_percentile("value", 0.9, 1000).alias("p90"),
+        F.approx_percentile("value", 0.99, 1000).alias("p99"),
+    )

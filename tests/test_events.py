@@ -153,3 +153,71 @@ class TestSessionBoundary:
             twin.alias("b"), "user_id"
         ).filter(F.col("a.n_sessions") != F.col("b.n_sessions"))
         assert diff.count() == 0
+
+
+class TestApproxQuantiles:
+    def test_approx_quantiles_within_tolerance(self, spark):
+        """approx_percentile (declared query approx_value_quantiles,
+        rows-only) vs the exact per-type percentile. accuracy=1000 bounds
+        rank error at 1/1000 of the partition; on the fixture the exact
+        and approximate values must land within 2% of the value range."""
+        ev = load_table(spark, SF_DIR, "events")
+        got = (
+            ev.groupBy("event_type")
+            .agg(
+                F.approx_percentile("value", 0.5, 1000).alias("approx_p50"),
+                F.expr("percentile(value, 0.5)").alias("exact_p50"),
+                F.max("value").alias("vmax"),
+                F.min("value").alias("vmin"),
+            )
+            .collect()
+        )
+        assert len(got) == 5
+        for r in got:
+            tol = 0.02 * (r.vmax - r.vmin)
+            assert abs(r.approx_p50 - r.exact_p50) <= tol, r
+
+
+class TestIntervalJoin:
+    def test_matches_naive_theta_join(self, spark):
+        """interval_join (bucketed equi + residual) must return exactly
+        the pairs of the naive inequality join, for a window that spans
+        multiple buckets on the fixture."""
+        from data_engineering_1_spark.operators.rangejoin import interval_join
+
+        ev = load_table(spark, SF_DIR, "events")
+        left = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("lid"), "user_id", F.col("ts").alias("lts")
+        )
+        right = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("rid"),
+            "user_id",
+            F.col("ts").alias("rts"),
+        )
+        bucketed = interval_join(
+            left, right, on="user_id", left_ts="lts", right_ts="rts",
+            lower_s=-7200, upper_s=3600,
+        ).select("lid", "rid")
+        naive = (
+            left.join(right, "user_id")
+            .filter(
+                (F.col("rts") >= F.col("lts") - F.expr("INTERVAL 7200 SECOND"))
+                & (F.col("rts") <= F.col("lts") + F.expr("INTERVAL 3600 SECOND"))
+            )
+            .select("lid", "rid")
+        )
+        assert bucketed.exceptAll(naive).count() == 0
+        assert naive.exceptAll(bucketed).count() == 0
+        assert bucketed.count() == naive.count() > 0
+
+    def test_rejects_outer_joins(self, spark):
+        import pytest as _pytest
+
+        from data_engineering_1_spark.operators.rangejoin import interval_join
+
+        ev = load_table(spark, SF_DIR, "events")
+        with _pytest.raises(ValueError):
+            interval_join(
+                ev, ev, on="user_id", left_ts="ts", right_ts="ts",
+                lower_s=0, upper_s=10, how="left",
+            )

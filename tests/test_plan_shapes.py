@@ -124,3 +124,11 @@ def test_q4_semi_join_shape(plans):
     p = plans("q4_order_priority")
     assert "LeftSemi" in p
     assert "Cartesian" not in p
+
+
+def test_interval_join_no_nested_loop(plans):
+    # the bucketed interval join must plan as an equi join (hash or
+    # sort-merge on user_id+bucket), never BroadcastNestedLoop/Cartesian.
+    p = plans("clicks_before_purchase_1h")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Cartesian" not in p
