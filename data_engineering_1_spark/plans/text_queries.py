@@ -5,7 +5,7 @@ counts, quality features, language-ID heuristic, fingerprints, binary
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -336,4 +336,55 @@ def doc_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
         .orderBy("lang")
+    )
+
+
+@declared_query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_O_TOK}) AS term FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    dfreq AS (
+        SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tf GROUP BY 1
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, d.df,
+               CAST(ROUND(ln((n_docs + 1.0) / (d.df + 1.0)) + 1.0, 6)
+                    AS DOUBLE) AS idf
+        FROM tf JOIN dfreq d USING (term) CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, idf,
+           CAST(ROUND(tf * idf, 6) AS DOUBLE) AS tf_idf,
+           CAST(rk AS INT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id
+            ORDER BY ROUND(tf * idf, 6) DESC, term) AS rk
+        FROM scored
+    )
+    WHERE rk <= 3 AND doc_id < 50
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 exact TF-IDF (operators/textanalysis.py::tf_idf), surfaced
+    as a declared query: top-3 scored terms for the first 50 docs. The
+    corpus-size N enters as a broadcast 1-row aggregate (fully lazy); the
+    ln() is rounded to 6 on both engines before ranking so libm last-ulp
+    differences can't reorder ties."""
+    from ..operators.textanalysis import tf_idf
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = tf_idf(docs)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf_idf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") <= 3) & (F.col("doc_id") < 50))
+        .select("doc_id", "term", "tf", "df", "idf", "tf_idf", "rk")
     )

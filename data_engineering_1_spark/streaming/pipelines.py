@@ -318,3 +318,45 @@ def run_foreach_batch_parquet(
         q.awaitTermination(timeout_sec)
     finally:
         q.stop()
+
+
+def click_purchase_join_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """ST-family stream-stream inner join with event-time bounds: each
+    purchase joined to the same user's clicks in the preceding ``within``.
+
+    Both sides carry a watermark and the join condition carries a
+    two-sided time bound — that pair is what lets Spark's state store
+    evict buffered rows (an unbounded stream-stream join would hold every
+    row forever). The batch twin is the declared query
+    ``clicks_before_purchase_1h``'s join stage (operators/rangejoin.py
+    solves the same problem for batch with bucket equi-keys; streaming
+    gets the bound from watermarks instead)."""
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND c_ts <= p_ts "
+            f"AND c_ts >= p_ts - INTERVAL {within}"
+        ),
+        "inner",
+    ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")

@@ -181,3 +181,46 @@ def test_transform_with_state_matches_batch(spark, sf_dir, events_batch, tmp_pat
     assert (got["user_id"].values == exp["user_id"].values).all()
     assert (got["n"].values == exp["n"].values).all()
     assert abs(got["v"] - exp["v"]).max() < 1e-6
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch, tmp_path):
+    """ST stream-stream interval join vs the plain batch theta join: same
+    (purchase, click) pairs, drained with availableNow."""
+    src = sp.events_file_stream(spark, sf_dir)
+    out = _drain(
+        sp.click_purchase_join_stream(
+            src.filter(F.col("event_type") == "click"),
+            sp.events_file_stream(spark, sf_dir).filter(
+                F.col("event_type") == "purchase"
+            ),
+        ),
+        "t_ssjoin",
+        tmp_path,
+        mode="append",
+    ).toPandas()
+    clicks = events_batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events_batch.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    exp = (
+        clicks.join(
+            purchases,
+            F.expr(
+                "c_user = p_user AND c_ts <= p_ts "
+                "AND c_ts >= p_ts - INTERVAL 1 HOUR"
+            ),
+        )
+        .select("purchase_id", "click_id")
+        .toPandas()
+    )
+    key = ["purchase_id", "click_id"]
+    out = out[key].sort_values(key).reset_index(drop=True)
+    exp = exp[key].sort_values(key).reset_index(drop=True)
+    assert len(out) == len(exp) > 0
+    assert (out.values == exp.values).all()
