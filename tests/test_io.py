@@ -84,6 +84,11 @@ def test_partitioned_write_prunes(spark, chunks_df, tmp_path):
 
 
 def test_load_table_events_nanos_safe(spark):
+    """events.ts is parquet TIMESTAMP(NANOS). Spark 4 reads it natively as
+    timestamp_ntz (micros, truncated) — value-identical to DuckDB's scanner,
+    which is what the oracle comparisons rely on. The nanosAsLong retry in
+    _read_parquet_nanos_safe only fires on Spark builds without native
+    NANOS support, where load_table converts the long to a timestamp."""
     ev = io.load_table(spark, "/root/testdata/sf0.001", "events")
-    assert dict(ev.dtypes)["ts"] == "timestamp"
+    assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert ev.count() > 0
