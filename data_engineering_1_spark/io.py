@@ -51,11 +51,19 @@ def clear_table_cache() -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one fixture table. Lazy: nothing is read until an action runs.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark does
-    not read natively; we read it as a nanosecond long
-    (spark.sql.legacy.parquet.nanosAsLong) and truncate to microseconds —
-    exactly what DuckDB's scanner does (verified: its TIMESTAMP_NS -> µs
-    TIMESTAMP conversion truncates), so oracle comparisons stay exact.
+    ``events.ts`` is parquet TIMESTAMP(MICROS) on this fixture set (verified
+    with pyarrow at all three scale factors); Spark 4 reads MICROS — and
+    NANOS — natively as TIMESTAMP_NTZ. Builds that cannot read a NANOS
+    column natively instead take the nanosAsLong retry in
+    ``_read_parquet_nanos_safe`` and surface ``ts`` as a long, which we
+    truncate to microseconds — exactly what DuckDB's scanner does
+    (TIMESTAMP_NS -> µs TIMESTAMP truncates), so oracle comparisons stay
+    exact on either path.
+
+    Whatever path was taken, ``ts`` is normalized to one canonical type —
+    TIMESTAMP_NTZ (the native-read result, values unchanged under the UTC
+    session timezone) — so downstream schema-sensitive ops (unions, schema
+    equality, stream/batch twins) never see a build-dependent type.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
@@ -69,10 +77,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for field in df.schema.fields:
         if field.name == "ts" and isinstance(field.dataType, T.LongType):
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                "ts",
+                F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
             )
+        elif field.name == "ts" and isinstance(field.dataType, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     _TABLE_CACHE[key] = df
     return df
+
+
+def resolve_raw_ts_type(spark: SparkSession, sf_dir: str, name: str = "events"):
+    """The parquet-resolved type of ``ts`` BEFORE normalization: a timestamp
+    type when this build reads the file's time unit natively, ``LongType``
+    when it needed the nanosAsLong fallback. This is what a streaming source
+    must consult to declare its read schema — a stream reader takes an
+    explicit schema, so it cannot rely on batch schema inference and must
+    mirror the batch loader's adaptive decision (the round-2 bug was exactly
+    this: the stream hard-coded the nanos-long path while the fixture is
+    MICROS, compressing every timestamp 1000x into 1970)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = _read_parquet_nanos_safe(spark, path)
+    for field in df.schema.fields:
+        if field.name == "ts":
+            return field.dataType
+    raise ValueError(f"table {name} has no ts column")
 
 
 def _read_parquet_nanos_safe(spark: SparkSession, path: str) -> DataFrame:

@@ -25,9 +25,10 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import LongType
 
 EVENTS_SCHEMA = (
-    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
     "event_type STRING, value DOUBLE, props STRING"
 )
 
@@ -36,26 +37,53 @@ def events_file_stream(
     spark: SparkSession,
     sf_dir: str,
     max_files_per_trigger: int | None = None,
+    path_glob: str = "events.parquet",
 ) -> DataFrame:
     """ST7 source: file stream over the events parquet.
 
-    The fixture writes ``ts`` as TIMESTAMP(NANOS), which Spark's parquet
-    reader only surfaces as a long (legacy nanosAsLong) — so the stream
-    reads ``ts`` as a nanos long and truncates to microseconds, exactly
-    like the batch loader (io.load_table) and DuckDB's scanner.
+    A stream reader takes an explicit schema, so it can't lean on batch
+    schema inference — instead it consults the batch loader's adaptive
+    resolution (io.resolve_raw_ts_type) for how THIS build reads the
+    fixture's timestamp unit, and mirrors it:
+
+      * native path (Spark 4, fixture is TIMESTAMP(MICROS) — or NANOS,
+        which Spark 4 also reads): declare ``ts`` with the batch-resolved
+        timestamp type and cast to the canonical TIMESTAMP_NTZ;
+      * fallback path (older builds that surface NANOS only as a long via
+        spark.sql.legacy.parquet.nanosAsLong): declare ``ts BIGINT`` and
+        truncate nanos -> micros exactly like io.load_table.
+
+    Either way the stream's ``ts`` is value- and type-identical to the
+    batch twin's (pinned by tests/test_streaming.py's stream/batch
+    min/max/count tripwire).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    from data_engineering_1_spark import io as engine_io
+
+    raw_ts = engine_io.resolve_raw_ts_type(spark, sf_dir)
+    if isinstance(raw_ts, LongType):
+        # legacy build: the conf must be live while the stream runs, not
+        # just at schema-resolution time
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        schema = EVENTS_SCHEMA.replace("ts TIMESTAMP_NTZ", "ts BIGINT")
+    else:
+        schema = EVENTS_SCHEMA.replace(
+            "ts TIMESTAMP_NTZ", f"ts {raw_ts.simpleString().upper()}"
+        )
     reader = (
-        spark.readStream.schema(EVENTS_SCHEMA.replace("ts TIMESTAMP", "ts BIGINT"))
+        spark.readStream.schema(schema)
         .format("parquet")
         # the file source wants a directory: stream the sf dir, filtered
         # down to the events table file
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", path_glob)
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.load(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(raw_ts, LongType):
+        ts = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    else:
+        ts = F.col("ts").cast("timestamp_ntz")
+    return df.withColumn("ts", ts)
 
 
 def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
@@ -79,6 +107,18 @@ def rate_stream(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
     )
 
 
+def _with_watermark(events: DataFrame, watermark: str) -> DataFrame:
+    """Watermark helper bridging the engine's canonical TIMESTAMP_NTZ event
+    time (io.load_table normalizes ``ts`` to NTZ) and Spark's watermark
+    requirement (EventTimeWatermark accepts only TIMESTAMP). Casts in;
+    pipelines cast their emitted time columns back to NTZ so stream output
+    is type-identical to the batch twins. Values are unchanged under the
+    UTC session timezone."""
+    return events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+
+
 def tumbling_counts(
     events: DataFrame,
     window: str = "10 minutes",
@@ -92,14 +132,14 @@ def tumbling_counts(
     O(active windows x event types), not O(stream length).
     """
     return (
-        events.withWatermark("ts", watermark)
+        _with_watermark(events, watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum("value").alias("total_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -116,11 +156,11 @@ def sliding_avg(
     """ST2: sliding-window average value per user (batch twin:
     events_sliding_10m_5m). Each event lands in window/slide buckets."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_watermark(events, watermark)
         .groupBy(F.window("ts", window, slide).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
         .select(
-            F.col("w.start").alias("window_start"),
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "user_id",
             "n_events",
             "avg_value",
@@ -137,12 +177,12 @@ def session_counts(
     per-user silence. Batch twin (lag+cumsum emulation, oracle ✓):
     plans/events_queries.py::sessionize_users."""
     return (
-        events.withWatermark("ts", watermark)
+        _with_watermark(events, watermark)
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(F.count("*").alias("n_events"))
         .select(
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
             "user_id",
             "n_events",
         )
@@ -157,8 +197,10 @@ def dedup_stream(
     """ST5: streaming dedup — first event per key, with state bounded by
     the watermark (dropDuplicatesWithinWatermark keeps a key's fingerprint
     only until the watermark passes it). Batch twin: dedup_first_event."""
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        list(keys)
+    return (
+        _with_watermark(events, watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     )
 
 
@@ -336,21 +378,15 @@ def click_purchase_join_stream(
     ``clicks_before_purchase_1h``'s join stage (operators/rangejoin.py
     solves the same problem for batch with bucket equi-keys; streaming
     gets the bound from watermarks instead)."""
-    c = (
-        clicks.withWatermark("ts", watermark)
-        .select(
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("c_ts"),
-            F.col("event_id").alias("click_id"),
-        )
+    c = _with_watermark(clicks, watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
     )
-    p = (
-        purchases.withWatermark("ts", watermark)
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("p_ts"),
-            F.col("event_id").alias("purchase_id"),
-        )
+    p = _with_watermark(purchases, watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
     )
     return c.join(
         p,
@@ -359,4 +395,10 @@ def click_purchase_join_stream(
             f"AND c_ts >= p_ts - INTERVAL {within}"
         ),
         "inner",
-    ).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")
+    ).select(
+        "p_user",
+        "purchase_id",
+        "click_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
+    )

@@ -29,6 +29,32 @@ def _drain(stream_df, name, tmp_path, mode="complete"):
     )
 
 
+def test_stream_batch_ts_units_agree(spark, sf_dir, events_batch, tmp_path):
+    """Tripwire for the round-2 unit bug: the stream source and the batch
+    loader must decode ``ts`` to identical values (a NANOS/MICROS mixup
+    shifts every timestamp 1000x, e.g. 2024 -> 1970) and to the same
+    canonical type."""
+    stream_df = sp.events_file_stream(spark, sf_dir)
+    assert stream_df.schema["ts"].dataType == events_batch.schema["ts"].dataType
+    got = _drain(
+        stream_df.agg(
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count("*").alias("n"),
+        ),
+        "t_units",
+        tmp_path,
+    ).collect()[0]
+    exp = events_batch.agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    assert got["n"] == exp["n"]
+    assert got["min_ts"] == exp["min_ts"]
+    assert got["max_ts"] == exp["max_ts"]
+
+
 def test_tumbling_counts_matches_batch(spark, sf_dir, events_batch, tmp_path):
     out = _drain(
         sp.tumbling_counts(sp.events_file_stream(spark, sf_dir)),
@@ -62,14 +88,27 @@ def test_sliding_avg_matches_batch(spark, sf_dir, events_batch, tmp_path):
         "t_sliding",
         tmp_path,
     ).toPandas()
-    exp_rows = (
+    exp = (
         events_batch.groupBy(
             F.window("ts", "10 minutes", "5 minutes").alias("w"), "user_id"
         )
-        .count()
-        .count()
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            "avg_value",
+        )
+        .toPandas()
     )
-    assert len(out) == exp_rows
+    key = ["window_start", "user_id"]
+    out = out.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    assert len(out) == len(exp)
+    assert (out["window_start"].values == exp["window_start"].values).all()
+    assert (out["user_id"].values == exp["user_id"].values).all()
+    assert (out["n_events"].values == exp["n_events"].values).all()
+    assert abs(out["avg_value"] - exp["avg_value"]).max() < 1e-9
     # every event lands in exactly two sliding windows
     assert out["n_events"].sum() == 2 * events_batch.count()
 
