@@ -42,26 +42,32 @@ def main() -> None:
     materialize(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name, fn in sorted(queries.items()):
         best = float("inf")
+        samples: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
             materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            samples.append(round(time.perf_counter() - t0, 4))
+            best = min(best, samples[-1])
         timings[name] = round(best, 4)
+        all_runs[name] = samples
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "declared_query_suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    result = {
+        "metric": "declared_query_suite_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # The driver captures only the tail of stdout, which has truncated the
+    # head of this (long) JSON line before (BENCH_r02's "parsed": null) —
+    # persist the full result, plus per-query raw samples, to a file too.
+    with open(os.path.join(REPO, "bench_full.json"), "w") as f:
+        json.dump({**result, "runs_per_query": runs, "samples": all_runs}, f, indent=1)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

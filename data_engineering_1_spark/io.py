@@ -94,8 +94,22 @@ def resolve_raw_ts_type(spark: SparkSession, sf_dir: str, name: str = "events"):
     explicit schema, so it cannot rely on batch schema inference and must
     mirror the batch loader's adaptive decision (the round-2 bug was exactly
     this: the stream hard-coded the nanos-long path while the fixture is
-    MICROS, compressing every timestamp 1000x into 1970)."""
-    path = os.path.join(sf_dir, f"{name}.parquet")
+    MICROS, compressing every timestamp 1000x into 1970).
+
+    ``name`` may be a table name or a glob (e.g. ``*.parquet``) — the first
+    matching file's resolved schema is used (all files in a stream dir share
+    one writer/unit)."""
+    import glob as _glob
+
+    if any(ch in name for ch in "*?["):
+        matches = sorted(_glob.glob(os.path.join(sf_dir, name)))
+        if not matches:
+            raise FileNotFoundError(f"no files match {name} under {sf_dir}")
+        path = matches[0]
+    elif name.endswith(".parquet"):
+        path = os.path.join(sf_dir, name)
+    else:
+        path = os.path.join(sf_dir, f"{name}.parquet")
     df = _read_parquet_nanos_safe(spark, path)
     for field in df.schema.fields:
         if field.name == "ts":

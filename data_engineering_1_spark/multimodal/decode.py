@@ -69,12 +69,19 @@ def _decode_image(content: bytes) -> tuple[int, int, float, str]:
 
 
 def _decode_audio(content: bytes) -> tuple[int, int, float, str]:
-    """(sample_rate, n_samples, rms, decoder). Real decode needs an audio
-    lib (absent) -> DETERMINISTIC FAKE from the content hash."""
+    """(sample_rate, n_samples, rms, decoder). Tries soundfile (real WAV/
+    FLAC/OGG decode); otherwise the DETERMINISTIC FAKE from the content
+    hash."""
     try:
-        import soundfile  # type: ignore # noqa: F401
+        import io
 
-        raise NotImplementedError("soundfile decode path not exercised here")
+        import numpy as np
+        import soundfile  # type: ignore
+
+        data, rate = soundfile.read(io.BytesIO(content), dtype="float64")
+        mono = data if data.ndim == 1 else data.mean(axis=1)
+        rms = float(np.sqrt(np.mean(mono**2))) if len(mono) else 0.0
+        return int(rate), int(len(mono)), rms, "soundfile"
     except ImportError:
         a, b, c = _digest_ints(content, 3)
         rates = (8000, 16000, 22050, 44100)

@@ -268,3 +268,94 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@declared_query(
+    "watermark_late_events",
+    oracle="""
+    WITH arr AS (
+        SELECT event_type, ts,
+               ts + ((event_id * 2654435761) % 4294967296 % 7200)
+                   * INTERVAL 1 SECOND AS arrival_ts
+        FROM events
+    ), batched AS (
+        SELECT event_type, ts,
+               CAST(floor(epoch(arrival_ts) / 600) AS BIGINT) AS batch_id
+        FROM arr
+    ), bmax AS (
+        SELECT batch_id, max(ts) AS batch_max_ts FROM batched GROUP BY batch_id
+    ), wm AS (
+        SELECT batch_id,
+               max(batch_max_ts) OVER (
+                   ORDER BY batch_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 - INTERVAL 1 HOUR AS wm_ts
+        FROM bmax
+    )
+    SELECT b.event_type,
+           CAST(COUNT(CASE WHEN w.wm_ts IS NULL OR b.ts >= w.wm_ts
+                           THEN 1 END) AS BIGINT) AS n_kept,
+           CAST(COUNT(CASE WHEN w.wm_ts IS NOT NULL AND b.ts < w.wm_ts
+                           THEN 1 END) AS BIGINT) AS n_late_dropped
+    FROM batched b JOIN wm w USING (batch_id)
+    GROUP BY b.event_type
+    ORDER BY b.event_type
+    """,
+)
+def watermark_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 batch twin: watermark late-data classification, simulated at
+    micro-batch granularity exactly the way Structured Streaming advances
+    watermarks (at batch boundaries, from the previous batches' max event
+    time minus the delay).
+
+    The fixture's events arrive perfectly time-ordered (measured: running
+    max(ts) over event_id never exceeds ts), so real lateness is simulated
+    deterministically: arrival_ts = ts + Knuth-multiplicative-hash(event_id)
+    mod 2h of network jitter; arrival micro-batches are 10-minute buckets of
+    arrival time; the watermark for batch n is max event ts over batches
+    < n, minus 1 hour. An event is dropped iff its event time is behind its
+    arrival batch's watermark — at sf0.01 that keeps ~73% and drops ~27%.
+
+    Scale shape: one narrow shuffle for the per-batch max, a prefix-max
+    window over the tiny per-batch table (O(#batches), not O(rows)), and a
+    broadcast equi-join back on batch_id — no row-level sequential pass, so
+    the plan survives 100 TB (the per-row work is embarrassingly parallel;
+    only the micro-batch skeleton is ordered, and it is thousands of rows,
+    not billions).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.expr(
+            "ts + ((event_id * 2654435761) % 4294967296 % 7200)"
+            " * INTERVAL 1 SECOND"
+        ).alias("arrival_ts"),
+    )
+    batched = arr.select(
+        "event_type",
+        "ts",
+        F.expr("CAST(floor(unix_timestamp(arrival_ts) / 600) AS BIGINT)").alias(
+            "batch_id"
+        ),
+    )
+    bmax = batched.groupBy("batch_id").agg(F.max("ts").alias("batch_max_ts"))
+    prefix = Window.orderBy("batch_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm = bmax.select(
+        "batch_id",
+        (
+            F.max("batch_max_ts").over(prefix) - F.expr("INTERVAL 1 HOUR")
+        ).alias("wm_ts"),
+    )
+    late = F.col("wm_ts").isNotNull() & (F.col("ts") < F.col("wm_ts"))
+    return (
+        batched.join(F.broadcast(wm), "batch_id")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(~late, F.lit(1))).alias("n_kept"),
+            F.count(F.when(late, F.lit(1))).alias("n_late_dropped"),
+        )
+        .orderBy("event_type")
+    )

@@ -59,7 +59,7 @@ def events_file_stream(
     """
     from data_engineering_1_spark import io as engine_io
 
-    raw_ts = engine_io.resolve_raw_ts_type(spark, sf_dir)
+    raw_ts = engine_io.resolve_raw_ts_type(spark, sf_dir, name=path_glob)
     if isinstance(raw_ts, LongType):
         # legacy build: the conf must be live while the stream runs, not
         # just at schema-resolution time
@@ -333,6 +333,22 @@ def run_to_memory(
     return stream_df.sparkSession.table(name)
 
 
+def make_epoch_overwrite_writer(out_dir: str):
+    """The exactly-once foreachBatch sink: each micro-batch lands in its own
+    ``epoch=<batchId>`` directory with mode('overwrite'), so a replayed
+    batchId (task retry, or restart-from-checkpoint re-delivering the last
+    uncommitted batch) replaces its own prior output instead of appending
+    duplicates. The batchId is the idempotence key Spark guarantees stable
+    across replays of the same data."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch_id}")
+        )
+
+    return write_batch
+
+
 def run_foreach_batch_parquet(
     stream_df: DataFrame,
     out_dir: str,
@@ -344,10 +360,7 @@ def run_foreach_batch_parquet(
     partitioned by epoch so a retried batch overwrites its own output
     (idempotent replay) instead of appending duplicates."""
 
-    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"epoch={epoch_id}")
-        )
+    write_batch = make_epoch_overwrite_writer(out_dir)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)

@@ -222,6 +222,119 @@ def test_transform_with_state_matches_batch(spark, sf_dir, events_batch, tmp_pat
     assert abs(got["v"] - exp["v"]).max() < 1e-6
 
 
+def _write_events_file(path, rows):
+    """One parquet file shaped like the events fixture (ts TIMESTAMP(MICROS))."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows], pa.string()),
+            "value": pa.array([1.0] * len(rows), pa.float64()),
+            "props": pa.array(["{}"] * len(rows), pa.string()),
+        }
+    )
+    pq.write_table(table, path)
+
+
+def test_watermark_drops_late_click(spark, tmp_path):
+    """ST4/X15: the stream-stream join's watermark must actually evict
+    state — a click arriving a full watermark-interval late finds its only
+    possible match already removed from the state store and produces no
+    output row, even though it satisfies the join's time bounds.
+
+    Spark's guarantee for stream-stream joins with range conditions is
+    state EVICTION, not input-side late-row dropping (measured:
+    numRowsDroppedByWatermark stays 0; a late row still joins against any
+    match that remains buffered — so a two-batch version of this test
+    fails by design). Hence three files processed as separate
+    micro-batches (maxFilesPerTrigger=1, mtime-ordered):
+
+      batch 0: purchases at t0+30m / t0+3h, plus a watermark pusher at
+               t0+4h on EACH side — the global watermark is the MIN
+               across the two watermarked inputs, so a side with no data
+               would pin it at epoch. Watermark after: t0+2h (2h delay).
+      batch 1: one on-time dummy click; at its end the purchase at
+               t0+30m (evict when p_ts < watermark) is removed from
+               state. The purchase at t0+3h survives.
+      batch 2: the late click (t0) — its only in-range match is gone →
+               no output; and an on-time click (t0+2h50m) that joins the
+               surviving purchase at t0+3h."""
+    from datetime import datetime, timedelta
+
+    src_dir = tmp_path / "wm_events"
+    src_dir.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    f1 = src_dir / "batch1.parquet"
+    _write_events_file(
+        f1,
+        [
+            (1, t0 + timedelta(minutes=30), 1, "purchase"),
+            (2, t0 + timedelta(hours=3), 2, "purchase"),
+            # watermark pushers, one per side (users with no counterpart)
+            (5, t0 + timedelta(hours=4), 99, "purchase"),
+            (6, t0 + timedelta(hours=4), 98, "click"),
+        ],
+    )
+    f2 = src_dir / "batch2.parquet"
+    _write_events_file(
+        f2,
+        [(7, t0 + timedelta(hours=4), 97, "click")],  # eviction trigger
+    )
+    f3 = src_dir / "batch3.parquet"
+    _write_events_file(
+        f3,
+        [
+            (3, t0, 1, "click"),  # late: match evicted at end of batch 1
+            (4, t0 + timedelta(hours=2, minutes=50), 2, "click"),  # on time
+        ],
+    )
+    # file source picks oldest-mtime first; force the ordering
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+    os.utime(f3, (1_000_000_200, 1_000_000_200))
+
+    def stream():
+        return sp.events_file_stream(
+            spark,
+            str(src_dir),
+            max_files_per_trigger=1,
+            path_glob="*.parquet",
+        )
+
+    out = _drain(
+        sp.click_purchase_join_stream(
+            stream().filter(F.col("event_type") == "click"),
+            stream().filter(F.col("event_type") == "purchase"),
+        ),
+        "t_wm_late",
+        tmp_path,
+        mode="append",
+    ).toPandas()
+    assert sorted(out["click_id"].tolist()) == [4], (
+        f"late click must be dropped, on-time kept; got {out.to_dict('records')}"
+    )
+    assert out["purchase_id"].tolist() == [2]
+
+
+def test_foreach_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """The exactly-once guard: replaying a batchId through the foreachBatch
+    sink (as a task retry or checkpoint recovery would) must overwrite the
+    epoch's prior output, not append duplicates."""
+    out_dir = str(tmp_path / "replay_out")
+    batch = load_table(spark, sf_dir, "events").limit(100)
+    writer = sp.make_epoch_overwrite_writer(out_dir)
+    writer(batch, 7)
+    writer(batch, 7)  # replay of the same epoch
+    got = spark.read.parquet(os.path.join(out_dir, "epoch=7"))
+    assert got.count() == 100
+    assert got.select("event_id").distinct().count() == 100
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch, tmp_path):
     """ST stream-stream interval join vs the plain batch theta join: same
     (purchase, click) pairs, drained with availableNow."""
