@@ -37,6 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # sampler verifies them before re-verifying twice-sampled queries.
 _SAMPLER_PRIORITY = (
     "watermark_late_events",
+    "events_by_segment",
+    "q8_market_share",
+    "q13_order_count_distribution",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

@@ -359,3 +359,43 @@ def watermark_late_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@declared_query(
+    "events_by_segment",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {o_sum_dec('value')} AS sum_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def events_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, batch twin: events joined to the customer
+    dimension (user_id -> c_custkey) and aggregated per market segment.
+    The dim is broadcast — the fact stream/table never shuffles for the
+    join; the only exchange is the tiny per-segment aggregate. The true
+    streaming leg (broadcast stream-static join, stateless) is
+    streaming/pipelines.py::segment_counts_stream, pinned to this result
+    by tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        ev.join(
+            F.broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("user_id"), "c_mktsegment"
+                )
+            ),
+            "user_id",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            sum_dec("value").alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -465,3 +465,142 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.sum(dec("c_acctbal")).cast("double").alias("total_bal"),
     )
+
+
+@declared_query(
+    "q8_market_share",
+    oracle=f"""
+    WITH vol AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               {_O_DISC_PRICE} AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'STANDARD'
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n1.n_regionkey
+                     AND r.r_name = 'ASIA'
+        WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate <= TIMESTAMP '1996-12-31'
+    )
+    SELECT o_year,
+           CAST(ROUND(
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_2' THEN volume
+                             ELSE CAST(0 AS DECIMAL(12,4)) END) AS DOUBLE)
+               / CAST(SUM(volume) AS DOUBLE), 6) AS DOUBLE) AS mkt_share,
+           CAST(SUM(volume) AS DOUBLE) AS total_volume
+    FROM vol
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape (national market share): of the STANDARD-part revenue
+    sold into ASIA-region customers during 1995-1996, the share supplied by
+    NATION_2, per order year.
+
+    Scale shape: part/supplier/nation/region are broadcast (dims orders of
+    magnitude under lineitem, so the fact table never shuffles for them);
+    the ASIA customer set reduces to a semi-join-style membership list
+    joined to orders; the single big shuffle is lineitem x orders on
+    l_orderkey. The two-legged conditional aggregate (share numerator and
+    denominator in one pass) avoids scanning the joined fact twice."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "STANDARD"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    cust = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp"))
+    )
+
+    asia_cust = cust.join(
+        F.broadcast(
+            nation.join(
+                F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+                nation.n_regionkey == region.r_regionkey,
+            )
+        ),
+        cust.c_nationkey == nation.n_nationkey,
+    ).select("c_custkey")
+    asia_orders = od.join(asia_cust, od.o_custkey == asia_cust.c_custkey,
+                          "left_semi")
+
+    supp_nation = supp.join(
+        F.broadcast(nation),
+        supp.s_nationkey == nation.n_nationkey,
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(asia_orders, li.l_orderkey == asia_orders.o_orderkey)
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            _disc_price().alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(12,4)")
+    return (
+        vol.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_2",
+                           F.col("volume")).otherwise(zero)
+                ).cast("double")
+                / F.sum("volume").cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.sum("volume").cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@declared_query(
+    "q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+        SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): orders per
+    customer including zero-order customers (the LEFT OUTER + COUNT(col)
+    null-skipping subtlety), then the histogram of those counts. The
+    fixture has no o_comment, so the canonical NOT LIKE exclusion is
+    dropped — the two-level aggregation shape is what this query pins.
+
+    Scale shape: shuffle 1 on c_custkey (outer join + count ride the same
+    exchange), shuffle 2 regroups the per-customer counts — a table the
+    size of |customer|, and the second key (c_count) has low cardinality,
+    so the second exchange is trivial. No broadcast: at scale both inputs
+    are large, and a shuffle join on the shared key is the right call."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    od = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(od, cust.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )

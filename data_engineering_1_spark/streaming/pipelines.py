@@ -308,6 +308,45 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
     )
 
 
+def enrich_with_customer_stream(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static join: every streaming event enriched with the static
+    customer dimension (events.user_id -> customer.c_custkey). The static
+    side is broadcast, so the join is stateless and map-side — no
+    watermark, no state store, each micro-batch joins against the current
+    dim snapshot. This is the canonical streaming-enrichment shape: at
+    scale the dim stays cached on executors while the stream flows
+    through. Batch twin with oracle: plans/events_queries.py::
+    events_by_segment (the aggregated form)."""
+    dim = F.broadcast(
+        customer.select(
+            F.col("c_custkey").alias("user_id"),
+            "c_mktsegment",
+            "c_nationkey",
+        )
+    )
+    return events.join(dim, "user_id", "left")
+
+
+def segment_counts_stream(
+    events: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Stream-static join + global aggregate: count/sum(value) per customer
+    market segment over the whole stream (complete output mode — the
+    aggregate is unwindowed, so state is O(#segments))."""
+    return (
+        enrich_with_customer_stream(events, customer)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
 def run_to_memory(
     stream_df: DataFrame,
     name: str,

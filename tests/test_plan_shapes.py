@@ -132,3 +132,20 @@ def test_interval_join_no_nested_loop(plans):
     p = plans("clicks_before_purchase_1h")
     assert "BroadcastNestedLoopJoin" not in p
     assert "Cartesian" not in p
+
+
+def test_q8_dims_broadcast_no_bnlj(plans):
+    """Q8's four dimension joins (part/supplier/nation/region) must all be
+    broadcast; the only allowed shuffle join is lineitem x orders."""
+    p = plans("q8_market_share")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "EqualTo(p_type,STANDARD)" in p  # dim filter pushed to scan
+
+
+def test_events_by_segment_dim_broadcast(plans):
+    """Stream-static twin: the customer dim join must be broadcast so the
+    events fact never shuffles for it."""
+    p = plans("events_by_segment")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p

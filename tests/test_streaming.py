@@ -222,6 +222,40 @@ def test_transform_with_state_matches_batch(spark, sf_dir, events_batch, tmp_pat
     assert abs(got["v"] - exp["v"]).max() < 1e-6
 
 
+def test_stream_static_join_matches_batch(spark, sf_dir, events_batch, tmp_path):
+    """Stream-static enrichment: the streaming broadcast join against the
+    static customer dim must produce exactly the batch twin's per-segment
+    aggregate (declared query events_by_segment)."""
+    customer = load_table(spark, sf_dir, "customer")
+    out = _drain(
+        sp.segment_counts_stream(
+            sp.events_file_stream(spark, sf_dir), customer
+        ),
+        "t_ss_static",
+        tmp_path,
+        mode="complete",
+    ).toPandas()
+    exp = (
+        events_batch.join(
+            customer.selectExpr("c_custkey AS user_id", "c_mktsegment"),
+            "user_id",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .toPandas()
+    )
+    out = out.sort_values("c_mktsegment").reset_index(drop=True)
+    exp = exp.sort_values("c_mktsegment").reset_index(drop=True)
+    assert (out["c_mktsegment"].values == exp["c_mktsegment"].values).all()
+    assert (out["n_events"].values == exp["n_events"].values).all()
+    assert abs(out["sum_value"] - exp["sum_value"]).max() < 1e-9
+
+
 def _write_events_file(path, rows):
     """One parquet file shaped like the events fixture (ts TIMESTAMP(MICROS))."""
     import pyarrow as pa
