@@ -40,6 +40,11 @@ _SAMPLER_PRIORITY = (
     "events_by_segment",
     "q8_market_share",
     "q13_order_count_distribution",
+    "exact_value_percentiles",
+    "user_daily_streaks",
+    "order_price_histogram",
+    "bool_bit_aggs_events",
+    "sql_api_revenue_by_nation",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

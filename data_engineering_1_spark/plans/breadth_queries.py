@@ -393,3 +393,223 @@ def approx_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", 0.9, 1000).alias("p90"),
         F.approx_percentile("value", 0.99, 1000).alias("p99"),
     )
+
+
+@declared_query(
+    "exact_value_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(ROUND(quantile_cont(value, 0.25), 6) AS DOUBLE) AS p25,
+           CAST(ROUND(quantile_cont(value, 0.50), 6) AS DOUBLE) AS p50,
+           CAST(ROUND(quantile_cont(value, 0.75), 6) AS DOUBLE) AS p75,
+           CAST(COUNT(value) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def exact_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the oracle-checkable complement of
+    approx_value_quantiles): p25/p50/p75 of value per event_type. Spark's
+    ``percentile`` and DuckDB's ``quantile_cont`` share the linear
+    interpolation convention on DOUBLE input (probed: both give 1.75 at
+    q=.25 over [1,2,3,10]); ROUND(..,6) on both sides absorbs last-ulp
+    arithmetic-order skew.
+
+    Scale note: exact percentiles require the full value multiset per
+    group — one shuffle on event_type, per-group state O(values). That is
+    the honest cost of exactness; the sketch path (approx_value_quantiles)
+    is the 100 TB default and this query is the auditing tool (run on a
+    sampled or single-group slice at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.50)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.75)"), 6).alias("p75"),
+            F.count("value").alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared_query(
+    "user_daily_streaks",
+    oracle="""
+    WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), grouped AS (
+        SELECT user_id, day,
+               day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        FROM days
+    ), streaks AS (
+        SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_len
+        FROM grouped GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active days via the
+    classic day - row_number() island key (consecutive days share a
+    constant difference), then streak stats per user.
+
+    Scale shape: the distinct, the window, and both aggregations all key
+    on user_id — one hash partitioning serves the entire plan (the window
+    and the groupBys reuse the same exchange), and per-group state is
+    O(active days), never O(events)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    rn = Window.partitionBy("user_id").orderBy("day")
+    grouped = days.select(
+        "user_id",
+        "day",
+        F.date_sub("day", F.row_number().over(rn)).alias("grp"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").alias("n_active_days"),
+            F.max("streak_len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@declared_query(
+    "order_price_histogram",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(GREATEST(CAST(floor(o_totalprice / 5000) AS BIGINT),
+                              0), 19) AS bucket,
+               o_totalprice
+        FROM orders
+    )
+    SELECT bucket,
+           CAST(bucket * 5000 AS DOUBLE) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM b
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def order_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (5000-wide buckets, clamped
+    to [0,19] so outliers land in the edge buckets — the width_bucket
+    contract, spelled out as floor arithmetic because DuckDB 1.0 lacks
+    width_bucket). In-row bucketing then one tiny aggregate: the
+    map-side partial combine reduces each partition to <=20 rows, so the
+    exchange is negligible at any scale."""
+    od = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.greatest(
+            F.floor(F.col("o_totalprice") / 5000).cast("bigint"), F.lit(0)
+        ),
+        F.lit(19),
+    )
+    return (
+        od.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 5000).cast("double").alias("bucket_lo"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+        .orderBy("bucket")
+    )
+
+
+@declared_query(
+    "bool_bit_aggs_events",
+    oracle="""
+    SELECT event_type,
+           bool_and(value IS NOT NULL) AS all_valued,
+           bool_or(value > 990) AS any_huge,
+           CAST(bit_and(user_id) AS BIGINT) AS users_bit_and,
+           CAST(bit_or(user_id) AS BIGINT) AS users_bit_or,
+           CAST(bit_xor(user_id) AS BIGINT) AS users_bit_xor
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def bool_bit_aggs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean and bitwise aggregate family (every_and/any_or, bit_and/
+    bit_or/bit_xor) — all order-independent, single-shuffle, fully
+    combinable map-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.bool_and(F.col("value").isNotNull()).alias("all_valued"),
+            F.bool_or(F.col("value") > 990).alias("any_huge"),
+            F.bit_and("user_id").alias("users_bit_and"),
+            F.bit_or("user_id").alias("users_bit_or"),
+            F.bit_xor("user_id").alias("users_bit_xor"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@declared_query(
+    "sql_api_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS gross_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-API surface demo: the engine's tables registered as temp
+    views and the query issued through spark.sql — same Catalyst plan as
+    the DataFrame API (the two front-ends meet at the logical plan), so
+    everything the plan pins guarantee (pushdown, broadcast selection,
+    partial aggregation) applies identically. The oracle is literally the
+    same SQL modulo the decimal-discipline casts."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS gross_revenue,
+               COUNT(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+        """
+    )
