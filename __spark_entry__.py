@@ -45,6 +45,7 @@ _SAMPLER_PRIORITY = (
     "order_price_histogram",
     "bool_bit_aggs_events",
     "sql_api_revenue_by_nation",
+    "ivf_topk_search_vec0",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

@@ -272,6 +272,7 @@ def ivf_assign(
     label_col: str = "label",
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_best: int = 1,
 ) -> DataFrame:
     """IVF cluster assignment: each vector -> highest-dot-product centroid.
 
@@ -317,14 +318,71 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(
         F.desc("dot"), F.asc("centroid_label")
     )
-    return (
-        dots.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            id_col,
-            F.col("centroid_label").alias("assigned_label"),
-            F.round("dot", 6).alias("dot"),
-        )
+    ranked = dots.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= n_best
+    )
+    cols = [
+        F.col(id_col),
+        F.col("centroid_label").alias("assigned_label"),
+        F.round("dot", 6).alias("dot"),
+    ]
+    if n_best > 1:
+        # multi-probe callers (ivf_topk_search) need the probe order
+        cols.append(F.col("rn").cast("int").alias("probe_rank"))
+    return ranked.select(*cols)
+
+
+def ivf_topk_search(
+    vectors: DataFrame,
+    query: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    assignment: DataFrame | None = None,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF probed search — the ANN *query* path over the index that
+    ivf_assign builds: rank centroids against the query, probe the best
+    ``nprobe`` clusters, and run exact cosine top-k over only those
+    clusters' members (a 1/n_clusters-sized slice of the corpus per probe).
+
+    Scale shape: centroids and the probe list are tiny broadcasts; the
+    candidate cut is two semi joins (assignment x probe-labels, then
+    vectors x candidate-ids — at scale the assignment is a stored index
+    column on the vector table and the first semi join becomes a partition
+    prune); the final top-k is TakeOrderedAndProject over the probed
+    slice. Recall is governed by nprobe exactly as in FAISS-style IVF;
+    nprobe = n_clusters degenerates to exact search.
+    """
+    cents = centroids if centroids is not None else label_centroids(
+        vectors, label_col=label_col, vec_col=vec_col
+    )
+    assign = (
+        assignment
+        if assignment is not None
+        else ivf_assign(vectors, cents, label_col=label_col,
+                        vec_col=vec_col, id_col=id_col)
+    )
+    probe = ivf_assign(
+        query.select(
+            F.lit(-1).alias(id_col), F.col(query_vec_col).alias(vec_col)
+        ),
+        cents,
+        label_col=label_col,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_best=nprobe,
+    ).select("assigned_label")
+    cand_ids = assign.join(
+        F.broadcast(probe), "assigned_label", "left_semi"
+    ).select(id_col)
+    cand = vectors.join(cand_ids, id_col, "left_semi")
+    return topk_by_cosine(
+        cand, query, k=k, vec_col=vec_col,
+        query_vec_col=query_vec_col, id_col=id_col,
     )
 
 

@@ -202,3 +202,65 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe one cluster instead of scanning everything."""
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_assign(emb, label_centroids(emb))
+
+
+@declared_query(
+    "ivf_topk_search_vec0",
+    oracle=f"""
+    WITH cent AS (
+        {_O_CENTROIDS}
+    ), dots AS (
+        SELECT e.vec_id, c.label AS centroid_label,
+               CAST(SUM(CAST(e.embedding[c.pos] AS DECIMAL(18,8))
+                        * CAST(c.centroid_val AS DECIMAL(12,6)))
+                    AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN cent c
+        GROUP BY e.vec_id, c.label
+    ), assign AS (
+        SELECT vec_id, centroid_label AS assigned_label
+        FROM (
+            SELECT vec_id, centroid_label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, centroid_label) AS rn
+            FROM dots
+        ) t WHERE rn = 1
+    ), probe AS (
+        SELECT centroid_label FROM dots
+        WHERE vec_id = 0
+        ORDER BY dot DESC, centroid_label
+        LIMIT 2
+    ), q AS (
+        SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+        SELECT e.vec_id, e.label, e.embedding
+        FROM embeddings e
+        JOIN assign a ON e.vec_id = a.vec_id
+        JOIN probe p ON a.assigned_label = p.centroid_label
+    )
+    SELECT c.vec_id, c.label,
+           CAST(ROUND({o_cosine('c.embedding', 'q.query_vec')}, 6) AS DOUBLE)
+               AS cosine_sim
+    FROM cand c CROSS JOIN q
+    ORDER BY cosine_sim DESC, c.vec_id
+    LIMIT 5
+    """,
+)
+def ivf_topk_search_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probed ANN search (the query path over the ivf_assignment
+    index): rank label centroids against the query vector, probe the best
+    2 clusters, exact cosine top-5 within the probed slice. This is the
+    1/n_clusters-scan path that replaces brute force at 100 TB — recall
+    is governed by nprobe (nprobe = n_clusters degenerates to exact), and
+    every stage is broadcast/semi-join shaped (operators/similarity.py::
+    ivf_topk_search). With the fixture's random embeddings the probed
+    top-5 may differ from exact top-5 — the oracle replicates the probe,
+    so the hash pins the IVF semantics, not brute-force equivalence."""
+    from ..operators.similarity import ivf_topk_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk_search(emb, query, k=5, nprobe=2).select(
+        "vec_id", "label", "cosine_sim"
+    )

@@ -184,3 +184,67 @@ class TestBucketedNearDup:
         # bucket 0 (5 rows) is over the cap -> excluded from exact pairing;
         # bucket 1 (2 rows) survives
         assert {(r.id_a, r.id_b) for r in got} == {(5, 6)}
+
+
+class TestIvfTopkSearch:
+    def test_full_probe_equals_exact(self, spark, sf_dir):
+        """nprobe = n_clusters must degenerate to exact brute-force top-k
+        (the IVF recall guarantee at its boundary)."""
+        from pyspark.sql import functions as F
+
+        from data_engineering_1_spark.io import load_table
+        from data_engineering_1_spark.operators.similarity import (
+            ivf_topk_search,
+            topk_by_cosine,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        n_labels = emb.select("label").distinct().count()
+        query = emb.filter(F.col("vec_id") == 3).select(
+            F.col("embedding").alias("query_vec")
+        )
+        got = [
+            (r.vec_id, r.cosine_sim)
+            for r in ivf_topk_search(
+                emb, query, k=5, nprobe=n_labels
+            ).select("vec_id", "cosine_sim").collect()
+        ]
+        exp = [
+            (r.vec_id, r.cosine_sim)
+            for r in topk_by_cosine(emb, query, k=5)
+            .select("vec_id", "cosine_sim")
+            .collect()
+        ]
+        assert got == exp
+
+    def test_probed_search_candidates_only_from_probed_clusters(
+        self, spark, sf_dir
+    ):
+        """With nprobe=1 every result must belong to the query's own
+        cluster (the probe ranks the query's assigned centroid first)."""
+        from pyspark.sql import functions as F
+
+        from data_engineering_1_spark.io import load_table
+        from data_engineering_1_spark.operators.similarity import (
+            ivf_assign,
+            ivf_topk_search,
+            label_centroids,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = label_centroids(emb)
+        assign = ivf_assign(emb, cents)
+        query = emb.filter(F.col("vec_id") == 3).select(
+            F.col("embedding").alias("query_vec")
+        )
+        own_label = (
+            assign.filter(F.col("vec_id") == 3).collect()[0].assigned_label
+        )
+        got = ivf_topk_search(
+            emb, query, k=5, nprobe=1, centroids=cents, assignment=assign
+        )
+        member_labels = {
+            r.assigned_label
+            for r in got.join(assign, "vec_id").select("assigned_label").collect()
+        }
+        assert member_labels == {own_label}
