@@ -46,6 +46,7 @@ _SAMPLER_PRIORITY = (
     "bool_bit_aggs_events",
     "sql_api_revenue_by_nation",
     "ivf_topk_search_vec0",
+    "salted_user_totals",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

@@ -613,3 +613,39 @@ def sql_api_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n.n_name
         """
     )
+
+
+@declared_query(
+    "salted_user_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py::salted_aggregate)
+    made oracle-visible: per-user totals computed by first grouping on
+    (user_id, random salt) — a hot user's rows spread across 16 reducers
+    instead of one straggler — then merging partials per user.
+
+    The salt is rand() yet the query is oracle-pairable: only re-aggregable
+    functions are allowed (sum/count here), so the merged result is
+    bit-identical to the plain groupBy no matter how the salt scattered
+    the rows — the point the DuckDB hash-match proves. The summed column
+    is DECIMAL-cast before phase 1 so partial merge order can't perturb a
+    double sum."""
+    from ..operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(18,2)")
+    )
+    out = salted_aggregate(ev, ["user_id"], {"value_dec": "sum", "*": "count"})
+    return out.select(
+        "user_id",
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        F.col("count").cast("bigint").alias("n_events"),
+    ).orderBy("user_id")
