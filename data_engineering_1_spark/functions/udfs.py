@@ -127,6 +127,34 @@ def mapinpandas_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def mapinarrow_byte_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """mapInArrow (Spark 4's lowest-overhead Python boundary): per-row
+    UTF-8 byte length and char length computed directly on Arrow
+    RecordBatches — no pandas conversion at all, pyarrow compute kernels
+    end to end. The right boundary when the Python side is itself
+    Arrow-native (tokenizers, Arrow-IPC model servers, zero-copy numpy
+    views); for pandas-shaped logic use mapInPandas instead.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            text = batch.column(batch.schema.get_field_index(text_col))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(0),
+                    pc.binary_length(text.cast(pa.binary())),
+                    pc.utf8_length(text),
+                ],
+                names=["doc_id", "n_bytes", "n_chars_arrow"],
+            )
+
+    return df.select("doc_id", text_col).mapInArrow(
+        run, schema="doc_id bigint, n_bytes int, n_chars_arrow int"
+    )
+
+
 def register_udfs(spark) -> None:
     """Expose the surface to Spark SQL."""
     spark.udtf.register("chunk_text_udtf", ChunkTextUDTF)

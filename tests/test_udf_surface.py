@@ -149,3 +149,31 @@ class TestMultimodal:
         # distinct frames get distinct digests
         digests = [f.frame_sha256 for f in by_id[4]]
         assert len(set(digests)) == 4
+
+
+def test_mapinarrow_matches_jvm_expressions(spark, sf_dir):
+    """mapInArrow byte/char stats must equal the JVM built-ins
+    (octet_length / length) row for row."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_1_spark.functions.udfs import mapinarrow_byte_stats
+    from data_engineering_1_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = (
+        mapinarrow_byte_stats(docs)
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    exp = (
+        docs.select(
+            "doc_id",
+            F.octet_length("text").alias("n_bytes"),
+            F.length("text").alias("n_chars_arrow"),
+        )
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    assert (got["doc_id"].values == exp["doc_id"].values).all()
+    assert (got["n_bytes"].values == exp["n_bytes"].values).all()
+    assert (got["n_chars_arrow"].values == exp["n_chars_arrow"].values).all()
