@@ -47,6 +47,9 @@ _SAMPLER_PRIORITY = (
     "sql_api_revenue_by_nation",
     "ivf_topk_search_vec0",
     "salted_user_totals",
+    "conversion_funnel_12h",
+    "retention_cohorts_weekly",
+    "try_scalar_ops_orders",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

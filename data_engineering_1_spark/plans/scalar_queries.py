@@ -391,3 +391,35 @@ def nested_json_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__p.meta.tp").alias("total_price"),
         F.col("__p.meta.pri").alias("priority"),
     )
+
+
+@declared_query(
+    "try_scalar_ops_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice / NULLIF(o_orderkey % 5, 0), 6) AS DOUBLE)
+               AS safe_ratio,
+           TRY_CAST(substring(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+           TRY_CAST(o_orderstatus AS INTEGER) AS status_num
+    FROM orders
+    """,
+)
+def try_scalar_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-mode error-safe scalar family: Spark 4 runs with ANSI ON, so
+    division by zero and bad casts THROW unless the try_* forms are used —
+    try_divide yields NULL on zero divisors (DuckDB twin: NULLIF), and
+    try_cast yields NULL for unparseable input on both engines. Pure
+    in-row projection, no shuffle and no sort (the driver's value hash is
+    order-insensitive and membership is every row, so a total ORDER BY
+    would only add a range exchange)."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.select(
+        "o_orderkey",
+        F.round(
+            F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 5), 6
+        ).alias("safe_ratio"),
+        F.expr(
+            "TRY_CAST(substring(o_orderpriority, 1, 1) AS INT)"
+        ).alias("prio_num"),
+        F.expr("TRY_CAST(o_orderstatus AS INT)").alias("status_num"),
+    )
