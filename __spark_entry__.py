@@ -50,6 +50,7 @@ _SAMPLER_PRIORITY = (
     "conversion_funnel_12h",
     "retention_cohorts_weekly",
     "try_scalar_ops_orders",
+    "training_corpus_pipeline",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

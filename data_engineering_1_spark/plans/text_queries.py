@@ -388,3 +388,74 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("rk") <= 3) & (F.col("doc_id") < 50))
         .select("doc_id", "term", "tf", "df", "idf", "tf_idf", "rk")
     )
+
+
+@declared_query(
+    "training_corpus_pipeline",
+    oracle="""
+    WITH cleaned AS (
+        SELECT doc_id, lang,
+               trim(regexp_replace(text, '\\s{2,}', ' ', 'g')) AS text_clean
+        FROM documents
+    ), filtered AS (
+        SELECT doc_id, lang, text_clean,
+               len(string_split_regex(text_clean, '\\s+')) AS n_tokens,
+               length(text_clean) AS n_chars
+        FROM cleaned
+        WHERE length(text_clean) >= 100
+    ), quality AS (
+        SELECT * FROM filtered WHERE n_tokens >= 20
+    ), deduped AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY text_clean ORDER BY doc_id) AS rn
+            FROM quality
+        ) t WHERE rn = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
+               AS avg_chars
+    FROM deduped
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline as ONE lazy plan: whitespace
+    normalization (reference P1, src/pdf_extractor.py:30) -> length floor
+    -> token-count quality floor -> exact dedup with deterministic min-id
+    survivor -> per-language corpus stats. This is the end-to-end shape a
+    100 TB corpus build runs nightly; expressing it as a single DataFrame
+    chain means Catalyst fuses the scalar stages into one codegen'd scan
+    stage and the only exchanges are the dedup window's hash partition on
+    the cleaned text and the tiny per-language aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    cleaned = docs.select(
+        "doc_id",
+        "lang",
+        F.trim(F.regexp_replace("text", r"\s{2,}", " ")).alias("text_clean"),
+    )
+    quality = (
+        cleaned.filter(F.length("text_clean") >= 100)
+        .withColumn("n_tokens", F.size(F.split("text_clean", r"\s+")))
+        .withColumn("n_chars", F.length("text_clean"))
+        .filter(F.col("n_tokens") >= 20)
+    )
+    surv = Window.partitionBy("text_clean").orderBy("doc_id")
+    deduped = (
+        quality.withColumn("rn", F.row_number().over(surv))
+        .filter(F.col("rn") == 1)
+    )
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
