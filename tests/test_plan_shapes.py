@@ -149,3 +149,13 @@ def test_events_by_segment_dim_broadcast(plans):
     p = plans("events_by_segment")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_training_pipeline_single_scan_bounded_exchanges(plans):
+    """The composed corpus pipeline must stay ONE fused scan (clean +
+    length/token filters all codegen into it) with exchanges only for the
+    dedup window, the per-lang aggregate, and the final 5-row sort."""
+    p = plans("training_corpus_pipeline")
+    assert p.count("FileScan") == 1
+    assert p.count("Exchange") <= 3
+    assert "BroadcastNestedLoopJoin" not in p
