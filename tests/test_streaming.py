@@ -369,6 +369,50 @@ def test_foreach_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     assert got.select("event_id").distinct().count() == 100
 
 
+def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
+    """Exactly-once across restarts: a second availableNow run sharing the
+    first run's checkpoint must pick up ONLY files added since — the file
+    source's commit log prevents reprocessing, and the epoch-overwrite
+    sink prevents duplication even if a batch were replayed."""
+    from datetime import datetime, timedelta
+
+    src_dir = tmp_path / "ckpt_events"
+    src_dir.mkdir()
+    out_dir = str(tmp_path / "ckpt_out")
+    ckpt = str(tmp_path / "ckpt_state")
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    f1 = src_dir / "a.parquet"
+    _write_events_file(
+        f1, [(i, t0 + timedelta(minutes=i), i % 3, "view") for i in range(10)]
+    )
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+
+    def run_once():
+        sp.run_foreach_batch_parquet(
+            sp.events_file_stream(spark, str(src_dir), path_glob="*.parquet"),
+            out_dir,
+            ckpt,
+        )
+
+    run_once()
+    first = spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+    assert first.count() == 10
+
+    f2 = src_dir / "b.parquet"
+    _write_events_file(
+        f2,
+        [(100 + i, t0 + timedelta(hours=1, minutes=i), i % 3, "click")
+         for i in range(7)],
+    )
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+
+    run_once()  # restart from the same checkpoint
+    both = spark.read.parquet(os.path.join(out_dir, "epoch=*"))
+    assert both.count() == 17, "restart must add only the new file's rows"
+    assert both.select("event_id").distinct().count() == 17
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch, tmp_path):
     """ST stream-stream interval join vs the plain batch theta join: same
     (purchase, click) pairs, drained with availableNow."""
