@@ -1,0 +1,74 @@
+"""Observation metrics, schema-evolution reads, and partition pruning —
+the production-operations surface around the query engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_1_spark.io import load_table
+from data_engineering_1_spark.operators.quality import (
+    assert_min_rows,
+    observed_corpus_metrics,
+)
+
+
+def test_observe_metrics_ride_the_action(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    observed, obs = observed_corpus_metrics(docs)
+    n = observed.count()  # one action computes rows AND metrics
+    m = obs.get
+    assert m["n_rows"] == n
+    assert m["n_null_text"] == 0
+    exp_chars = docs.agg(F.sum(F.length("text"))).collect()[0][0]
+    assert m["total_chars"] == exp_chars
+    assert m["mean_chars"] == pytest.approx(exp_chars / n)
+    assert_min_rows(m, 1)
+    with pytest.raises(ValueError, match="expected at least"):
+        assert_min_rows(m, n + 1)
+
+
+def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
+    """Schema evolution: files written before a column existed read as
+    NULL for that column under mergeSchema — how a 100 TB table grows
+    columns without rewriting history."""
+    old = str(tmp_path / "evo/batch=1")
+    new = str(tmp_path / "evo/batch=2")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    docs.write.parquet(old)
+    docs.withColumn("quality_score", F.length("lang").cast("double")).write.parquet(new)
+
+    merged = spark.read.option("mergeSchema", True).parquet(
+        str(tmp_path / "evo")
+    )
+    assert "quality_score" in merged.columns
+    n = docs.count()
+    assert merged.count() == 2 * n
+    assert merged.filter(F.col("quality_score").isNull()).count() == n
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must become a PartitionFilter (pruned at file listing — zero IO for
+    other partitions), not a post-scan row filter."""
+    root = str(tmp_path / "by_lang")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.write.partitionBy("lang").parquet(root)
+
+    q = spark.read.parquet(root).filter(F.col("lang") == "en")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    partition_clause = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "lang" in partition_clause, plan
+    exp = docs.filter(F.col("lang") == "en").count()
+    assert q.count() == exp
+    # the pruned read touches only the one partition directory
+    files = {
+        r["file"] for r in q.withColumn(
+            "file", F.input_file_name()
+        ).select("file").distinct().collect()
+    }
+    assert files and all(f"{os.sep}lang=en{os.sep}" in f for f in files)
