@@ -247,6 +247,114 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+_SESSION_STATE_SCHEMA = "start_us BIGINT, last_us BIGINT, n BIGINT"
+_SESSION_OUT_SCHEMA = (
+    "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, "
+    "n_events BIGINT"
+)
+
+
+def _make_session_fn(gap_us: int):
+    def session_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start_us: int, last_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            # watermark passed last_ts + gap with no new events: the open
+            # session is definitively closed — emit and clear
+            start_us, last_us, n = state.get
+            state.remove()
+            yield emit(start_us, last_us, n)
+            return
+
+        rows = pd.concat(list(pdfs))
+        ts_us = (
+            rows["ts"].astype("datetime64[us]").astype("int64").sort_values()
+        )
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            first = int(ts_us.iloc[0])
+            start_us, last_us, n = first, first, 0
+        out = []
+        for t in (int(v) for v in ts_us):
+            if n > 0 and t - last_us > gap_us:
+                out.append(emit(start_us, last_us, n))
+                start_us, n = t, 0
+            last_us = max(last_us, t)
+            n += 1
+        state.update((start_us, last_us, n))
+        # EventTimeTimeout fires once the watermark passes this instant
+        # (the API takes milliseconds)
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000 + 1)
+        if out:
+            yield pd.concat(out)
+
+    return session_fn
+
+
+def sessionize_with_state(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """ST6 with event-time timeouts: custom sessionization as arbitrary
+    stateful processing (applyInPandasWithState). Each user's open session
+    lives in the state store as (start, last, count); sessions close
+    in-batch when a gap appears between sorted events, and the DANGLING
+    open session closes via ``GroupStateTimeout.EventTimeTimeout`` when
+    the watermark passes last_event + gap — the mechanism the native
+    ``session_window`` (ST3) uses internally, here exposed for session
+    logic Spark's built-in cannot express (per-session custom payloads,
+    conditional gaps, early emission).
+
+    State is O(1) per active user, evicted by timeout; the groupBy
+    shuffle co-locates each user's events with their state row."""
+    gap_us = _parse_duration_ms(gap) * 1000
+    return (
+        _with_watermark(events, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_session_fn(gap_us),
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+        .select(
+            "user_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_DURATION_UNITS_MS = {
+    "millisecond": 1, "milliseconds": 1,
+    "second": 1000, "seconds": 1000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _parse_duration_ms(spec: str) -> int:
+    amount, unit = spec.strip().split()
+    return int(amount) * _DURATION_UNITS_MS[unit.lower()]
+
+
 class _RunningTotalsProcessor:
     """Deferred-import holder: pyspark.sql.streaming.stateful_processor is
     a Spark 4 module; build() returns a StatefulProcessor subclass

@@ -12,6 +12,7 @@ import glob
 import os
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from data_engineering_1_spark.io import load_table
@@ -367,6 +368,119 @@ def test_foreach_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     got = spark.read.parquet(os.path.join(out_dir, "epoch=7"))
     assert got.count() == 100
     assert got.select("event_id").distinct().count() == 100
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir, events_batch, tmp_path):
+    """ST6 EventTimeTimeout sessionization vs the batch lag+cumsum twin.
+
+    availableNow drains the data in one micro-batch (in-batch gap
+    detection closes every non-final session) and then runs a final batch
+    in which the watermark (max ts - 1h delay) fires EventTimeTimeouts —
+    so each user's LAST session is also emitted iff it ended more than
+    gap before that final watermark. The assertions model exactly that:
+    every emitted row is a true batch session, all non-final sessions are
+    emitted, and final sessions are emitted precisely when they cleared
+    the timeout boundary (2 ms slack for the ms-granularity watermark)."""
+    from datetime import timedelta
+
+    out = _drain(
+        sp.sessionize_with_state(sp.events_file_stream(spark, sf_dir)),
+        "t_state_sessions",
+        tmp_path,
+        mode="append",
+    ).toPandas()
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    batch = (
+        events_batch.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            (
+                F.col("prev_ts").isNull()
+                | (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    - F.unix_micros(F.col("prev_ts").cast("timestamp"))
+                    > 30 * 60 * 1_000_000
+                )
+            ).cast("int"),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    last = Window.partitionBy("user_id").orderBy(F.desc("session_id"))
+    flagged = batch.withColumn("rn", F.row_number().over(last)).select(
+        "user_id", "session_start", "session_end", "n_events",
+        (F.col("rn") == 1).alias("is_last"),
+    ).toPandas()
+
+    key = ["user_id", "session_start", "session_end", "n_events"]
+    out_keys = set(map(tuple, out[key].itertuples(index=False)))
+    all_keys = set(map(tuple, flagged[key].itertuples(index=False)))
+    nonlast_keys = set(
+        map(tuple, flagged[~flagged["is_last"]][key].itertuples(index=False))
+    )
+    # (1) everything emitted is a true batch session
+    assert out_keys <= all_keys
+    # (2) every non-final session was closed in-batch and emitted
+    assert nonlast_keys <= out_keys
+    # (3) final sessions emitted iff they cleared the timeout boundary
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    boundary = max_ts - timedelta(hours=1, minutes=30)
+    slack = timedelta(milliseconds=2)
+    for row in flagged[flagged["is_last"]].itertuples(index=False):
+        k = (row.user_id, row.session_start, row.session_end, row.n_events)
+        if row.session_end < boundary - slack:
+            assert k in out_keys, f"timed-out session not emitted: {k}"
+        elif row.session_end > boundary + slack:
+            assert k not in out_keys, f"still-open session emitted: {k}"
+    assert len(out_keys) > len(nonlast_keys), "some sessions must time out"
+
+
+def test_stateful_sessionize_timeout_emits_dangling_session(spark, tmp_path):
+    """The EventTimeTimeout leg: a user whose open session goes quiet gets
+    that session EMITTED by the timeout when a later batch's watermark
+    passes last_event + gap — not silently dropped."""
+    from datetime import datetime, timedelta
+
+    src_dir = tmp_path / "toevents"
+    src_dir.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    f1 = src_dir / "b1.parquet"
+    # user 1: a 3-event session ending t0+10m, then silence
+    _write_events_file(
+        f1,
+        [(i, t0 + timedelta(minutes=5 * i), 1, "view") for i in range(3)],
+    )
+    f2 = src_dir / "b2.parquet"
+    # a later batch from another user pushes the watermark (1h delay) past
+    # t0+10m+30m gap  ->  t0+4h - 1h = t0+3h watermark
+    _write_events_file(
+        f2, [(10, t0 + timedelta(hours=4), 2, "view")]
+    )
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+
+    out = _drain(
+        sp.sessionize_with_state(
+            sp.events_file_stream(
+                spark, str(src_dir),
+                max_files_per_trigger=1, path_glob="*.parquet",
+            )
+        ),
+        "t_state_timeout",
+        tmp_path,
+        mode="append",
+    ).toPandas()
+    u1 = out[out["user_id"] == 1]
+    assert len(u1) == 1, f"user 1's dangling session must time out: {out}"
+    assert u1.iloc[0]["n_events"] == 3
+    assert u1.iloc[0]["session_start"] == t0
+    assert u1.iloc[0]["session_end"] == t0 + timedelta(minutes=10)
 
 
 def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
