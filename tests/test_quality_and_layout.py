@@ -31,6 +31,40 @@ def test_observe_metrics_ride_the_action(spark, sf_dir):
         assert_min_rows(m, n + 1)
 
 
+def test_observe_metrics_streaming(spark, sf_dir, tmp_path):
+    """The same observe() mechanism surfaces per-micro-batch metrics in
+    StreamingQueryProgress.observedMetrics — one instrumentation point
+    for both runtimes."""
+    from data_engineering_1_spark.streaming import pipelines as sp
+
+    stream = sp.events_file_stream(spark, sf_dir).observe(
+        "stream_metrics",
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+    q = (
+        stream.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "obs_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    observed = [
+        p["observedMetrics"]["stream_metrics"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("stream_metrics")
+    ]
+    assert observed, "no micro-batch surfaced observed metrics"
+    total = sum(m["n_rows"] for m in observed)
+    from data_engineering_1_spark.io import load_table
+
+    assert total == load_table(spark, sf_dir, "events").count()
+    assert all(m["n_null"] == 0 for m in observed)
+
+
 def test_schema_evolution_merge_read(spark, sf_dir, tmp_path):
     """Schema evolution: files written before a column existed read as
     NULL for that column under mergeSchema — how a 100 TB table grows
