@@ -51,6 +51,10 @@ _SAMPLER_PRIORITY = (
     "retention_cohorts_weekly",
     "try_scalar_ops_orders",
     "training_corpus_pipeline",
+    "q16_supplier_part_counts",
+    "q21_waiting_suppliers",
+    "q2_best_supplier_per_part",
+    "q20_promo_volume_suppliers",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

@@ -22,7 +22,7 @@ the DuckDB oracle hashes bit-identically.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
@@ -603,4 +603,250 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@declared_query(
+    "q16_supplier_part_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size IN (1, 5, 10, 15, 20)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    with a NOT IN supplier exclusion. The fixture has no partsupp table,
+    so the part-supplier relation is the distinct (l_partkey, l_suppkey)
+    pairs lineitem witnesses — same shape, surrogate relation; the
+    'complaints' exclusion becomes negative-balance suppliers.
+
+    Scale shape: part filter broadcast to the fact scan, exclusion as a
+    broadcast left-anti join (6 rows), count(DISTINCT) as the standard
+    two-phase distinct aggregate on the group key shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_size").isin(1, 5, 10, 15, 20)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+@declared_query(
+    "q21_waiting_suppliers",
+    oracle="""
+    WITH omax AS (
+        SELECT l_orderkey,
+               max(l_shipdate) AS max_ship,
+               count(DISTINCT l_suppkey) AS n_supp
+        FROM lineitem GROUP BY l_orderkey
+    ), at_max AS (
+        SELECT l.l_orderkey,
+               count(DISTINCT l.l_suppkey) AS n_supp_at_max
+        FROM lineitem l JOIN omax m
+          ON l.l_orderkey = m.l_orderkey AND l.l_shipdate = m.max_ship
+        GROUP BY l.l_orderkey
+    )
+    SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM lineitem l1
+    JOIN omax m ON l1.l_orderkey = m.l_orderkey
+               AND l1.l_shipdate = m.max_ship AND m.n_supp > 1
+    JOIN at_max a ON l1.l_orderkey = a.l_orderkey
+                 AND a.n_supp_at_max = 1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+                 AND o.o_orderstatus = 'F'
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): on finished
+    multi-supplier orders, count per supplier the lines that were the
+    order's LAST shipment while no other supplier shared that final
+    shipdate — the EXISTS / NOT-EXISTS double correlation, decorrelated
+    into two per-order aggregates (max shipdate + distinct-supplier
+    counts) joined back on the order key. The fixture lacks
+    l_commitdate/l_receiptdate, so 'late' binds to latest-shipdate.
+
+    Scale shape: all three lineitem derivations and the joins key on
+    l_orderkey — one partitioning, reused; supplier is broadcast; no
+    correlated re-scan per row."""
+    li = load_table(spark, sf_dir, "lineitem")
+    omax = li.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    at_max = (
+        li.join(
+            omax.select("l_orderkey", "max_ship"),
+            ["l_orderkey"],
+        )
+        .filter(F.col("l_shipdate") == F.col("max_ship"))
+        .groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp_at_max"))
+    )
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name"
+    )
+    l1 = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(omax, ["l_orderkey"])
+        .filter(
+            (F.col("l_shipdate") == F.col("max_ship")) & (F.col("n_supp") > 1)
+        )
+        .join(
+            at_max.filter(F.col("n_supp_at_max") == 1).select("l_orderkey"),
+            ["l_orderkey"],
+        )
+        .join(od, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    return (
+        l1.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+@declared_query(
+    "q2_best_supplier_per_part",
+    oracle="""
+    WITH pairs AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), europe AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    ), ranked AS (
+        SELECT p.l_partkey AS p_partkey, e.s_name, e.s_acctbal,
+               row_number() OVER (
+                   PARTITION BY p.l_partkey
+                   ORDER BY e.s_acctbal DESC, e.s_suppkey) AS rn
+        FROM pairs p JOIN europe e ON p.l_suppkey = e.s_suppkey
+    )
+    SELECT p_partkey, s_name,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM ranked WHERE rn = 1
+    ORDER BY s_acctbal DESC, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): per part, the best
+    EUROPE-region supplier among those that supply it. No partsupp /
+    ps_supplycost in the fixture, so the relation is lineitem's distinct
+    (part, supplier) pairs and 'best' is max account balance — the shape
+    is the canonical correlated argmin/argmax per group, decorrelated as
+    a ranking window over the pair join.
+
+    Scale shape: region/nation prune the supplier dim before broadcast;
+    the pairs distinct and the ranking window both partition on partkey;
+    top-100 is TakeOrderedAndProject."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "EUROPE"
+    )
+    europe = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                )
+            ),
+            supp.s_nationkey == nation.n_nationkey,
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        pairs.join(F.broadcast(europe), pairs.l_suppkey == europe.s_suppkey)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            F.col("s_acctbal").cast("double").alias("s_acctbal"),
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey")
+        .limit(100)
+    )
+
+
+@declared_query(
+    "q20_promo_volume_suppliers",
+    oracle="""
+    SELECT s.s_name
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l.l_suppkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(18,2))) > 100
+    )
+    ORDER BY s.s_name
+    """,
+)
+def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (suppliers with significant stock of a part
+    class): suppliers whose 1996 shipped volume of PROMO parts exceeds a
+    threshold, selected by a semi join against a nested HAVING aggregate
+    — availqty is absent, so shipped quantity stands in. The threshold
+    sum is DECIMAL so membership can't flip on double addition order.
+
+    Scale shape: part filter broadcast into the fact scan, one shuffle on
+    l_suppkey for the HAVING aggregate, then a broadcast semi join into
+    the supplier dim."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    promo = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    heavy = (
+        li.join(F.broadcast(promo), li.l_partkey == promo.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 100)
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        supp.join(heavy, supp.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_name")
+        .orderBy("s_name")
     )
