@@ -1,0 +1,87 @@
+"""Custom Python Data Source (Spark 4 DataSource API) — §2.1 breadth.
+
+The reference reads its corpus with ad-hoc driver-side loops
+(src/pdf_extractor.py:246-253 os.listdir). Spark 4's Python DataSource
+API is the engine-native way to bring such a custom source INTO the scan
+layer: the source declares its schema and its partition list, and each
+partition's ``read`` runs in an executor task — so a bespoke format gets
+distributed scanning, column pruning downstream, and plan integration
+for free, instead of a driver-side collect-and-parallelize.
+
+``SyntheticEventsDataSource`` is a deterministic generator shaped like
+the ``events`` fixture table: ``spark.read.format("synthetic_events")
+.option("rows", N).option("partitions", P)`` yields N rows split across
+P independent tasks; every value derives from the row id via the same
+Knuth-multiplicative hash used elsewhere in the engine, so any (rows,
+partitions) split produces identical data — the partitioning is pure
+parallelism, invisible in the results (a test pins P=1 equal to P=8).
+At scale this is the pattern for load generators and for wrapping
+external systems (REST cursors, proprietary file formats) as first-class
+scan nodes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP_NTZ, user_id BIGINT, "
+    "event_type STRING, value DOUBLE, props STRING"
+)
+_T0 = datetime(2024, 1, 1, 0, 0, 0)
+
+
+def _h(i: int) -> int:
+    """Deterministic 32-bit mix of the row id (Knuth multiplicative)."""
+    return (i * 2654435761) % 4294967296
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class _SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 4)))
+
+    def partitions(self) -> Sequence[InputPartition]:
+        step = -(-self.n_rows // self.n_parts)  # ceil division
+        return [
+            _RangePartition(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _RangePartition) -> Iterator[tuple]:
+        for i in range(partition.start, partition.end):
+            h = _h(i)
+            yield (
+                i,
+                _T0 + timedelta(seconds=i * 7, microseconds=h % 1_000_000),
+                h % 150,
+                EVENT_TYPES[h % len(EVENT_TYPES)],
+                round((h % 100_000) / 100.0, 2),
+                '{"k": %d}' % (h % 100),
+            )
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return _SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return _SyntheticEventsReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticEventsDataSource)

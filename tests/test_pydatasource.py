@@ -1,0 +1,54 @@
+"""Custom Python DataSource: partitioned scan, determinism, plan
+integration."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_1_spark.sources import pydatasource
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    pydatasource.register(spark)
+
+
+def _read(spark, rows, partitions):
+    return (
+        spark.read.format("synthetic_events")
+        .option("rows", rows)
+        .option("partitions", partitions)
+        .load()
+    )
+
+
+def test_rowcount_schema_and_parallelism(spark):
+    df = _read(spark, 1000, 8)
+    assert df.count() == 1000
+    assert [f.name for f in df.schema.fields] == [
+        "event_id", "ts", "user_id", "event_type", "value", "props",
+    ]
+    assert df.rdd.getNumPartitions() == 8
+
+
+def test_partitioning_is_invisible_in_results(spark):
+    """Any (rows, partitions) split yields identical data — partitioning
+    is pure parallelism."""
+    a = _read(spark, 500, 1).orderBy("event_id").collect()
+    b = _read(spark, 500, 8).orderBy("event_id").collect()
+    assert a == b
+
+
+def test_integrates_with_engine_plans(spark):
+    """The custom source is a first-class scan node: joins, aggregates and
+    pruning downstream all compose."""
+    df = _read(spark, 2000, 4)
+    agg = (
+        df.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+    got = {r["event_type"]: r["n"] for r in agg.collect()}
+    assert set(got) == set(pydatasource.EVENT_TYPES)
+    assert sum(got.values()) == 2000
