@@ -71,6 +71,48 @@ class _SyntheticEventsReader(DataSourceReader):
             )
 
 
+class _SyntheticEventsStreamReader:
+    """SimpleDataSourceStreamReader leg: offsets are plain row counters;
+    each micro-batch admits up to ``rows_per_batch`` new rows until
+    ``rows`` is exhausted, after which latest == current and the stream
+    idles — so processAllAvailable() terminates deterministically. The
+    rows are THE SAME deterministic function of row id as the batch
+    reader: replaying an offset range (checkpoint recovery) regenerates
+    identical data, which is what makes a source replayable and the
+    pipeline exactly-once."""
+
+    def __init__(self, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+        self.per_batch = max(1, int(options.get("rowsPerBatch", 100)))
+
+    def initialOffset(self) -> dict:
+        return {"row": 0}
+
+    def read(self, start: dict):
+        lo = start["row"]
+        hi = min(lo + self.per_batch, self.n_rows)
+        # iter(list), not a generator: the runtime pickles the prefetched
+        # iterator (list_iterator pickles, generators don't) and also
+        # calls next() on it for empty-batch validation
+        rows = list(
+            _SyntheticEventsReader({"rows": self.n_rows}).read(
+                _RangePartition(lo, hi)
+            )
+        )
+        return iter(rows), {"row": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        # replay path (recovery): regenerate the exact committed range
+        return list(
+            _SyntheticEventsReader({"rows": self.n_rows}).read(
+                _RangePartition(start["row"], end["row"])
+            )
+        )
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -81,6 +123,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return _SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _SyntheticEventsStreamReader(self.options)
 
 
 def register(spark) -> None:

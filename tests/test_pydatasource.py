@@ -52,3 +52,30 @@ def test_integrates_with_engine_plans(spark):
     got = {r["event_type"]: r["n"] for r in agg.collect()}
     assert set(got) == set(pydatasource.EVENT_TYPES)
     assert sum(got.values()) == 2000
+
+
+def test_stream_reader_drains_and_matches_batch(spark, tmp_path):
+    """The streaming leg of the custom source: micro-batches admit
+    rowsPerBatch rows per trigger until exhausted; the drained stream
+    equals the batch read exactly (same deterministic row function), the
+    replayability contract behind checkpoint recovery."""
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 300)
+        .option("rowsPerBatch", 100)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_pyds_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "pyds_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table("t_pyds_stream").orderBy("event_id").collect()
+    exp = _read(spark, 300, 4).orderBy("event_id").collect()
+    assert got == exp
