@@ -55,6 +55,7 @@ _SAMPLER_PRIORITY = (
     "q21_waiting_suppliers",
     "q2_best_supplier_per_part",
     "q20_promo_volume_suppliers",
+    "variant_props_events",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

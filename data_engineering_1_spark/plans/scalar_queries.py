@@ -423,3 +423,40 @@ def try_scalar_ops_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prio_num"),
         F.expr("TRY_CAST(o_orderstatus AS INT)").alias("status_num"),
     )
+
+
+@declared_query(
+    "variant_props_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           CAST(COUNT(json_extract(props, '$.k')) AS BIGINT) AS n_with_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+               AS max_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType over the semi-structured ``props`` column:
+    parse_json -> VARIANT once, then typed try_variant_get extraction.
+    Unlike get_json_object (string re-parse per access), VARIANT stores a
+    parsed binary encoding — at 100 TB, N field accesses cost one parse,
+    and the open schema evolves without migrations. The DuckDB twin uses
+    its JSON type; aggregates pin the extracted values."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("n_with_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
