@@ -56,6 +56,8 @@ _SAMPLER_PRIORITY = (
     "q2_best_supplier_per_part",
     "q20_promo_volume_suppliers",
     "variant_props_events",
+    "ntile_price_quartiles",
+    "rollup_grouping_id_orders",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

@@ -649,3 +649,90 @@ def salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value_dec").cast("double").alias("sum_value"),
         F.col("count").cast("bigint").alias("n_events"),
     ).orderBy("user_id")
+
+
+@declared_query(
+    "ntile_price_quartiles",
+    oracle="""
+    WITH q AS (
+        SELECT o_orderpriority,
+               CAST(ntile(4) OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice, o_orderkey) AS INTEGER) AS quartile,
+               o_totalprice
+        FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS lo_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS hi_price
+    FROM q
+    GROUP BY o_orderpriority, quartile
+    ORDER BY o_orderpriority, quartile
+    """,
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1's ntile: equal-frequency quartiles of order value within each
+    priority (tie-broken by orderkey so bucket membership is total-order
+    deterministic), summarized per bucket. The bucketing window and the
+    aggregate share the o_orderpriority partitioning."""
+    od = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return (
+        od.select(
+            "o_orderpriority",
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            "o_totalprice",
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").cast("double").alias("lo_price"),
+            F.max("o_totalprice").cast("double").alias("hi_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+@declared_query(
+    "rollup_grouping_id_orders",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL') AS status,
+           CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+           CAST(GROUPING(o_orderpriority) * 2
+                + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY gid, priority, status
+    """,
+)
+def rollup_grouping_id_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5's grouping introspection: GROUPING() flags and GROUPING_ID()
+    distinguish real NULL group values from rollup subtotal rows — the
+    standard way downstream consumers route detail vs subtotal vs grand
+    total without string sentinels (the coalesce here is only for the
+    oracle's display columns)."""
+    od = load_table(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "g_priority",
+            "g_status",
+            "gid",
+            "n_orders",
+        )
+        .orderBy("gid", "priority", "status")
+    )
