@@ -58,6 +58,8 @@ _SAMPLER_PRIORITY = (
     "variant_props_events",
     "ntile_price_quartiles",
     "rollup_grouping_id_orders",
+    "lateral_top2_orders",
+    "forward_fill_values",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

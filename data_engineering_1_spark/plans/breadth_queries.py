@@ -736,3 +736,89 @@ def rollup_grouping_id_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gid", "priority", "status")
     )
+
+
+@declared_query(
+    "lateral_top2_orders",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_mktsegment = 'BUILDING'
+    ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+    """,
+)
+def lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (per-customer top-2 orders by value),
+    issued through the SQL front-end — both engines decorrelate the
+    per-row ORDER BY/LIMIT into a ranked join, so the plan is the same
+    window-over-one-shuffle shape as the DataFrame top-k-per-group
+    (top_orders_per_customer), not a per-row re-scan. Declared through
+    spark.sql to pin the LATERAL surface itself."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey,
+               CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        WHERE c.c_mktsegment = 'BUILDING'
+        ORDER BY c.c_custkey, o.o_totalprice DESC, o.o_orderkey
+        """
+    )
+
+
+@declared_query(
+    "forward_fill_values",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                   AS reading
+        FROM events
+    )
+    SELECT event_id, user_id,
+           CAST(last_value(reading IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS filled_value
+    FROM masked
+    """,
+)
+def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF — last observation carried forward): sensor
+    readings drop out on 'error' events (the fixture has no natural
+    NULLs, so dropout is synthesized deterministically) and each gap
+    takes the user's most recent non-null reading via
+    last_value(IGNORE NULLS) over a running frame — the canonical
+    time-series imputation. One shuffle on user_id; the running frame is
+    streaming-friendly state (current last value per partition)."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("reading"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return masked.select(
+        "event_id",
+        "user_id",
+        F.last("reading", ignorenulls=True)
+        .over(w)
+        .cast("double")
+        .alias("filled_value"),
+    )
