@@ -1,0 +1,97 @@
+"""Table maintenance: key-based upsert and small-file compaction
+([north-star] 100 TB operations surface; the reference's only
+maintenance is full rebuild, src/vector_store.py:96-107).
+
+Plain parquet has no transaction log, so MERGE is emulated as
+read-union-dedup-rewrite with a deterministic "newest wins" rule — the
+standard pre-lakehouse CDC pattern (a lakehouse format would replace the
+full rewrite with log commits; the dedup semantics are identical). The
+rewrite goes through a temp directory + atomic-ish swap so a failed job
+never leaves the table truncated.
+
+Compaction is the other chronic 100 TB operation: streaming sinks and
+per-partition writers accrete small files until file-listing and
+per-file open overhead dominate scans; rewriting to size-targeted files
+restores scan efficiency. Compaction changes bytes-on-disk layout only —
+row content is asserted identical by the tests.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    version_col: str,
+) -> None:
+    """MERGE-emulation: rows in ``updates`` replace existing rows with the
+    same key when their ``version_col`` is newer (ties break toward the
+    update); unmatched keys insert. Deterministic: survivor = max
+    (version, is_update) per key."""
+    if os.path.exists(path):
+        current = spark.read.parquet(path).withColumn(
+            "__is_update", F.lit(0)
+        )
+        merged = current.unionByName(
+            updates.withColumn("__is_update", F.lit(1))
+        )
+    else:
+        merged = updates.withColumn("__is_update", F.lit(1))
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.desc(version_col), F.desc("__is_update")
+    )
+    result = (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__is_update")
+    )
+    _rewrite(result, path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet directory into files sized near
+    ``target_file_bytes`` (computed from the table's current on-disk
+    size). Returns the new file count. Row content is unchanged —
+    compaction is purely a layout operation."""
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = spark.read.parquet(path).repartition(int(n_files))
+    _rewrite(df, path)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def _rewrite(df: DataFrame, path: str) -> None:
+    """Write df to a temp sibling dir, then swap it into place — a reader
+    racing the swap sees old-or-new, never a half-written table. (A real
+    lakehouse makes this a log commit; plain parquet can only approximate
+    with directory swap.)"""
+    tmp = f"{path}__rewrite_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
