@@ -60,6 +60,7 @@ _SAMPLER_PRIORITY = (
     "rollup_grouping_id_orders",
     "lateral_top2_orders",
     "forward_fill_values",
+    "array_set_ops_documents",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

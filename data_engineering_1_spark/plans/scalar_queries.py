@@ -460,3 +460,40 @@ def variant_props_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_SETOP_STOP = ("the", "a", "of", "and", "to", "in")
+
+
+@declared_query(
+    "array_set_ops_documents",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_intersect(t,
+                {list(_SETOP_STOP)})) AS INTEGER) AS n_stop_kinds,
+           CAST(len(list_distinct(t)) AS INTEGER) AS n_distinct,
+           CAST(len(list_distinct(list_filter(t,
+                x -> NOT list_contains({list(_SETOP_STOP)}, x))))
+                AS INTEGER) AS n_content_kinds
+    FROM tok
+    """,
+)
+def array_set_ops_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set-operation family: per document, the count of distinct
+    stopword kinds present (array_intersect), distinct token kinds
+    (array_distinct), and distinct non-stopword kinds (array_except) —
+    emitted as sizes because the two engines order set-op results
+    differently (set membership is identical; element order is not part
+    of the contract). All in-row, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in _SETOP_STOP])
+    t = F.split(F.lower("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(F.array_intersect(t, stop)).cast("int").alias("n_stop_kinds"),
+        F.size(F.array_distinct(t)).cast("int").alias("n_distinct"),
+        F.size(F.array_except(t, stop)).cast("int").alias("n_content_kinds"),
+    )
