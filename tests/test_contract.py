@@ -50,3 +50,17 @@ def test_oracle_parity_sf0001(spark, sf_dir, duck, name):
         p for p in compare(name, sdf, ddf) if not p.startswith("dtype-diff")
     ]
     assert not problems, problems
+
+
+def test_sampler_priority_names_are_declared():
+    """Every name in the sampler priority list must be a real declared
+    query — a typo would silently leave that query unprioritized."""
+    declared = set(entry_mod.queries())
+    missing = [n for n in entry_mod._SAMPLER_PRIORITY if n not in declared]
+    assert not missing, f"priority names not in queries(): {missing}"
+
+
+def test_priority_queries_lead_the_ordering():
+    names = list(entry_mod.queries())
+    k = len(entry_mod._SAMPLER_PRIORITY)
+    assert names[:k] == list(entry_mod._SAMPLER_PRIORITY)
