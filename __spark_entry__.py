@@ -61,6 +61,8 @@ _SAMPLER_PRIORITY = (
     "lateral_top2_orders",
     "forward_fill_values",
     "array_set_ops_documents",
+    "q9_product_profit",
+    "q11_important_stock",
     "map_ops_events",
     "hash_sample_orders",
     "train_test_split_docs",

@@ -850,3 +850,139 @@ def q20_promo_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_name")
         .orderBy("s_name")
     )
+
+
+# Q9/Q11 supply-cost surrogate: the fixture has no ps_supplycost, so unit
+# cost := 60% of the part's retail price — a deterministic function of
+# part, exact in DECIMAL on both engines.
+_O_UNIT_COST = (
+    "CAST(CAST(p_retailprice AS DECIMAL(12,2))"
+    " * CAST(0.60 AS DECIMAL(3,2)) AS DECIMAL(14,4))"
+)
+_O_LINE_COST = (
+    f"CAST({_O_UNIT_COST} * CAST(l_quantity AS DECIMAL(12,2))"
+    " AS DECIMAL(18,5))"
+)
+
+
+def _line_cost() -> F.Column:
+    unit = (
+        dec("p_retailprice").cast("decimal(12,2)")
+        * F.lit("0.60").cast("decimal(3,2)")
+    ).cast("decimal(14,4)")
+    return (unit * dec("l_quantity").cast("decimal(12,2)")).cast(
+        "decimal(18,5)"
+    )
+
+
+@declared_query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST({_O_DISC_PRICE} AS DECIMAL(18,5))
+                    - {_O_LINE_COST}) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY n.n_name, o_year
+    ORDER BY n.n_name, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): per supplier nation per
+    order year, sum of revenue minus supply cost over 'red' parts. The
+    fixture lacks ps_supplycost, so unit cost is the deterministic
+    60%-of-retail surrogate — the plan shape (three broadcast dims, one
+    lineitem x orders shuffle, LIKE-filtered part dim pushed into the
+    fact scan) is the canonical Q9.
+
+    All arithmetic is exact DECIMAL until the final cast, so the profit
+    doubles are bit-identical across engines under any partial-sum
+    order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("nation"))
+    profit_line = _disc_price().cast("decimal(18,5)") - _line_cost()
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_nation), li.l_suppkey == F.col("s_suppkey"))
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .select(
+            "nation",
+            F.year("o_orderdate").alias("o_year"),
+            profit_line.alias("line_profit"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("line_profit").cast("double").alias("profit"))
+        .orderBy("nation", "o_year")
+    )
+
+
+@declared_query(
+    "q11_important_stock",
+    oracle=f"""
+    WITH pv AS (
+        SELECT l.l_partkey, SUM({_O_LINE_COST}) AS val
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name = 'NATION_7'
+        GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(val AS DOUBLE) AS stock_value
+    FROM pv
+    WHERE val > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(6,4)) FROM pv)
+    ORDER BY stock_value DESC, l_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): per-part stock value for one
+    nation's suppliers, kept when above a FRACTION OF THE GLOBAL TOTAL —
+    the distinctive scalar-subquery HAVING, expressed as a broadcast
+    1-row aggregate cross join (never a driver-side collect). Stock
+    value uses the Q9 surrogate (60%-of-retail x shipped quantity);
+    values and the threshold stay exact DECIMAL through the comparison,
+    so membership cannot flip on float addition order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_7"
+    )
+    nat_supp = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    pv = (
+        li.join(nat_supp, li.l_suppkey == nat_supp.s_suppkey, "left_semi")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(_line_cost()).alias("val"))
+    )
+    total = pv.agg(
+        (F.sum("val") * F.lit("0.001").cast("decimal(6,4)")).alias(
+            "threshold"
+        )
+    )
+    return (
+        pv.crossJoin(F.broadcast(total))
+        .filter(F.col("val") > F.col("threshold"))
+        .select(
+            "l_partkey", F.col("val").cast("double").alias("stock_value")
+        )
+        .orderBy(F.desc("stock_value"), "l_partkey")
+    )
