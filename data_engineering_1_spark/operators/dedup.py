@@ -269,21 +269,99 @@ def jaccard_pairs(
     pairs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_token_df_frac: float | None = None,
 ) -> DataFrame:
     """Token-set Jaccard for given (doc_a, doc_b) pairs via an inverted
-    index: shared-token counts come from an equi-join on token."""
+    index: shared-token counts come from an equi-join on token.
+
+    ``max_token_df_frac`` is the hot-token skew valve: tokens present in
+    more than that fraction of documents (stop-word class — at corpus
+    scale each one fans the inverted index into a giant join group) are
+    pulled OUT of the token equi-join and routed through per-document
+    sorted hot-token arrays intersected per candidate pair instead. The
+    split is EXACT, not approximate: every token still contributes to
+    n_shared exactly once — cold tokens through the equi-join, hot
+    tokens through array_intersect on the two docs' (tiny: the hot
+    vocabulary is at most index_rows / (frac * n_docs) tokens) arrays —
+    and doc sizes are unaffected, so the Jaccard values are identical to
+    the uncapped path for EVERY pair at ANY threshold (pinned by
+    tests/test_dedup_text.py). The remaining joins key on doc ids, whose
+    fan-out the LSH candidate generation already bounds.
+    """
     doc_tokens = df.select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
     sizes = doc_tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
-    ta = doc_tokens.select(F.col(id_col).alias("doc_a"), "tok")
-    tb = doc_tokens.select(F.col(id_col).alias("doc_b"), "tok")
-    shared = (
-        pairs.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
+    if max_token_df_frac is None:
+        ta = doc_tokens.select(F.col(id_col).alias("doc_a"), "tok")
+        tb = doc_tokens.select(F.col(id_col).alias("doc_b"), "tok")
+        shared = (
+            pairs.join(ta, "doc_a")
+            .join(tb, ["doc_b", "tok"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+    else:
+        # hot = tokens in > frac of all docs; the doc count arrives as a
+        # broadcast 1-row scalar so the cut stays fully lazy
+        ndocs = doc_tokens.select(id_col).distinct().agg(
+            F.count(F.lit(1)).alias("__nd")
+        )
+        hot = (
+            doc_tokens.groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .crossJoin(F.broadcast(ndocs))
+            .filter(
+                F.col("__df") > F.lit(max_token_df_frac) * F.col("__nd")
+            )
+            .select("tok")
+        )
+        cold = doc_tokens.join(F.broadcast(hot), "tok", "left_anti")
+        hot_sets = (
+            doc_tokens.join(F.broadcast(hot), "tok", "left_semi")
+            .groupBy(id_col)
+            .agg(F.array_sort(F.collect_list("tok")).alias("__hot"))
+        )
+        ca = cold.select(F.col(id_col).alias("doc_a"), "tok")
+        cb = cold.select(F.col(id_col).alias("doc_b"), "tok")
+        cold_shared = (
+            pairs.join(ca, "doc_a")
+            .join(cb, ["doc_b", "tok"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("__n_cold"))
+        )
+        empty = F.array().cast("array<string>")
+        shared = (
+            pairs.join(cold_shared, ["doc_a", "doc_b"], "left")
+            .join(
+                hot_sets.select(
+                    F.col(id_col).alias("doc_a"), F.col("__hot").alias("__hot_a")
+                ),
+                "doc_a",
+                "left",
+            )
+            .join(
+                hot_sets.select(
+                    F.col(id_col).alias("doc_b"), F.col("__hot").alias("__hot_b")
+                ),
+                "doc_b",
+                "left",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.coalesce("__n_cold", F.lit(0))
+                    + F.size(
+                        F.array_intersect(
+                            F.coalesce("__hot_a", empty),
+                            F.coalesce("__hot_b", empty),
+                        )
+                    )
+                ).alias("n_shared"),
+            )
+            .filter(F.col("n_shared") > 0)
+        )
     sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_tok").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_tok").alias("n_b"))
     return (

@@ -87,11 +87,27 @@ def _rewrite(df: DataFrame, path: str) -> None:
     """Write df to a temp sibling dir, then swap it into place — a reader
     racing the swap sees old-or-new, never a half-written table. (A real
     lakehouse makes this a log commit; plain parquet can only approximate
-    with directory swap.)"""
+    with directory swap.)
+
+    Crash safety of the swap itself: the old data moves to the
+    DETERMINISTIC sibling ``<path>__old`` (so a crashed run's data is
+    findable, not stranded under a random suffix), and a failure between
+    the two renames restores the original directory before re-raising —
+    the table is old-or-new after any single fault, never absent.
+    """
     tmp = f"{path}__rewrite_{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    old = f"{path}__old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    moved = False
     if os.path.exists(path):
         os.rename(path, old)
-    os.rename(tmp, path)
+        moved = True
+    try:
+        os.rename(tmp, path)
+    except BaseException:
+        if moved:
+            os.rename(old, path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     shutil.rmtree(old, ignore_errors=True)

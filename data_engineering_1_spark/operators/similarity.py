@@ -356,6 +356,14 @@ def ivf_topk_search(
     prune); the final top-k is TakeOrderedAndProject over the probed
     slice. Recall is governed by nprobe exactly as in FAISS-style IVF;
     nprobe = n_clusters degenerates to exact search.
+
+    The final top-k is GLOBAL (one result list), so the contract is a
+    single-row ``query`` — many queries at once would mix candidate
+    lists; use :func:`ivf_knn_join` for per-query top-k. The probe
+    ranking itself is per-query-correct regardless (each query row gets
+    its own id before centroid ranking), so a multi-row input degrades
+    to "union of every query's probes", never to cross-query-mixed
+    nprobe-total probes.
     """
     cents = centroids if centroids is not None else label_centroids(
         vectors, label_col=label_col, vec_col=vec_col
@@ -368,14 +376,15 @@ def ivf_topk_search(
     )
     probe = ivf_assign(
         query.select(
-            F.lit(-1).alias(id_col), F.col(query_vec_col).alias(vec_col)
+            F.monotonically_increasing_id().alias(id_col),
+            F.col(query_vec_col).alias(vec_col),
         ),
         cents,
         label_col=label_col,
         vec_col=vec_col,
         id_col=id_col,
         n_best=nprobe,
-    ).select("assigned_label")
+    ).select("assigned_label").distinct()
     cand_ids = assign.join(
         F.broadcast(probe), "assigned_label", "left_semi"
     ).select(id_col)
@@ -384,6 +393,137 @@ def ivf_topk_search(
         cand, query, k=k, vec_col=vec_col,
         query_vec_col=query_vec_col, id_col=id_col,
     )
+
+
+def ivf_knn_join(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = DEFAULT_TOP_K,
+    nprobe: int = 2,
+    centroids: DataFrame | None = None,
+    assignment: DataFrame | None = None,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Multi-query IVF search: per query row, probe its own best
+    ``nprobe`` clusters and return ITS cosine top-k — the batched ANN
+    lookup path (contrast :func:`ivf_topk_search`, whose global top-k is
+    a single-query contract).
+
+    Scale shape: probes are per-query (window over the tiny
+    query x centroid dot table), the candidate cut joins the stored
+    assignment against the broadcast probe list — each query scans only
+    its probed clusters' members — and the per-query ranking is one
+    shuffle on query_id, exactly knn_join's shape but over 1/n_clusters
+    of the corpus per query.
+    """
+    cents = centroids if centroids is not None else label_centroids(
+        vectors, label_col=label_col, vec_col=vec_col
+    )
+    assign = (
+        assignment
+        if assignment is not None
+        else ivf_assign(vectors, cents, label_col=label_col,
+                        vec_col=vec_col, id_col=id_col)
+    )
+    probe = ivf_assign(
+        queries.select(
+            F.col(query_id_col).alias(id_col),
+            F.col(query_vec_col).alias(vec_col),
+        ),
+        cents,
+        label_col=label_col,
+        vec_col=vec_col,
+        id_col=id_col,
+        n_best=nprobe,
+    ).select(F.col(id_col).alias(query_id_col), "assigned_label")
+    # per-query candidate ids: every vector assigned to one of THIS
+    # query's probed clusters
+    cand_ids = assign.select(
+        id_col, "assigned_label"
+    ).join(F.broadcast(probe), "assigned_label").select(query_id_col, id_col)
+    cand = with_norm(vectors, vec_col, "__norm_v").join(cand_ids, id_col)
+    scored = cand.join(
+        F.broadcast(
+            with_norm(queries, query_vec_col, "__norm_q")
+        ),
+        query_id_col,
+    ).withColumn(
+        "cosine_sim",
+        F.round(
+            paired_cosine(vec_col, query_vec_col, "__norm_v", "__norm_q"),
+            6,
+        ),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= k)
+        .select(query_id_col, id_col, "cosine_sim", "rn")
+    )
+
+
+IVF_INDEX_CENTROIDS = "centroids"
+IVF_INDEX_ASSIGNMENT = "assignment"
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    index_dir: str,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    force: bool = False,
+) -> tuple[str, str]:
+    """Materialize the IVF index — (label, pos, centroid_val) centroids
+    and (vec_id, assigned_label) assignment — as parquet tables under
+    ``index_dir``, so steady-state ANN queries read the stored index
+    instead of rebuilding it per lookup (at 100 TB an in-query rebuild
+    is a full corpus aggregate per search; the stored index amortizes it
+    across every query until the next build).
+
+    The assignment is computed FROM the read-back stored centroids, so
+    both tables reflect exactly the same (rounded, parquet-roundtripped)
+    values a query will read. Writes go through maintenance._rewrite:
+    old-or-new under crashes, never half-built. Returns the two paths.
+    """
+    import os
+
+    from .maintenance import _rewrite
+
+    cent_path = os.path.join(index_dir, IVF_INDEX_CENTROIDS)
+    asg_path = os.path.join(index_dir, IVF_INDEX_ASSIGNMENT)
+    spark = vectors.sparkSession
+    if force or not _parquet_exists(spark, cent_path):
+        _rewrite(
+            label_centroids(vectors, label_col=label_col, vec_col=vec_col),
+            cent_path,
+        )
+    if force or not _parquet_exists(spark, asg_path):
+        _rewrite(
+            ivf_assign(
+                vectors,
+                spark.read.parquet(cent_path),
+                label_col=label_col,
+                vec_col=vec_col,
+                id_col=id_col,
+            ),
+            asg_path,
+        )
+    return cent_path, asg_path
+
+
+def _parquet_exists(spark, path: str) -> bool:
+    try:
+        spark.read.parquet(path).schema
+        return True
+    except Exception:
+        return False
 
 
 def approx_neighbor_pairs_lsh(

@@ -130,10 +130,15 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7 verification stage: token-set Jaccard >= 0.8 over the LSH
     candidates, computed through an inverted index (equi-join on token) —
     the candidate filter plus verify shape of a production near-dup
-    pipeline."""
+    pipeline. Stop-word-class tokens (in >50% of docs) bypass the token
+    equi-join through per-doc hot arrays — an exact rewrite (same
+    n_shared, same hash) that removes the skewed join groups a hot token
+    creates at 100x corpus scale."""
     docs = load_table(spark, sf_dir, "documents")
     cands = lsh_candidate_pairs(minhash_signatures(docs))
-    return jaccard_pairs(docs, cands).filter(F.col("jaccard") >= 0.8)
+    return jaccard_pairs(docs, cands, max_token_df_frac=0.5).filter(
+        F.col("jaccard") >= 0.8
+    )
 
 
 # DuckDB twin of operators/dedup.py:simhash — token hash = first 8 md5 hex
@@ -265,7 +270,9 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
-        docs, lsh_candidate_pairs(minhash_signatures(docs))
+        docs,
+        lsh_candidate_pairs(minhash_signatures(docs)),
+        max_token_df_frac=0.5,
     ).filter(F.col("jaccard") >= 0.8)
     comp = connected_components(
         pairs, src="doc_a", dst="doc_b", node_out="doc_id"

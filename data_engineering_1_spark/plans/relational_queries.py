@@ -597,6 +597,93 @@ def nation_extremes_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "orders_right_outer_customer",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+           o.o_orderkey,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def orders_right_outer_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 right outer join: every customer, paired with their urgent
+    orders — customers with none survive with NULL order columns (the
+    literal right-outer leg of §2.6 J2; left/full are declared
+    elsewhere). The preserved (customer) side is the small one, so the
+    planner may broadcast the filtered orders build side; semantics are
+    what's pinned here."""
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    cu = load_table(spark, sf_dir, "customer")
+    return od.join(cu, od.o_custkey == cu.c_custkey, "right").select(
+        "c_custkey",
+        "c_mktsegment",
+        "o_orderkey",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+@declared_query(
+    "nulls_ordering_readings",
+    oracle="""
+    WITH masked AS (
+        SELECT event_id, user_id,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                   AS reading
+        FROM events
+    )
+    SELECT event_id, user_id, CAST(reading AS DOUBLE) AS reading,
+           CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY reading ASC NULLS FIRST, event_id) AS INTEGER)
+               AS rn_nulls_first,
+           CAST(row_number() OVER (PARTITION BY user_id
+                ORDER BY reading DESC NULLS LAST, event_id) AS INTEGER)
+               AS rn_nulls_last
+    FROM masked
+    ORDER BY reading ASC NULLS FIRST, event_id
+    LIMIT 500
+    """,
+)
+def nulls_ordering_readings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 explicit nulls-ordering: sensor readings with synthesized
+    dropout (error events -> NULL) ranked per user under ASC NULLS FIRST
+    and DESC NULLS LAST, then a global asc_nulls_first top-500. Both the
+    window ranks and WHICH rows the limit selects depend on null
+    placement, so the value hash pins the semantics users hit when
+    porting between engines (Spark's default = NULLS FIRST for ASC,
+    NULLS LAST for DESC; other engines differ). The limit compiles to
+    TakeOrderedAndProject — no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value"))
+        .cast("double")
+        .alias("reading"),
+    )
+    w_nf = Window.partitionBy("user_id").orderBy(
+        F.col("reading").asc_nulls_first(), "event_id"
+    )
+    w_nl = Window.partitionBy("user_id").orderBy(
+        F.col("reading").desc_nulls_last(), "event_id"
+    )
+    return (
+        masked.select(
+            "event_id",
+            "user_id",
+            "reading",
+            F.row_number().over(w_nf).cast("int").alias("rn_nulls_first"),
+            F.row_number().over(w_nl).cast("int").alias("rn_nulls_last"),
+        )
+        .orderBy(F.col("reading").asc_nulls_first(), "event_id")
+        .limit(500)
+    )
+
+
+@declared_query(
     "grouping_sets_orders",
     oracle="""
     SELECT o_orderpriority, o_orderstatus,

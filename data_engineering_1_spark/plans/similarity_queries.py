@@ -8,6 +8,8 @@ assignment (the 100 TB ANN scale path).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -264,3 +266,86 @@ def ivf_topk_search_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_search(emb, query, k=5, nprobe=2).select(
         "vec_id", "label", "cosine_sim"
     )
+
+
+def _ivf_index_dir(sf_dir: str) -> str:
+    """Per-fixture stored-index location (spark-warehouse is the repo's
+    generated-artifact dir, gitignored)."""
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)
+    )))
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(repo, "spark-warehouse", "ivf_index", tag)
+
+
+@declared_query(
+    "ivf_topk_search_cached_vec0",
+    oracle=f"""
+    WITH cent AS (
+        {_O_CENTROIDS}
+    ), dots AS (
+        SELECT e.vec_id, c.label AS centroid_label,
+               CAST(SUM(CAST(e.embedding[c.pos] AS DECIMAL(18,8))
+                        * CAST(c.centroid_val AS DECIMAL(12,6)))
+                    AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN cent c
+        GROUP BY e.vec_id, c.label
+    ), assign AS (
+        SELECT vec_id, centroid_label AS assigned_label
+        FROM (
+            SELECT vec_id, centroid_label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, centroid_label) AS rn
+            FROM dots
+        ) t WHERE rn = 1
+    ), probe AS (
+        SELECT centroid_label FROM dots
+        WHERE vec_id = 0
+        ORDER BY dot DESC, centroid_label
+        LIMIT 2
+    ), q AS (
+        SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0
+    ), cand AS (
+        SELECT e.vec_id, e.label, e.embedding
+        FROM embeddings e
+        JOIN assign a ON e.vec_id = a.vec_id
+        JOIN probe p ON a.assigned_label = p.centroid_label
+    )
+    SELECT c.vec_id, c.label,
+           CAST(ROUND({o_cosine('c.embedding', 'q.query_vec')}, 6) AS DOUBLE)
+               AS cosine_sim
+    FROM cand c CROSS JOIN q
+    ORDER BY cosine_sim DESC, c.vec_id
+    LIMIT 5
+    """,
+)
+def ivf_topk_search_cached_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The steady-state ANN path: same IVF probed top-5 as
+    ivf_topk_search_vec0, but over a STORED index — centroids and
+    assignment persisted once (operators/similarity.py::build_ivf_index)
+    and read back as parquet, so the per-query plan is only
+    probe -> semi-join -> top-k. At 100 TB this is the difference between
+    a full-corpus aggregate per lookup and a broadcast of a tiny stored
+    table; the index build amortizes across every subsequent query. The
+    oracle recomputes the index from first principles via CTEs — the
+    stored tables are a deterministic function of the corpus, so the
+    hash-match proves the cached path reproduces the spec exactly
+    (a plan pin in tests/test_plan_shapes.py proves no centroid rebuild
+    appears in the query plan)."""
+    from ..operators.similarity import build_ivf_index, ivf_topk_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_path, asg_path = build_ivf_index(emb, _ivf_index_dir(sf_dir))
+    query = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk_search(
+        emb,
+        query,
+        k=5,
+        nprobe=2,
+        centroids=spark.read.parquet(cent_path),
+        assignment=spark.read.parquet(asg_path).select(
+            "vec_id", "assigned_label"
+        ),
+    ).select("vec_id", "label", "cosine_sim")

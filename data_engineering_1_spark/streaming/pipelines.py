@@ -282,13 +282,39 @@ def _make_session_fn(gap_us: int):
         ts_us = (
             rows["ts"].astype("datetime64[us]").astype("int64").sort_values()
         )
+        events = [int(v) for v in ts_us]
+        out = []
         if state.exists:
             start_us, last_us, n = state.get
+            # Cross-batch out-of-order: events above the watermark may
+            # still precede the stored session's start. Sessionize that
+            # prefix on its own, then merge its tail into the stored
+            # session when the gap allows — lowering start_us to the true
+            # min, exactly like the batch twin's min(ts) — instead of
+            # folding early events in without ever moving the start.
+            before = [t for t in events if t < start_us]
+            after = [t for t in events if t >= start_us]
+            cur = None  # open (start, last, count) among the early events
+            for t in before:
+                if cur is None:
+                    cur = [t, t, 1]
+                elif t - cur[1] > gap_us:
+                    out.append(emit(*cur))
+                    cur = [t, t, 1]
+                else:
+                    cur[1] = t
+                    cur[2] += 1
+            if cur is not None:
+                if start_us - cur[1] <= gap_us:
+                    start_us = cur[0]
+                    n += cur[2]
+                else:
+                    out.append(emit(*cur))
         else:
-            first = int(ts_us.iloc[0])
+            after = events
+            first = events[0]
             start_us, last_us, n = first, first, 0
-        out = []
-        for t in (int(v) for v in ts_us):
+        for t in after:
             if n > 0 and t - last_us > gap_us:
                 out.append(emit(start_us, last_us, n))
                 start_us, n = t, 0

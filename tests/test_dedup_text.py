@@ -68,6 +68,47 @@ def test_jaccard_values(spark):
     assert (1, 3) not in got or got[(1, 3)] == 0.0  # no shared tokens -> no row
 
 
+def test_jaccard_hot_token_split_is_exact(spark, sf_dir):
+    """The hot-token valve (max_token_df_frac) must be an exact rewrite:
+    identical (pair, jaccard) rows as the plain inverted-index join on
+    the fixture corpus over the real LSH candidates — at every value,
+    not just at the 0.8 threshold — and the fixture must actually
+    exercise the hot path (a nonempty hot vocabulary)."""
+    from data_engineering_1_spark.io import load_table
+    from data_engineering_1_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cands = lsh_candidate_pairs(minhash_signatures(docs)).cache()
+    plain = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, cands).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(docs, cands, max_token_df_frac=0.5).collect()
+    }
+    assert capped == plain
+    # the valve must not be vacuous on this corpus
+    from pyspark.sql import functions as F
+
+    from data_engineering_1_spark.operators.textanalysis import tokens
+
+    dt = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    )
+    n_docs = docs.count()
+    n_hot = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 0.5 * n_docs)
+        .count()
+    )
+    assert n_hot > 0, "fixture has no hot tokens; the exactness pin is vacuous"
+
+
 def test_word_counts(spark):
     df = doc_df(spark)
     wc = {r.word: r.n for r in word_counts(df, "text").collect()}

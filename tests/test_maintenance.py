@@ -69,6 +69,41 @@ def test_upsert_is_idempotent(spark, tmp_path):
     assert first == second
 
 
+def test_rewrite_swap_failure_restores_table(spark, tmp_path, monkeypatch):
+    """A fault between the two swap renames must leave the table as
+    old-or-new — never absent with the data stranded in a side dir."""
+    from data_engineering_1_spark.operators import maintenance
+
+    path = str(tmp_path / "tbl4")
+    spark.createDataFrame(
+        [(1, "a", 1)], "id long, v string, ver int"
+    ).write.parquet(path)
+
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if src.startswith(path + "__rewrite_"):  # the tmp -> path leg
+            raise OSError("injected fault between swap renames")
+        real_rename(src, dst)
+
+    monkeypatch.setattr(maintenance.os, "rename", failing_rename)
+    try:
+        upsert_parquet(
+            spark,
+            path,
+            spark.createDataFrame([(1, "b", 2)], "id long, v string, ver int"),
+            ["id"],
+            "ver",
+        )
+        raise AssertionError("injected fault did not propagate")
+    except OSError:
+        pass
+    monkeypatch.setattr(maintenance.os, "rename", real_rename)
+    # table restored with the ORIGINAL content; no stranded side dirs
+    assert spark.read.parquet(path).collect()[0]["v"] == "a"
+    assert glob.glob(path + "__*") == []
+
+
 def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     path = str(tmp_path / "frag")
     od = load_table(spark, sf_dir, "orders")

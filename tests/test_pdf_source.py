@@ -57,6 +57,50 @@ class TestSegmentLayout:
             "Different block type begins a new one here.",
         ]
 
+    def test_indentation_rule_dead_on_stripped_input(self):
+        """Fidelity pin for the documented dead rule (pdf.py:58-62,
+        reference pdf_extractor.py:93,:101): decode_pages strips every
+        distilled line, so the indentation-start test can never fire on
+        real input. Pin BOTH halves so a refactor can't silently "fix"
+        the rule into divergence: (a) the span-join path produces no
+        leading whitespace even from indented spans; (b) lines that
+        differ only by (pre-strip) indentation do NOT split."""
+        # (a) the distillation's span join (pdf.py:173-178) strips
+        spans = [{"text": "    indented start"}, {"text": "more  "}]
+        joined = "".join(
+            s["text"] + " " for s in spans if s.get("text", "").strip()
+        ).strip()
+        assert joined == "    indented start more".strip()
+        assert not joined[:1].isspace()
+        # (b) an already-stripped line that WAS indented in the source
+        # must not start a paragraph (no gap, no type change)
+        blocks = [
+            _block(
+                0,
+                0.0,
+                ("unindented first line of the very same paragraph.", 10.0),
+                ("was indented in the pdf source before stripping.", 12.0),
+            )
+        ]
+        assert P.segment_layout(blocks) == [
+            "unindented first line of the very same paragraph. "
+            "was indented in the pdf source before stripping."
+        ]
+        # the rule itself still exists for raw (unstripped) input — the
+        # fidelity reproduction of the reference's dead branch
+        raw_blocks = [
+            _block(
+                0,
+                0.0,
+                ("unindented first line of the very same paragraph.", 10.0),
+                ("    explicitly indented line splits on raw input.", 12.0),
+            )
+        ]
+        assert P.segment_layout(raw_blocks) == [
+            "unindented first line of the very same paragraph.",
+            "    explicitly indented line splits on raw input.",
+        ]
+
     def test_short_fragment_merges_forward(self):
         # <30 chars, no sentence-final punct -> carried into the next one
         blocks = [

@@ -151,6 +151,25 @@ def test_events_by_segment_dim_broadcast(plans):
     assert "SortMergeJoin" not in p
 
 
+def test_cached_ivf_search_no_index_rebuild(plans):
+    """The cached-index ANN query must READ the stored centroids +
+    assignment, never rebuild them: the centroid build's posexplode
+    fan-out (one row per vector x dimension, then a full-corpus
+    aggregate) may not appear anywhere in the query plan — at 100 TB
+    that generate+aggregate is an index rebuild per lookup."""
+    p = plans("ivf_topk_search_cached_vec0")
+    assert "posexplode" not in p  # the centroid build's signature op
+    assert "ivf_index" in p  # scans of the stored index tables
+    assert "TakeOrderedAndProject" in p  # final top-k, no global sort
+
+
+def test_uncached_ivf_search_does_rebuild(plans):
+    """Contrast pin: the from-scratch variant's plan DOES contain the
+    centroid build, so the cached pin above can't pass vacuously."""
+    p = plans("ivf_topk_search_vec0")
+    assert "posexplode" in p
+
+
 def test_training_pipeline_single_scan_bounded_exchanges(plans):
     """The composed corpus pipeline must stay ONE fused scan (clean +
     length/token filters all codegen into it) with exchanges only for the

@@ -217,6 +217,87 @@ class TestIvfTopkSearch:
         ]
         assert got == exp
 
+    def test_ivf_knn_join_matches_per_query_search(self, spark, sf_dir):
+        """The multi-query form must return, per query, exactly what the
+        single-query probed search returns for that query alone — the
+        regression this pins: a shared probe ranking that mixes queries
+        would return nprobe probes TOTAL instead of nprobe per query."""
+        from pyspark.sql import functions as F
+
+        from data_engineering_1_spark.io import load_table
+        from data_engineering_1_spark.operators.similarity import (
+            ivf_assign,
+            ivf_knn_join,
+            ivf_topk_search,
+            label_centroids,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        cents = label_centroids(emb)
+        assign = ivf_assign(emb, cents)
+        qids = [0, 7]
+        queries = emb.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        got = ivf_knn_join(
+            emb, queries, k=5, nprobe=2, centroids=cents, assignment=assign
+        ).toPandas()
+        for qid in qids:
+            single = ivf_topk_search(
+                emb,
+                emb.filter(F.col("vec_id") == qid).select(
+                    F.col("embedding").alias("query_vec")
+                ),
+                k=5,
+                nprobe=2,
+                centroids=cents,
+                assignment=assign,
+            ).select("vec_id", "cosine_sim").collect()
+            exp = [(r.vec_id, r.cosine_sim) for r in single]
+            mine = got[got["query_id"] == qid].sort_values("rn")
+            assert (
+                list(zip(mine["vec_id"], mine["cosine_sim"])) == exp
+            ), f"query {qid} diverged from its single-query search"
+
+    def test_build_ivf_index_roundtrip(self, spark, sf_dir, tmp_path):
+        """The stored index must read back exactly what the in-query
+        build produces (rounded doubles parquet-roundtrip losslessly),
+        and a rebuild must be skipped when the tables exist."""
+        import os
+
+        from data_engineering_1_spark.io import load_table
+        from data_engineering_1_spark.operators.similarity import (
+            build_ivf_index,
+            ivf_assign,
+            label_centroids,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        idx = str(tmp_path / "ivf")
+        cent_path, asg_path = build_ivf_index(emb, idx)
+        stored_c = {
+            (r.label, r.pos): r.centroid_val
+            for r in spark.read.parquet(cent_path).collect()
+        }
+        fresh_c = {
+            (r.label, r.pos): r.centroid_val
+            for r in label_centroids(emb).collect()
+        }
+        assert stored_c == fresh_c
+        stored_a = {
+            r.vec_id: r.assigned_label
+            for r in spark.read.parquet(asg_path).collect()
+        }
+        fresh_a = {
+            r.vec_id: r.assigned_label
+            for r in ivf_assign(emb, label_centroids(emb)).collect()
+        }
+        assert stored_a == fresh_a
+        mtime = os.path.getmtime(cent_path)
+        build_ivf_index(emb, idx)  # second call: no rewrite
+        assert os.path.getmtime(cent_path) == mtime
+
     def test_probed_search_candidates_only_from_probed_clusters(
         self, spark, sf_dir
     ):

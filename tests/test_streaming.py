@@ -483,6 +483,82 @@ def test_stateful_sessionize_timeout_emits_dangling_session(spark, tmp_path):
     assert u1.iloc[0]["session_end"] == t0 + timedelta(minutes=10)
 
 
+def test_stateful_sessionize_cross_batch_out_of_order(spark, tmp_path):
+    """Cross-micro-batch out-of-order events (above the watermark but
+    earlier than the stored session start) must be merged like the batch
+    twin's min(ts): within-gap events lower session_start; a far-earlier
+    event becomes its own earlier session — never silently folded into
+    the open session with an unchanged start.
+
+    Layout (gap 30m, watermark 6h so batch-2 stragglers stay on time):
+      batch 1: user 1 at t0+4h, t0+4h05m (open session), pusher user 2
+               at t0+8h  ->  watermark t0+2h.
+      batch 2: user 1 stragglers t0+2h30m (own session: 1h20m before the
+               next event), t0+3h50m (10m before stored start: merges,
+               start drops to 3h50m), t0+4h02m (inside the interval).
+      batch 3: pusher at t0+20h times out user 1's open session.
+    Expected user-1 sessions == batch twin: (2h30m, 2h30m, 1) and
+    (3h50m, 4h05m, 4)."""
+    from datetime import datetime, timedelta
+
+    src_dir = tmp_path / "ooo_events"
+    src_dir.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    f1 = src_dir / "b1.parquet"
+    _write_events_file(
+        f1,
+        [
+            (1, t0 + timedelta(hours=4), 1, "view"),
+            (2, t0 + timedelta(hours=4, minutes=5), 1, "view"),
+            (9, t0 + timedelta(hours=8), 2, "view"),
+        ],
+    )
+    f2 = src_dir / "b2.parquet"
+    _write_events_file(
+        f2,
+        [
+            (3, t0 + timedelta(hours=2, minutes=30), 1, "view"),
+            (4, t0 + timedelta(hours=3, minutes=50), 1, "view"),
+            (5, t0 + timedelta(hours=4, minutes=2), 1, "view"),
+        ],
+    )
+    f3 = src_dir / "b3.parquet"
+    _write_events_file(f3, [(10, t0 + timedelta(hours=20), 2, "view")])
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+    os.utime(f3, (1_000_000_200, 1_000_000_200))
+
+    out = _drain(
+        sp.sessionize_with_state(
+            sp.events_file_stream(
+                spark, str(src_dir),
+                max_files_per_trigger=1, path_glob="*.parquet",
+            ),
+            watermark="6 hours",
+        ),
+        "t_state_ooo",
+        tmp_path,
+        mode="append",
+    ).toPandas()
+    u1 = out[out["user_id"] == 1].sort_values("session_start")
+    got = [
+        (r.session_start, r.session_end, r.n_events)
+        for r in u1.itertuples(index=False)
+    ]
+    assert got == [
+        (
+            t0 + timedelta(hours=2, minutes=30),
+            t0 + timedelta(hours=2, minutes=30),
+            1,
+        ),
+        (
+            t0 + timedelta(hours=3, minutes=50),
+            t0 + timedelta(hours=4, minutes=5),
+            4,
+        ),
+    ], f"cross-batch out-of-order sessions diverged: {got}"
+
+
 def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     """Exactly-once across restarts: a second availableNow run sharing the
     first run's checkpoint must pick up ONLY files added since — the file
