@@ -51,6 +51,7 @@ _SAMPLER_PRIORITY = (
     "orders_right_outer_customer",
     "nulls_ordering_readings",
     "ivf_topk_search_cached_vec0",
+    "ivf_knn_join_mod100",
     # sampled once, in round 1
     "union_by_name_entities",
     "ship_lag_by_priority",

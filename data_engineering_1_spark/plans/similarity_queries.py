@@ -268,6 +268,89 @@ def ivf_topk_search_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@declared_query(
+    "ivf_knn_join_mod100",
+    oracle=f"""
+    WITH cent AS (
+        {_O_CENTROIDS}
+    ), dots AS (
+        SELECT e.vec_id, c.label AS centroid_label,
+               CAST(SUM(CAST(e.embedding[c.pos] AS DECIMAL(18,8))
+                        * CAST(c.centroid_val AS DECIMAL(12,6)))
+                    AS DOUBLE) AS dot
+        FROM embeddings e CROSS JOIN cent c
+        GROUP BY e.vec_id, c.label
+    ), assign AS (
+        SELECT vec_id, centroid_label AS assigned_label
+        FROM (
+            SELECT vec_id, centroid_label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, centroid_label) AS rn
+            FROM dots
+        ) t WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, centroid_label
+        FROM (
+            SELECT vec_id, centroid_label,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dot DESC, centroid_label) AS rn
+            FROM dots WHERE vec_id % 100 = 0
+        ) t WHERE rn <= 2
+    ), qs AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM embeddings WHERE vec_id % 100 = 0
+    ), cand AS (
+        SELECT p.query_id, a.vec_id
+        FROM probes p JOIN assign a ON a.assigned_label = p.centroid_label
+    )
+    SELECT query_id, vec_id, cosine_sim, rn
+    FROM (
+        SELECT c.query_id, c.vec_id,
+               CAST(ROUND({o_cosine('e.embedding', 'q.query_vec')}, 6)
+                    AS DOUBLE) AS cosine_sim,
+               CAST(row_number() OVER (
+                    PARTITION BY c.query_id
+                    ORDER BY ROUND({o_cosine('e.embedding', 'q.query_vec')}, 6)
+                             DESC, c.vec_id) AS INTEGER) AS rn
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN qs q ON q.query_id = c.query_id
+    ) ranked
+    WHERE rn <= 3
+    """,
+)
+def ivf_knn_join_mod100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched IVF ANN: every query vector (vec_id % 100 = 0) probes its
+    own best-2 clusters and gets its cosine top-3 over only those
+    clusters' members — the per-query-correct multi-query form
+    (operators/similarity.py::ivf_knn_join). This is the production
+    lookup shape at 100 TB: probes rank per query (window over the tiny
+    query x centroid table), the candidate cut joins the stored
+    assignment against the broadcast probe list, and the final ranking
+    is one shuffle on query_id over 1/n_clusters of the corpus. Like
+    ivf_topk_search_cached_vec0 it reads the STORED index (no in-query
+    centroid/assignment rebuild); the oracle recomputes the index from
+    first principles, proving the stored tables reproduce the spec."""
+    from ..operators.similarity import build_ivf_index, ivf_knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_path, asg_path = build_ivf_index(emb, _ivf_index_dir(sf_dir))
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    return ivf_knn_join(
+        emb,
+        queries,
+        k=3,
+        nprobe=2,
+        centroids=spark.read.parquet(cent_path),
+        assignment=spark.read.parquet(asg_path).select(
+            "vec_id", "assigned_label"
+        ),
+    )
+
+
 def _ivf_index_dir(sf_dir: str) -> str:
     """Per-fixture stored-index location (spark-warehouse is the repo's
     generated-artifact dir, gitignored)."""

@@ -163,6 +163,14 @@ def test_cached_ivf_search_no_index_rebuild(plans):
     assert "TakeOrderedAndProject" in p  # final top-k, no global sort
 
 
+def test_ivf_knn_join_no_index_rebuild(plans):
+    """The batched IVF lookup must also read the stored index — no
+    centroid-build posexplode in its plan."""
+    p = plans("ivf_knn_join_mod100")
+    assert "posexplode" not in p
+    assert "ivf_index" in p
+
+
 def test_uncached_ivf_search_does_rebuild(plans):
     """Contrast pin: the from-scratch variant's plan DOES contain the
     centroid build, so the cached pin above can't pass vacuously."""
