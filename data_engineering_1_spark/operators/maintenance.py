@@ -83,6 +83,48 @@ def compact_parquet(
     )
 
 
+def sort_layout(
+    spark: SparkSession,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet table range-partitioned + sorted on
+    ``sort_cols`` — the clustering (Z-order-lite) layout operation.
+
+    After the rewrite each file covers a narrow, non-overlapping range
+    of the leading sort column, so the parquet row-group min/max
+    statistics let any engine skip whole files/row groups for selective
+    predicates on those columns — the difference between reading 1/N of
+    a 100 TB table and scanning it. ``repartitionByRange`` samples the
+    key distribution, so files are near-equal-sized even under key skew
+    (a hash layout can't give range pruning; a global sort would funnel
+    through one task chain). Row content is unchanged — layout only,
+    same guarantee the compaction op makes. Returns the file count.
+    """
+    if n_files is None:
+        total = sum(
+            os.path.getsize(os.path.join(root, f))
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+        n_files = max(1, -(-total // target_file_bytes))  # ceil
+    df = (
+        spark.read.parquet(path)
+        .repartitionByRange(int(n_files), *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+    )
+    _rewrite(df, path)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def _rewrite(df: DataFrame, path: str) -> None:
     """Write df to a temp sibling dir, then swap it into place — a reader
     racing the swap sees old-or-new, never a half-written table. (A real

@@ -548,6 +548,52 @@ def run_foreach_batch_parquet(
         q.stop()
 
 
+def run_foreach_batch_upsert(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    version_col: str,
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> None:
+    """CDC sink: foreachBatch MERGEs each micro-batch into a keyed
+    parquet table (operators/maintenance.py::upsert_parquet — newest
+    version per key wins, unmatched keys insert). The streaming form of
+    the X35 upsert: a change stream continuously maintains a
+    latest-state table.
+
+    Exactly-once here comes from IDEMPOTENCE rather than epoch
+    isolation: replaying a batch re-merges the same rows, and
+    newest-wins dedup is a set operation — the table state after a
+    replay is identical (pinned by test). Combined with the checkpoint's
+    batch tracking, restarts neither lose nor duplicate updates. The
+    merge itself is one window over (existing ∪ batch) keyed rows and a
+    crash-safe directory swap."""
+    from ..operators.maintenance import upsert_parquet
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        upsert_parquet(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            key_cols=key_cols,
+            version_col=version_col,
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+
+
 def click_purchase_join_stream(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -69,6 +69,49 @@ def test_upsert_is_idempotent(spark, tmp_path):
     assert first == second
 
 
+def test_sort_layout_gives_nonoverlapping_file_ranges(spark, sf_dir, tmp_path):
+    """The clustering rewrite must produce files whose min/max ranges on
+    the sort key don't overlap (checked against the actual parquet
+    row-group statistics via pyarrow) — that disjointness is exactly
+    what makes predicate-driven file skipping possible — while leaving
+    row content untouched."""
+    import pyarrow.parquet as pq
+
+    from data_engineering_1_spark.operators.maintenance import sort_layout
+
+    path = str(tmp_path / "clustered")
+    od = load_table(spark, sf_dir, "orders")
+    od.repartition(8).write.parquet(path)  # hash layout: ranges overlap
+    before = od.count()
+
+    n = sort_layout(spark, path, ["o_orderdate", "o_orderkey"], n_files=6)
+    assert n >= 4  # range partitioner may merge near-empty buckets
+
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(path, "*.parquet"))):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "o_orderdate"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo, f"file key ranges overlap: {ranges}"
+
+    after = spark.read.parquet(path)
+    assert after.count() == before
+    assert (
+        after.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
+        == od.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
+    )
+
+
 def test_rewrite_swap_failure_restores_table(spark, tmp_path, monkeypatch):
     """A fault between the two swap renames must leave the table as
     old-or-new — never absent with the data stranded in a side dir."""

@@ -603,6 +603,63 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     assert both.select("event_id").distinct().count() == 17
 
 
+def test_foreach_batch_upsert_maintains_latest_state(
+    spark, sf_dir, events_batch, tmp_path
+):
+    """CDC sink: streaming foreachBatch upsert must leave the keyed table
+    holding exactly the newest version per key (the batch max-ts twin),
+    and replaying the merge of the final state must not change it —
+    idempotence is what makes the sink exactly-once under retries."""
+    table = str(tmp_path / "latest_events")
+    sp.run_foreach_batch_upsert(
+        sp.events_file_stream(spark, sf_dir),
+        table,
+        str(tmp_path / "ckpt_upsert"),
+        key_cols=["user_id", "event_type"],
+        version_col="ts",
+    )
+    got = (
+        spark.read.parquet(table)
+        .select("user_id", "event_type", "ts")
+        .toPandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        events_batch.groupBy("user_id", "event_type")
+        .agg(F.max("ts").alias("ts"))
+        .toPandas()
+        .sort_values(["user_id", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert (got["user_id"].values == exp["user_id"].values).all()
+    assert (got["event_type"].values == exp["event_type"].values).all()
+    assert (got["ts"].values == exp["ts"].values).all()
+
+    # replay: merging the table's own rows back in must be a no-op
+    from data_engineering_1_spark.operators.maintenance import upsert_parquet
+
+    before = sorted(
+        map(tuple, spark.read.parquet(table).select(
+            "user_id", "event_type", "ts"
+        ).collect())
+    )
+    upsert_parquet(
+        spark,
+        table,
+        spark.read.parquet(table),
+        key_cols=["user_id", "event_type"],
+        version_col="ts",
+    )
+    after = sorted(
+        map(tuple, spark.read.parquet(table).select(
+            "user_id", "event_type", "ts"
+        ).collect())
+    )
+    assert before == after
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch, tmp_path):
     """ST stream-stream interval join vs the plain batch theta join: same
     (purchase, click) pairs, drained with availableNow."""
