@@ -52,6 +52,7 @@ _SAMPLER_PRIORITY = (
     "nulls_ordering_readings",
     "ivf_topk_search_cached_vec0",
     "ivf_knn_join_mod100",
+    "doc_repetition_filter",
     # sampled once, in round 1
     "union_by_name_entities",
     "ship_lag_by_priority",

@@ -391,6 +391,66 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @declared_query(
+    "doc_repetition_filter",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_TOK} AS t FROM documents),
+    sh AS (
+        SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 2)) AS i) s
+        WHERE len(t) >= 3
+    ), agg AS (
+        SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_trigrams,
+               CAST(COUNT(DISTINCT shingle) AS INTEGER)
+                   AS n_distinct_trigrams
+        FROM sh GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.n_trigrams, 0) AS n_trigrams,
+           COALESCE(a.n_distinct_trigrams, 0) AS n_distinct_trigrams,
+           CAST(ROUND(CASE WHEN COALESCE(a.n_trigrams, 0) > 0
+                THEN 1.0 - CAST(a.n_distinct_trigrams AS DOUBLE)
+                           / a.n_trigrams
+                ELSE 0.0 END, 6) AS DOUBLE) AS dup_trigram_frac,
+           (ROUND(CASE WHEN COALESCE(a.n_trigrams, 0) > 0
+                THEN 1.0 - CAST(a.n_distinct_trigrams AS DOUBLE)
+                           / a.n_trigrams
+                ELSE 0.0 END, 6) < 0.1) AS keep
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 repetition-based quality gate (the C4/Gopher-style rule):
+    per document, the fraction of duplicate word trigrams — boilerplate
+    and templated spam score high, natural prose low — with the keep
+    decision at dup_frac < 0.1. Fully IN-ROW Spark (shingle array →
+    size/array_distinct arithmetic inside the projection, zero shuffles,
+    scan fused by codegen) vs DuckDB's unnest+GROUP BY twin; the keep
+    flag compares the ROUNDED fraction on both engines so a last-ulp
+    division difference can't flip a boundary document."""
+    from ..operators.dedup import shingles_from_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sh = shingles_from_tokens(toks, 3)
+    n_sh = F.size(sh)
+    n_distinct = F.size(F.array_distinct(sh))
+    dup = F.when(
+        n_sh > 0,
+        F.round(
+            F.lit(1.0) - n_distinct.cast("double") / n_sh.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        "doc_id",
+        n_sh.cast("int").alias("n_trigrams"),
+        n_distinct.cast("int").alias("n_distinct_trigrams"),
+        dup.alias("dup_trigram_frac"),
+        (dup < 0.1).alias("keep"),
+    )
+
+
+@declared_query(
     "training_corpus_pipeline",
     oracle="""
     WITH cleaned AS (

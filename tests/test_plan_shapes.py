@@ -178,6 +178,16 @@ def test_uncached_ivf_search_does_rebuild(plans):
     assert "posexplode" in p
 
 
+def test_repetition_filter_is_shuffle_free(plans):
+    """The C4/Gopher repetition gate is pure in-row arithmetic (shingle
+    array + size/array_distinct inside the projection) — one scan, zero
+    Exchange. A groupBy formulation would shuffle the whole corpus for a
+    per-row statistic."""
+    p = plans("doc_repetition_filter")
+    assert "Exchange" not in p
+    assert p.count("FileScan") == 1
+
+
 def test_training_pipeline_single_scan_bounded_exchanges(plans):
     """The composed corpus pipeline must stay ONE fused scan (clean +
     length/token filters all codegen into it) with exchanges only for the
