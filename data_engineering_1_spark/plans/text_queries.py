@@ -431,20 +431,36 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingles_from_tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    sh = shingles_from_tokens(toks, 3)
-    n_sh = F.size(sh)
-    n_distinct = F.size(F.array_distinct(sh))
+    # Bind tokens, then shingles, through separate projections: feeding
+    # the raw split(...) expression into the shingle transform (or
+    # referencing the shingle array twice) re-evaluates the upstream
+    # expression per element — measured ~100x slower at sf0.1 (the same
+    # trap operators/dedup.py::shingles_from_tokens documents).
+    sh = docs.select(
+        "doc_id", tokens("text").alias("__toks")
+    ).select(
+        "doc_id", shingles_from_tokens(F.col("__toks"), 3).alias("__sh")
+    )
+    counted = sh.select(
+        "doc_id",
+        F.size("__sh").cast("int").alias("n_trigrams"),
+        F.size(F.array_distinct("__sh")).cast("int").alias(
+            "n_distinct_trigrams"
+        ),
+    )
     dup = F.when(
-        n_sh > 0,
+        F.col("n_trigrams") > 0,
         F.round(
-            F.lit(1.0) - n_distinct.cast("double") / n_sh.cast("double"), 6
+            F.lit(1.0)
+            - F.col("n_distinct_trigrams").cast("double")
+            / F.col("n_trigrams").cast("double"),
+            6,
         ),
     ).otherwise(F.lit(0.0))
-    return docs.select(
+    return counted.select(
         "doc_id",
-        n_sh.cast("int").alias("n_trigrams"),
-        n_distinct.cast("int").alias("n_distinct_trigrams"),
+        "n_trigrams",
+        "n_distinct_trigrams",
         dup.alias("dup_trigram_frac"),
         (dup < 0.1).alias("keep"),
     )
