@@ -53,6 +53,7 @@ _SAMPLER_PRIORITY = (
     "ivf_topk_search_cached_vec0",
     "ivf_knn_join_mod100",
     "doc_repetition_filter",
+    "recursive_month_spine_orders",
     # sampled once, in round 1
     "union_by_name_entities",
     "ship_lag_by_priority",

@@ -822,3 +822,67 @@ def forward_fill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("filled_value"),
     )
+
+
+@declared_query(
+    "recursive_month_spine_orders",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ), spine(m, hi) AS (
+        SELECT lo, hi FROM bounds
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE), hi
+        FROM spine WHERE m < hi
+    ), agg AS (
+        SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders GROUP BY 1
+    )
+    SELECT s.m AS month_start,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           CAST(COALESCE(a.total_price, 0.0) AS DOUBLE) AS total_price
+    FROM spine s LEFT JOIN agg a ON a.m = s.m
+    """,
+)
+def recursive_month_spine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 WITH RECURSIVE surface (the SQL-standard iteration
+    primitive, new in Spark 4.x): a month spine generated by a monotone
+    recursion from min to max order month (terminating by construction —
+    Spark's recursive CTEs support UNION ALL members only, so cyclic
+    shapes still belong to operators/components.py's iterative loop),
+    left-joined to per-month order aggregates with zero-fill — the
+    recursive twin of the X5 sequence+explode gapfill. The recursion
+    depth is the month span (~80 levels), far under Spark's recursion
+    limit; the bounds row is carried THROUGH the recursion so the member
+    only references the spine itself."""
+    from ..io import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(date_trunc('MONTH', MIN(o_orderdate)) AS DATE) AS lo,
+                   CAST(date_trunc('MONTH', MAX(o_orderdate)) AS DATE) AS hi
+            FROM orders
+        ), spine(m, hi) AS (
+            SELECT lo, hi FROM bounds
+            UNION ALL
+            SELECT add_months(m, 1), hi FROM spine WHERE m < hi
+        ), agg AS (
+            SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+                   COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS total_price
+            FROM orders GROUP BY 1
+        )
+        SELECT s.m AS month_start,
+               COALESCE(a.n_orders, 0) AS n_orders,
+               CAST(COALESCE(a.total_price, 0.0) AS DOUBLE) AS total_price
+        FROM spine s LEFT JOIN agg a ON a.m = s.m
+        """
+    )
