@@ -252,3 +252,151 @@ class TestLshRecallProperties:
                 if by_doc[p.doc_a][b] == by_doc[p.doc_b].get(b)
             ]
             assert shared, f"pair ({p.doc_a},{p.doc_b}) shares no bucket"
+
+
+class _FakeGroupState:
+    """Minimal stand-in for pyspark's GroupState: enough surface to drive
+    the sessionizer's pure state machine without a streaming query."""
+
+    def __init__(self):
+        self._value = None
+        self.hasTimedOut = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self._value = tuple(v)
+
+    def remove(self):
+        self._value = None
+
+    def setTimeoutTimestamp(self, ms):
+        self.timeout_ms = ms
+
+
+class TestSessionizeStateMachine:
+    """Property: delivering a user's events across micro-batches must
+    reproduce exactly the batch sessionization (sort-all, gap split), for
+    every delivery schedule compatible with eager in-batch emission —
+    whole earlier sessions may arrive arbitrarily late (the
+    emit-earlier-session branch), and the final session's events may
+    arrive out of order as long as the delivered subset stays
+    gap-connected (outward-expanding delivery; a real stream's watermark
+    is what rules out retro-merges into already-emitted sessions). This
+    is the invariant the round-3 advisory bug broke: a later-batch event
+    earlier than the stored session start was folded in without lowering
+    session_start."""
+
+    GAP_US = 30 * 60 * 1_000_000
+
+    @staticmethod
+    def _batch_sessions(ts_list, gap_us):
+        out = []
+        for t in sorted(ts_list):
+            if out and t - out[-1][1] <= gap_us:
+                out[-1][1] = t
+                out[-1][2] += 1
+            else:
+                out.append([t, t, 1])
+        return [tuple(s) for s in out]
+
+    @staticmethod
+    def _split_sessions(events, gap_us):
+        sessions = []
+        for t in sorted(events):
+            if sessions and t - sessions[-1][-1] <= gap_us:
+                sessions[-1].append(t)
+            else:
+                sessions.append([t])
+        return sessions
+
+    @staticmethod
+    def _drive(batches, gap_us):
+        import pandas as pd
+
+        from data_engineering_1_spark.streaming.pipelines import (
+            _make_session_fn,
+        )
+
+        fn = _make_session_fn(gap_us)
+        state = _FakeGroupState()
+        emitted = []
+        for batch in batches:
+            if not batch:
+                continue
+            pdf = pd.DataFrame({"ts": pd.to_datetime(batch, unit="us")})
+            for out in fn((1,), iter([pdf]), state):
+                for r in out.itertuples(index=False):
+                    emitted.append(
+                        (
+                            int(r.session_start.value // 1000),
+                            int(r.session_end.value // 1000),
+                            int(r.n_events),
+                        )
+                    )
+        return emitted, state
+
+    @given(
+        st.lists(
+            st.integers(min_value=0, max_value=600),  # minutes; gap is 30
+            min_size=1,
+            max_size=30,
+        ),
+        st.data(),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_cross_batch_equals_batch_twin(self, minutes, data):
+        us = [m * 60 * 1_000_000 for m in minutes]
+        expected = self._batch_sessions(us, self.GAP_US)
+        sessions = self._split_sessions(us, self.GAP_US)
+
+        # batch 1: whole sessions 0..j-1 (in order)
+        j = data.draw(st.integers(0, len(sessions)), label="cut")
+        batch1 = [t for s in sessions[:j] for t in s]
+        rest = sessions[j:]
+        n_later = data.draw(st.integers(1, 3), label="n_later")
+        later = [[] for _ in range(n_later)]
+        if rest:
+            # the final remaining session is delivered outward from a
+            # contiguous seed window; every earlier remaining session is
+            # delivered whole, in any later batch
+            fin = rest[-1]
+            for s in rest[:-1]:
+                later[data.draw(st.integers(0, n_later - 1))].extend(s)
+            a = data.draw(st.integers(0, len(fin) - 1), label="win_lo")
+            b = data.draw(st.integers(a, len(fin) - 1), label="win_hi")
+            later[0].extend(fin[a : b + 1])
+            left = fin[:a][::-1]  # outward: descending
+            right = fin[b + 1 :]  # outward: ascending
+            for seq in (left, right):
+                # split into n_later contiguous pieces; piece i lands in
+                # later batch i, preserving outward order
+                cuts = sorted(
+                    data.draw(
+                        st.lists(
+                            st.integers(0, len(seq)),
+                            min_size=n_later - 1,
+                            max_size=n_later - 1,
+                        )
+                    )
+                )
+                bounds = [0, *cuts, len(seq)]
+                for i in range(n_later):
+                    later[i].extend(seq[bounds[i] : bounds[i + 1]])
+
+        emitted, state = self._drive([batch1, *later], self.GAP_US)
+        final = list(emitted)
+        if state.exists:
+            s, l, n = state.get
+            final.append((int(s), int(l), int(n)))
+        assert sorted(final) == sorted(expected), (
+            f"batch1={batch1} later={later} emitted={emitted} "
+            f"state={state.get} expected={expected}"
+        )
