@@ -479,6 +479,7 @@ def build_ivf_index(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     force: bool = False,
+    fingerprint: str | None = None,
 ) -> tuple[str, str]:
     """Materialize the IVF index — (label, pos, centroid_val) centroids
     and (vec_id, assigned_label) assignment — as parquet tables under
@@ -499,6 +500,20 @@ def build_ivf_index(
     cent_path = os.path.join(index_dir, IVF_INDEX_CENTROIDS)
     asg_path = os.path.join(index_dir, IVF_INDEX_ASSIGNMENT)
     spark = vectors.sparkSession
+    # Staleness guard: an index must never outlive its corpus. Callers
+    # pass a fingerprint of the source (e.g. file mtime+size); a mismatch
+    # with the stored one forces a rebuild — otherwise a regenerated
+    # fixture would silently serve a stale index.
+    fp_path = os.path.join(index_dir, "fingerprint.txt")
+    if fingerprint is not None:
+        stored = None
+        try:
+            with open(fp_path) as fh:
+                stored = fh.read()
+        except OSError:
+            pass
+        if stored != fingerprint:
+            force = True
     if force or not _parquet_exists(spark, cent_path):
         _rewrite(
             label_centroids(vectors, label_col=label_col, vec_col=vec_col),
@@ -515,6 +530,10 @@ def build_ivf_index(
             ),
             asg_path,
         )
+    if fingerprint is not None:
+        os.makedirs(index_dir, exist_ok=True)
+        with open(fp_path, "w") as fh:
+            fh.write(fingerprint)
     return cent_path, asg_path
 
 

@@ -334,7 +334,9 @@ def ivf_knn_join_mod100(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import build_ivf_index, ivf_knn_join
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_path, asg_path = build_ivf_index(emb, _ivf_index_dir(sf_dir))
+    cent_path, asg_path = build_ivf_index(
+        emb, _ivf_index_dir(sf_dir), fingerprint=_ivf_fingerprint(sf_dir)
+    )
     queries = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("query_vec"),
@@ -359,6 +361,15 @@ def _ivf_index_dir(sf_dir: str) -> str:
     )))
     tag = os.path.basename(os.path.normpath(sf_dir))
     return os.path.join(repo, "spark-warehouse", "ivf_index", tag)
+
+
+def _ivf_fingerprint(sf_dir: str) -> str:
+    """Source fingerprint (mtime_ns:size of the embeddings parquet) so a
+    regenerated fixture invalidates any stored index built from the old
+    data instead of silently serving stale centroids/assignments."""
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    stat = os.stat(src)
+    return f"{stat.st_mtime_ns}:{stat.st_size}"
 
 
 @declared_query(
@@ -418,7 +429,9 @@ def ivf_topk_search_cached_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import build_ivf_index, ivf_topk_search
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cent_path, asg_path = build_ivf_index(emb, _ivf_index_dir(sf_dir))
+    cent_path, asg_path = build_ivf_index(
+        emb, _ivf_index_dir(sf_dir), fingerprint=_ivf_fingerprint(sf_dir)
+    )
     query = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("query_vec")
     )

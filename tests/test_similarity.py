@@ -297,6 +297,14 @@ class TestIvfTopkSearch:
         mtime = os.path.getmtime(cent_path)
         build_ivf_index(emb, idx)  # second call: no rewrite
         assert os.path.getmtime(cent_path) == mtime
+        # same fingerprint: still cached; changed fingerprint (source
+        # data regenerated): forced rebuild — stale indexes must die
+        build_ivf_index(emb, idx, fingerprint="src-v1")
+        m2 = os.path.getmtime(cent_path)
+        build_ivf_index(emb, idx, fingerprint="src-v1")
+        assert os.path.getmtime(cent_path) == m2
+        build_ivf_index(emb, idx, fingerprint="src-v2")
+        assert os.path.getmtime(cent_path) > m2
 
     def test_probed_search_candidates_only_from_probed_clusters(
         self, spark, sf_dir
