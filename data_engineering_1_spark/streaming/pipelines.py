@@ -594,6 +594,80 @@ def run_foreach_batch_upsert(
         q.stop()
 
 
+def run_foreach_batch_rollup(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    value_col: str = "value",
+    output_mode: str = "append",
+    timeout_sec: int = 120,
+) -> None:
+    """Incremental materialized-view maintenance: each micro-batch's
+    per-key partial aggregate (count, decimal sum) is MERGEd into a
+    stored partials table keyed by (keys..., __epoch), and the MV read
+    (:func:`read_rollup`) folds the partials. The additive twin of the
+    X42 latest-state sink.
+
+    Exactly-once WITHOUT a side meta-file: a replayed batchId re-derives
+    the identical partial rows and the upsert replaces its own previous
+    (keys, epoch) rows — a set-idempotent merge — so retries/restarts
+    can neither lose nor double-count an epoch. Storing per-epoch
+    partials (instead of read-modify-writing one running total) is what
+    makes that possible; a periodic compaction can fold old epochs
+    without changing read results."""
+    from ..operators.maintenance import upsert_parquet
+
+    def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = (
+            batch_df.groupBy(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.coalesce(F.col(value_col), F.lit(0.0)).cast(
+                        "decimal(18,2)"
+                    )
+                ).alias("sum_value"),
+            )
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+        )
+        upsert_parquet(
+            batch_df.sparkSession,
+            table_path,
+            partial,
+            key_cols=[*key_cols, "__epoch"],
+            version_col="__epoch",
+        )
+
+    q = (
+        stream_df.writeStream.foreachBatch(merge_batch)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_sec)
+    finally:
+        q.stop()
+
+
+def read_rollup(
+    spark: SparkSession, table_path: str, key_cols: list[str]
+) -> DataFrame:
+    """The MV read over run_foreach_batch_rollup's partials table: fold
+    per-epoch partials into the current totals (counts and decimal sums
+    are re-aggregable, so the fold is exact under any epoch layout)."""
+    return (
+        spark.read.parquet(table_path)
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+    )
+
+
 def click_purchase_join_stream(
     clicks: DataFrame,
     purchases: DataFrame,

@@ -660,6 +660,78 @@ def test_foreach_batch_upsert_maintains_latest_state(
     assert before == after
 
 
+def test_foreach_batch_rollup_incremental_mv(
+    spark, sf_dir, events_batch, tmp_path
+):
+    """Incremental MV: per-epoch partial aggregates merged per batch must
+    fold to exactly the batch groupBy, across MULTIPLE micro-batches
+    (maxFilesPerTrigger=1 over two source files), and replaying an
+    epoch's merge must leave the MV unchanged (set-idempotent upsert)."""
+    from datetime import datetime, timedelta
+
+    src_dir = tmp_path / "mv_events"
+    src_dir.mkdir()
+    t0 = datetime(2024, 1, 1)
+    f1 = src_dir / "a.parquet"
+    _write_events_file(
+        f1, [(i, t0 + timedelta(minutes=i), i % 5, "view") for i in range(40)]
+    )
+    f2 = src_dir / "b.parquet"
+    _write_events_file(
+        f2,
+        [(100 + i, t0 + timedelta(hours=1, minutes=i), i % 3, "click")
+         for i in range(30)],
+    )
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+
+    table = str(tmp_path / "mv_user_totals")
+    sp.run_foreach_batch_rollup(
+        sp.events_file_stream(
+            spark, str(src_dir), max_files_per_trigger=1, path_glob="*.parquet"
+        ),
+        table,
+        str(tmp_path / "ckpt_mv"),
+        key_cols=["user_id"],
+        value_col="value",
+    )
+    # more than one epoch was merged
+    assert (
+        spark.read.parquet(table).select("__epoch").distinct().count() >= 2
+    )
+    src = spark.read.parquet(str(src_dir))
+    exp = (
+        src.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        sp.read_rollup(spark, table, ["user_id"])
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert (got["user_id"].values == exp["user_id"].values).all()
+    assert (got["n_rows"].values == exp["n_rows"].values).all()
+    assert (got["sum_value"].values == exp["sum_value"].values).all()
+
+    # replay epoch 0's merge: identical partial rows replace themselves
+    from data_engineering_1_spark.operators.maintenance import upsert_parquet
+
+    epoch0 = spark.read.parquet(table).filter(F.col("__epoch") == 0)
+    before = sorted(map(tuple, spark.read.parquet(table).collect()))
+    upsert_parquet(
+        spark, table, epoch0, ["user_id", "__epoch"], "__epoch"
+    )
+    after = sorted(map(tuple, spark.read.parquet(table).collect()))
+    assert before == after
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch, tmp_path):
     """ST stream-stream interval join vs the plain batch theta join: same
     (purchase, click) pairs, drained with availableNow."""
