@@ -54,6 +54,7 @@ _SAMPLER_PRIORITY = (
     "ivf_knn_join_mod100",
     "doc_repetition_filter",
     "recursive_month_spine_orders",
+    "fuzzy_name_pairs_part",
     # sampled once, in round 1
     "union_by_name_entities",
     "ship_lag_by_priority",
