@@ -603,6 +603,71 @@ def test_checkpoint_restart_processes_only_new_files(spark, tmp_path):
     assert both.select("event_id").distinct().count() == 17
 
 
+def test_stateful_sessionize_state_survives_restart(spark, tmp_path):
+    """State-store durability: an open session built in run 1 must
+    survive a full query restart (same checkpoint, new availableNow run)
+    and merge with run 2's events — the applyInPandasWithState state
+    outlives the query, not just the micro-batch."""
+    from datetime import datetime, timedelta
+
+    src_dir = tmp_path / "restart_events"
+    src_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt_restart_sess")
+    t0 = datetime(2024, 1, 1)
+    f1 = src_dir / "b1.parquet"
+    # run 1: user 1 opens a session [t0, t0+10m]
+    _write_events_file(
+        f1, [(i, t0 + timedelta(minutes=5 * i), 1, "view") for i in range(3)]
+    )
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+
+    out_dir = str(tmp_path / "restart_out")
+
+    def drain():
+        # the memory sink cannot recover from a checkpoint; the
+        # foreachBatch parquet sink can — and is the production shape
+        sp.run_foreach_batch_parquet(
+            sp.sessionize_with_state(
+                sp.events_file_stream(
+                    spark, str(src_dir),
+                    max_files_per_trigger=1, path_glob="*.parquet",
+                )
+            ),
+            out_dir,
+            ckpt,
+            output_mode="append",
+        )
+        try:
+            return spark.read.parquet(
+                os.path.join(out_dir, "epoch=*")
+            ).toPandas()
+        except Exception:  # no epochs emitted anything yet
+            import pandas as pd
+
+            return pd.DataFrame(columns=["user_id"])
+
+    out1 = drain()
+    assert len(out1[out1["user_id"] == 1]) == 0  # still open, nothing emitted
+
+    # run 2 (restart from the same checkpoint): user 1 continues the SAME
+    # session within the gap, then a far-future pusher times it out
+    f2 = src_dir / "b2.parquet"
+    _write_events_file(
+        f2, [(10, t0 + timedelta(minutes=25), 1, "view")]
+    )
+    f3 = src_dir / "b3.parquet"
+    _write_events_file(f3, [(99, t0 + timedelta(hours=12), 2, "view")])
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+    os.utime(f3, (1_000_000_200, 1_000_000_200))
+
+    out2 = drain()
+    u1 = out2[out2["user_id"] == 1]
+    assert len(u1) == 1, f"restarted session must merge and time out: {out2}"
+    assert u1.iloc[0]["session_start"] == t0
+    assert u1.iloc[0]["session_end"] == t0 + timedelta(minutes=25)
+    assert u1.iloc[0]["n_events"] == 4  # 3 from run 1 + 1 from run 2
+
+
 def test_foreach_batch_upsert_maintains_latest_state(
     spark, sf_dir, events_batch, tmp_path
 ):
