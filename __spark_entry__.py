@@ -47,6 +47,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # oldest-first, then twice-sampled. Regenerate each round from the
 # CORRECTNESS_r*.json files so the least-verified queries stay in front.
 _SAMPLER_PRIORITY = (
+    # never officially sampled (new in round 5)
+    "profile_orders_columns",
+    "scd2_user_state_history",
+    "heavy_hitter_tokens",
+    "user_event_paths_top30",
+    "daily_event_anomalies",
+    "snapshot_diff_orders",
+    "pii_redact_docs",
     # never officially sampled (new in round 4)
     "orders_right_outer_customer",
     "nulls_ordering_readings",

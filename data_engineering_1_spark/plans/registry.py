@@ -56,6 +56,7 @@ def load_all() -> None:
         chunking_queries,
         dedup_queries,
         events_queries,
+        pipeline_queries,
         relational_queries,
         sampling_queries,
         scalar_queries,

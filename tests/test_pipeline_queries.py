@@ -1,0 +1,272 @@
+"""Tests for the round-5 pipeline operators (X48-X55): column
+profiling, SCD2 state history, threshold heavy hitters, path mining,
+anomaly z-scores, snapshot diff, PII redaction — plus the two
+runtime-pruning plan pins (dynamic partition pruning, runtime bloom
+filter) that only matter at scale.
+
+Value parity vs DuckDB is covered by the oracle gate; these tests pin
+the semantic invariants and the physical-plan shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_engineering_1_spark.io import load_table
+from data_engineering_1_spark.plans import registry
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    reg = registry.get_queries()
+
+    def run(name):
+        return reg[name](spark, sf_dir)
+
+    return run
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- X48
+
+def test_profile_hash_aggregates_on_pruned_scans(q):
+    df = q("profile_orders_columns")
+    p = _plan(df)
+    # one branch per profiled column, each scan pruned to JUST that
+    # column (columnar: same total I/O as one wide scan), and the big
+    # per-value aggregation is a HashAggregate with map-side combine —
+    # never a SortAggregate over the full input (the multi-DISTINCT
+    # single-pass shape degrades to exactly that for string min/max)
+    assert p.count("FileScan parquet") == 4
+    assert "HashAggregate" in p
+    for col in ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"):
+        assert f"ReadSchema: struct<{col}" in p
+
+
+def test_profile_values(q, spark, sf_dir):
+    rows = {r["column_name"]: r for r in q("profile_orders_columns").collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    n = orders.count()
+    assert set(rows) == {
+        "o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"
+    }
+    for r in rows.values():
+        assert r["n_rows"] == n
+        assert r["n_null"] == 0 and r["null_frac"] == 0.0
+    assert rows["o_orderstatus"]["n_distinct"] == 3
+    assert rows["o_orderstatus"]["min_val"] == "F"
+    assert rows["o_orderstatus"]["max_val"] == "P"
+
+
+# ---------------------------------------------------------------- X49
+
+def test_scd2_invariants(q):
+    rows = q("scd2_user_state_history").collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r["version"])
+        # versions are consecutive from 1
+        assert [r["version"] for r in rs] == list(range(1, len(rs) + 1))
+        # exactly one open (current) interval per user, and it's the last
+        currents = [r for r in rs if r["is_current"] == 1]
+        assert len(currents) == 1 and currents[0] is rs[-1]
+        for a, b in zip(rs, rs[1:]):
+            # intervals chain: valid_to == next valid_from, no overlap
+            assert a["valid_to"] == b["valid_from"]
+            assert a["valid_from"] <= a["valid_to"]
+            # a change row must actually change state
+            assert a["state"] != b["state"]
+        assert rs[-1]["valid_to"] is None
+
+
+def test_scd2_one_shuffle(q):
+    # both windows ride one user_id partitioning: a single Exchange
+    p = _plan(q("scd2_user_state_history"))
+    assert p.count("Exchange") == 1
+
+
+# ---------------------------------------------------------------- X50
+
+def test_heavy_hitters_threshold_semantics(q):
+    rows = q("heavy_hitter_tokens").collect()
+    assert rows  # Zipfian corpus must produce hitters
+    assert all(r["support"] >= 0.005 for r in rows)
+    total = {round(r["n"] / r["support"]) for r in rows}
+    # supports are fractions of ONE shared grand total
+    assert max(total) - min(total) <= len(rows)  # rounding slack
+
+
+def test_heavy_hitters_no_driver_collect(q):
+    # grand total is a broadcast 1-row aggregate inside the plan
+    p = _plan(q("heavy_hitter_tokens"))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+# ---------------------------------------------------------------- X51
+
+def test_paths_shape(q, spark, sf_dir):
+    rows = q("user_event_paths_top30").collect()
+    assert 0 < len(rows) <= 30
+    ev_types = {
+        r["event_type"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type").distinct().collect()
+    }
+    for r in rows:
+        segs = r["path"].split(">")
+        assert 1 <= len(segs) <= 5
+        assert set(segs) <= ev_types
+        assert r["n_users"] >= 1
+    # deterministic membership: top-30 ordering ties broken by path
+    ns = [r["n_users"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_paths_topk_is_take_ordered(q):
+    assert "TakeOrderedAndProject" in _plan(q("user_event_paths_top30"))
+
+
+# ---------------------------------------------------------------- X52
+
+def test_anomalies_are_anomalous(q, spark, sf_dir):
+    rows = q("daily_event_anomalies").collect()
+    daily = {
+        (r["user_id"], r["event_day"]): r["cnt"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.to_date("ts").alias("event_day"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(r["z"]) >= 2.0
+        # each flagged (user, day) is a real daily count
+        assert daily[(r["user_id"], r["event_day"])] == r["cnt"]
+
+
+# ---------------------------------------------------------------- X53
+
+def test_snapshot_diff_classes(q, spark, sf_dir):
+    rows = q("snapshot_diff_orders").collect()
+    keys = [
+        r["o_orderkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey").collect()
+    ]
+    want = {"insert": 0, "delete": 0, "update": 0}
+    for k in keys:
+        in_old, in_new = k % 7 != 0, k % 5 != 0
+        if in_new and not in_old:
+            want["insert"] += 1
+        elif in_old and not in_new:
+            want["delete"] += 1
+        elif in_old and in_new and k % 3 == 0:
+            want["update"] += 1
+    got = {"insert": 0, "delete": 0, "update": 0}
+    for r in rows:
+        got[r["change_type"]] += 1
+        if r["change_type"] == "insert":
+            assert r["old_price"] is None and r["new_price"] is not None
+        elif r["change_type"] == "delete":
+            assert r["new_price"] is None and r["old_price"] is not None
+        else:
+            assert abs(r["new_price"] - r["old_price"] - 10.0) < 1e-9
+    assert got == want
+
+
+# ---------------------------------------------------------------- X54
+
+def test_pii_redaction_masks_everything(q):
+    rows = q("pii_redact_docs").collect()
+    assert rows
+    for r in rows:
+        # synthetic augmentation guarantees >=1 of each PII kind
+        assert r["n_emails"] >= 1 and r["n_phones"] >= 1
+        assert "[EMAIL]" in r["redacted"] and "[PHONE]" in r["redacted"]
+        assert "@example.com" not in r["redacted"]
+        assert "+1-555-" not in r["redacted"]
+
+
+def test_pii_redaction_zero_exchange(q):
+    # pure in-row regex codegen: no shuffle anywhere in the plan
+    assert "Exchange" not in _plan(q("pii_redact_docs"))
+
+
+# ------------------------------------------------- X55: runtime pruning
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A fact table partitioned on the join key, joined to a dim whose
+    filter is on a NON-join column, must plan a dynamic-pruning subquery
+    (partitions of the fact are selected at runtime from the dim's
+    surviving keys) — the mechanism that turns a 100 TB scan into a
+    one-partition scan when the dim filter is selective."""
+    fact_dir = str(tmp_path / "orders_by_status")
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.partitionBy("o_orderstatus").mode("overwrite").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("F", 1), ("O", 2), ("P", 3)], ["o_orderstatus", "grp"]
+    ).where(F.col("grp") == 1)
+    j = fact.join(dim, "o_orderstatus").groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert "dynamicpruning" in _plan(j).lower()
+    rows = j.collect()
+    assert [r["o_orderstatus"] for r in rows] == ["F"]
+    n_f = orders.where(F.col("o_orderstatus") == "F").count()
+    assert rows[0]["n"] == n_f
+
+
+def test_runtime_bloom_filter_join(spark, sf_dir):
+    """When the build side of a shuffle join is small and selective,
+    Spark injects a bloom-filter semi-filter on the probe side
+    (might_contain over xxhash64) so probe rows that cannot match are
+    dropped BEFORE the shuffle — the row-level complement of DPP. Pin
+    that the injection actually fires on this build."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").where(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = _plan(j)
+        assert "might_contain" in p
+        assert "bloom_filter_agg" in p
+        # and the filtered join still agrees with the broadcast plan
+        got = {r["l_returnflag"]: r["n"] for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    want = {
+        r["l_returnflag"]: r["n"]
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
