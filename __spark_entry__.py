@@ -48,6 +48,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json files so the least-verified queries stay in front.
 _SAMPLER_PRIORITY = (
     # never officially sampled (new in round 5)
+    "customer_percentile_ranks",
+    "ohlc_hourly_values",
+    "time_weighted_avg_values",
+    "benchmark_contamination",
+    "readability_scores_docs",
     "profile_orders_columns",
     "scd2_user_state_history",
     "heavy_hitter_tokens",

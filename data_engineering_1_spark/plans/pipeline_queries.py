@@ -474,3 +474,256 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.substring(redacted, 1, 200).alias("redacted"),
     )
+
+
+@declared_query(
+    "customer_percentile_ranks",
+    oracle="""
+    SELECT c_mktsegment, c_custkey,
+           CAST(ROUND(percent_rank() OVER (PARTITION BY c_mktsegment
+                                           ORDER BY c_acctbal, c_custkey), 6)
+                AS DOUBLE) AS pr,
+           CAST(ROUND(cume_dist() OVER (PARTITION BY c_mktsegment
+                                        ORDER BY c_acctbal, c_custkey), 6)
+                AS DOUBLE) AS cd
+    FROM customer
+    """,
+)
+def customer_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist (X56, completing the W1 ranking
+    family): each customer's relative position within their market
+    segment by balance. The (c_acctbal, c_custkey) compound ordering
+    makes tie handling — where the two functions genuinely differ —
+    deterministic and identical across engines. Both ranks ride one
+    segment partitioning."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).cast("double").alias("pr"),
+        F.round(F.cume_dist().over(w), 6).cast("double").alias("cd"),
+    )
+
+
+@declared_query(
+    "ohlc_hourly_values",
+    oracle="""
+    WITH r AS (
+        SELECT event_type, date_trunc('hour', ts) AS bar_hour, value,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT event_type, bar_hour,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_val,
+           MAX(value) AS high_val,
+           MIN(value) AS low_val,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_val,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM r GROUP BY event_type, bar_hour
+    """,
+)
+def ohlc_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars (X57): the time-series downsampling rollup —
+    per (event_type, hour): opening/closing value plus high/low/count.
+    open/close are ``min_by``/``max_by`` keyed on (ts, event_id)
+    packed into one DECIMAL(38,0) (ts_us * 1e10 + event_id): the
+    packed key is totally ordered so ties are impossible, AND it is
+    fixed-width — a struct ordering key demotes the whole aggregate
+    to SortAggregate (full sort of the input), while the decimal key
+    keeps it ONE HashAggregate with map-side combine (pinned). The
+    oracle twin needs two full row_number windows to express the same
+    thing — exactly the sort this shape avoids at scale. All outputs
+    are selections of existing doubles (never sums), so values hash
+    exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    key = (
+        F.unix_micros(F.col("ts").cast("timestamp")).cast(d38)
+        * F.lit(10_000_000_000).cast(d38)
+        + F.col("event_id").cast(d38)
+    )
+    return (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("bar_hour"))
+        .agg(
+            F.min_by("value", key).alias("open_val"),
+            F.max("value").alias("high_val"),
+            F.min("value").alias("low_val"),
+            F.max_by("value", key).alias("close_val"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@declared_query(
+    "time_weighted_avg_values",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+               - epoch_us(ts) AS dt_us
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dt_us) AS BIGINT) AS total_dt_us,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2)) * dt_us)
+                           AS DOUBLE) / SUM(dt_us), 6) AS DOUBLE) AS twa
+    FROM iv WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    HAVING SUM(dt_us) > 0
+    """,
+)
+def time_weighted_avg_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (X58): the irregular-series mean that
+    weights each observation by how long it was 'current' (until the
+    user's next event). Weights are exact BIGINT microsecond deltas
+    (epoch_us on both engines — never float seconds) and the weighted
+    sum multiplies DECIMAL(18,2)-cast values by those integers, so
+    the aggregate is exact and order-independent; only the final
+    division is floating point, rounded on both sides. One user_id
+    window + one groupBy on the same partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    iv = ev.select(
+        "user_id",
+        "value",
+        (F.unix_micros(F.lead("ts").over(w).cast("timestamp")) - us("ts")).alias(
+            "dt_us"
+        ),
+    ).where(F.col("dt_us").isNotNull())
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("total_dt_us"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)") * F.col("dt_us")).cast(
+                    "double"
+                )
+                / F.sum("dt_us"),
+                6,
+            )
+            .cast("double")
+            .alias("twa"),
+        )
+        .where(F.col("total_dt_us") > 0)
+    )
+
+
+@declared_query(
+    "benchmark_contamination",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_O_TOK} AS t FROM documents
+    ), sh AS (
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS s
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 4)) AS i) g
+        WHERE len(t) >= 5
+    ), bench AS (
+        SELECT DISTINCT s FROM sh WHERE doc_id % 25 = 0
+    ), corpus AS (
+        SELECT doc_id, s FROM sh WHERE doc_id % 25 <> 0
+    ), tot AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM corpus GROUP BY doc_id
+    ), hits AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+        FROM corpus JOIN bench USING (s) GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_shingles, h.n_hits,
+           CAST(ROUND(CAST(h.n_hits AS DOUBLE) / t.n_shingles, 6)
+                AS DOUBLE) AS contamination
+    FROM tot t JOIN hits h USING (doc_id)
+    """,
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark contamination check (X59): the eval-hygiene pass every
+    training pipeline needs — fraction of a document's 5-word shingles
+    that appear anywhere in a held-out 'benchmark' set (here the
+    deterministic doc_id %% 25 == 0 slice). The benchmark's DISTINCT
+    shingle set is small (benchmarks are by definition tiny next to a
+    corpus) and broadcasts into the hit join; corpus shingles stream
+    through map-side — no shuffle of the corpus itself for the hit
+    count. Only contaminated docs are emitted."""
+    docs = load_table(spark, sf_dir, "documents")
+    from ..operators.dedup import shingles_from_tokens
+
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    sh = toks.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("t"), k=5)).alias("s")
+    ).distinct()
+    bench = sh.where(F.col("doc_id") % 25 == 0).select("s").distinct()
+    corpus = sh.where(F.col("doc_id") % 25 != 0)
+    tot = corpus.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return tot.join(hits, "doc_id").select(
+        "doc_id",
+        "n_shingles",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_shingles"), 6)
+        .cast("double")
+        .alias("contamination"),
+    )
+
+
+@declared_query(
+    "readability_scores_docs",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len({_O_TOK}) AS BIGINT) AS n_words,
+               CAST(len(regexp_extract_all(lower(text), '[aeiou]+'))
+                    AS BIGINT) AS n_vowel_groups
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_vowel_groups,
+           CAST(ROUND(CAST(n_vowel_groups AS DOUBLE) / n_words, 6)
+                AS DOUBLE) AS syllables_per_word,
+           CAST(ROUND(0.39 * n_words
+                      + 11.8 * (CAST(n_vowel_groups AS DOUBLE) / n_words)
+                      - 15.59, 6) AS DOUBLE) AS fk_grade
+    FROM base WHERE n_words > 0
+    """,
+)
+def readability_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability scoring (X60): the quality-gate heuristic — vowel
+    runs approximate syllables, giving syllables-per-word and a
+    Flesch-Kincaid-style grade per document (doc treated as one
+    sentence; the corpus has no sentence punctuation). Entirely
+    in-row: tokenizer size + regexp_extract_all count + arithmetic,
+    zero exchanges — the same whole-stage-codegen shape as the X44
+    repetition gate. The grade formula is evaluated with the
+    IDENTICAL expression tree on both engines so the rounded doubles
+    hash exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("bigint").alias("n_words"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit("[aeiou]+"), 0))
+        .cast("bigint")
+        .alias("n_vowel_groups"),
+    ).where(F.col("n_words") > 0)
+    spw = F.col("n_vowel_groups").cast("double") / F.col("n_words")
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_vowel_groups",
+        F.round(spw, 6).cast("double").alias("syllables_per_word"),
+        F.round(F.lit(0.39) * F.col("n_words") + F.lit(11.8) * spw - F.lit(15.59), 6)
+        .cast("double")
+        .alias("fk_grade"),
+    )

@@ -1,8 +1,10 @@
-"""Tests for the round-5 pipeline operators (X48-X55): column
+"""Tests for the round-5 pipeline operators (X48-X60): column
 profiling, SCD2 state history, threshold heavy hitters, path mining,
-anomaly z-scores, snapshot diff, PII redaction — plus the two
-runtime-pruning plan pins (dynamic partition pruning, runtime bloom
-filter) that only matter at scale.
+anomaly z-scores, snapshot diff, PII redaction, percentile ranks,
+OHLC bars, time-weighted averages, benchmark contamination,
+readability scoring — plus the two runtime-pruning plan pins
+(dynamic partition pruning, runtime bloom filter) that only matter
+at scale.
 
 Value parity vs DuckDB is covered by the oracle gate; these tests pin
 the semantic invariants and the physical-plan shapes.
@@ -270,3 +272,95 @@ def test_runtime_bloom_filter_join(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- X56
+
+def test_percentile_ranks_bounds(q):
+    rows = q("customer_percentile_ranks").collect()
+    assert rows
+    by_seg: dict = {}
+    for r in rows:
+        assert 0.0 <= r["pr"] <= 1.0
+        assert 0.0 < r["cd"] <= 1.0
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    for rs in by_seg.values():
+        # the last customer in segment order hits both extremes
+        assert max(r["pr"] for r in rs) == 1.0 or len(rs) == 1
+        assert max(r["cd"] for r in rs) == 1.0
+
+
+# ---------------------------------------------------------------- X57
+
+def test_ohlc_invariants_and_no_window(q):
+    rows = q("ohlc_hourly_values").collect()
+    assert rows
+    for r in rows:
+        assert r["low_val"] <= min(r["open_val"], r["close_val"])
+        assert r["high_val"] >= max(r["open_val"], r["close_val"])
+        assert r["n"] >= 1
+        if r["n"] == 1:
+            assert r["open_val"] == r["close_val"]
+    # min_by/max_by make this ONE hash aggregate — the row_number
+    # formulation (what the oracle must do) would add Window + Sort
+    p = _plan(q("ohlc_hourly_values"))
+    assert "Window" not in p
+    assert "HashAggregate" in p
+
+
+# ---------------------------------------------------------------- X58
+
+def test_time_weighted_avg_is_bounded_mean(q, spark, sf_dir):
+    rows = q("time_weighted_avg_values").collect()
+    assert rows
+    spans = {
+        r["user_id"]: (r["mn"], r["mx"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .collect()
+    }
+    for r in rows:
+        mn, mx = spans[r["user_id"]]
+        # a weighted mean of observed values stays inside their range
+        assert mn - 1e-6 <= r["twa"] <= mx + 1e-6
+        assert r["total_dt_us"] > 0 and r["n_intervals"] >= 1
+
+
+# ---------------------------------------------------------------- X59
+
+def test_contamination_excludes_benchmark_and_bounded(q):
+    rows = q("benchmark_contamination").collect()
+    for r in rows:
+        assert r["doc_id"] % 25 != 0  # benchmark docs never self-report
+        assert 0.0 < r["contamination"] <= 1.0
+        assert 0 < r["n_hits"] <= r["n_shingles"]
+
+
+def test_contamination_benchmark_join_is_broadcast(q):
+    p = _plan(q("benchmark_contamination"))
+    # the benchmark shingle set broadcasts; the corpus is never
+    # shuffled for the hit count
+    assert "BroadcastHashJoin" in p
+
+
+# ---------------------------------------------------------------- X60
+
+def test_readability_in_row_zero_exchange(q):
+    p = _plan(q("readability_scores_docs"))
+    assert "Exchange" not in p
+
+
+def test_readability_values(q):
+    rows = q("readability_scores_docs").collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] > 0
+        assert r["syllables_per_word"] > 0
+        expect = round(
+            0.39 * r["n_words"]
+            + 11.8 * (r["n_vowel_groups"] / r["n_words"])
+            - 15.59,
+            6,
+        )
+        assert abs(r["fk_grade"] - expect) < 1e-9
