@@ -48,6 +48,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json files so the least-verified queries stay in front.
 _SAMPLER_PRIORITY = (
     # never officially sampled (new in round 5)
+    "pseudonymize_orders",
+    "k_anonymity_audit",
     "customer_percentile_ranks",
     "ohlc_hourly_values",
     "time_weighted_avg_values",

@@ -125,6 +125,76 @@ def sort_layout(
     )
 
 
+def _zvalue(a: F.Column, b: F.Column, bits: int = 16) -> F.Column:
+    """Interleave the low ``bits`` bits of two non-negative ints into a
+    Morton (Z-order) key: bit i of ``a`` lands at position 2i, bit i of
+    ``b`` at 2i+1. Pure shift/and/or expressions — whole-stage codegen,
+    no UDF."""
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i) % 2, 2 * i).cast("bigint")
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i) % 2, 2 * i + 1).cast("bigint")
+        )
+    return z
+
+
+def zorder_layout(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = 16,
+) -> int:
+    """Rewrite a parquet table clustered on the Z-order (Morton) curve
+    of TWO columns — the multi-dimensional generalization of
+    ``sort_layout``.
+
+    A single-column sort gives perfect file skipping on the leading
+    column and none on any other; the Z-curve interleaves the bits of
+    both keys so every file covers a narrow range of BOTH columns
+    (~1/sqrt(n_files) of each dimension) — selective predicates on
+    either column skip most files. Each column is min/max-scaled to
+    ``bits`` bits with one tiny 1-row aggregate (for heavily skewed
+    keys substitute quantile boundaries from approxQuantile — same
+    rewrite, different bucketing). Layout-only: row content unchanged.
+    Returns the file count.
+    """
+    df = spark.read.parquet(path)
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(F.col(col_a).cast("double")),
+        F.max(F.col(col_a).cast("double")),
+        F.min(F.col(col_b).cast("double")),
+        F.max(F.col(col_b).cast("double")),
+    ).collect()[0]
+    top = (1 << bits) - 1
+
+    def scaled(c: str, lo: float, hi: float) -> F.Column:
+        if hi <= lo:
+            return F.lit(0).cast("bigint")
+        frac = (F.col(c).cast("double") - F.lit(lo)) / F.lit(hi - lo)
+        return F.least(
+            F.floor(frac * (top + 1)).cast("bigint"), F.lit(top).cast("bigint")
+        )
+
+    z = _zvalue(scaled(col_a, lo_a, hi_a), scaled(col_b, lo_b, hi_b), bits)
+    out = (
+        df.withColumn("__z", z)
+        .repartitionByRange(int(n_files), "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    )
+    _rewrite(out, path)
+    return sum(
+        1
+        for _, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
 def _rewrite(df: DataFrame, path: str) -> None:
     """Write df to a temp sibling dir, then swap it into place — a reader
     racing the swap sees old-or-new, never a half-written table. (A real

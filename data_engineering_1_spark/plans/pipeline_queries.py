@@ -727,3 +727,79 @@ def readability_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("fk_grade"),
     )
+
+
+@declared_query(
+    "pseudonymize_orders",
+    oracle="""
+    SELECT o_orderkey,
+           substr(sha256(concat_ws('|', 'pepper-2026',
+                                   CAST(o_custkey AS VARCHAR))), 1, 16)
+               AS cust_token,
+           CAST(floor(o_totalprice / 1000) * 1000 AS BIGINT) AS price_band,
+           o_orderpriority
+    FROM orders
+    """,
+)
+def pseudonymize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymization (X61): the privacy pass before data leaves the
+    warehouse — customer ids become peppered SHA-256 tokens (stable
+    join keys, irreversible without the pepper) and exact prices
+    generalize to 1000-wide bands. Entirely in-row crypto + arithmetic
+    codegen, zero exchanges; the token truncation to 16 hex chars is
+    the standard storage/collision trade (64 bits). Both engines'
+    sha256-hex agree byte-for-byte."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.substring(
+            F.sha2(
+                F.concat_ws(
+                    "|", F.lit("pepper-2026"), F.col("o_custkey").cast("string")
+                ),
+                256,
+            ),
+            1,
+            16,
+        ).alias("cust_token"),
+        (F.floor(F.col("o_totalprice") / 1000) * 1000)
+        .cast("bigint")
+        .alias("price_band"),
+        "o_orderpriority",
+    )
+
+
+@declared_query(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 1000) * 1000 AS BIGINT) AS price_band,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CASE WHEN COUNT(*) >= 10 THEN 1 ELSE 0 END AS INT) AS k_ok
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (X62): after generalization, every
+    quasi-identifier combination (price band x order priority) must
+    describe at least k individuals or it re-identifies; this emits
+    every equivalence class with its size and a k>=10 flag — the
+    check a release pipeline runs on X61's output before publishing.
+    One map-side-combinable count shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            (F.floor(F.col("o_totalprice") / 1000) * 1000)
+            .cast("bigint")
+            .alias("price_band"),
+            "o_orderpriority",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "price_band",
+            "o_orderpriority",
+            "n",
+            (F.col("n") >= 10).cast("int").alias("k_ok"),
+        )
+    )

@@ -169,3 +169,68 @@ def test_compaction_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
         .collect()[0]["s"]
     )
     assert after_sum == before_sum
+
+
+def test_zorder_layout_narrows_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering must give every file a narrow range of BOTH
+    interleaved columns (checked against actual parquet row-group
+    stats) — the multi-dim skipping a single-column sort cannot give:
+    its trailing column still spans ~the full range per file."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from data_engineering_1_spark.operators.maintenance import (
+        sort_layout,
+        zorder_layout,
+    )
+
+    def file_range_fracs(path, col):
+        lo_all, hi_all = None, None
+        per_file = []
+        for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            ci = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            per_file.append((min(mins), max(maxs)))
+            lo_all = min(lo_all, min(mins)) if lo_all is not None else min(mins)
+            hi_all = max(hi_all, max(maxs)) if hi_all is not None else max(maxs)
+        span = hi_all - lo_all
+        return [(hi - lo) / span for lo, hi in per_file if span > 0]
+
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zpath = str(tmp_path / "zorder")
+    spath = str(tmp_path / "sorted")
+    od.repartition(8).write.parquet(zpath)
+    od.repartition(8).write.parquet(spath)
+    before = od.count()
+
+    zorder_layout(spark, zpath, "o_custkey", "o_totalprice", n_files=16)
+    sort_layout(spark, spath, ["o_custkey"], n_files=16)
+
+    z_a = file_range_fracs(zpath, "o_custkey")
+    z_b = file_range_fracs(zpath, "o_totalprice")
+    s_b = file_range_fracs(spath, "o_totalprice")
+
+    # z-order: BOTH dimensions narrow (each file ~1/sqrt(16)=1/4 of a
+    # dimension; allow generous slack for boundary files)
+    assert sum(z_a) / len(z_a) < 0.6
+    assert sum(z_b) / len(z_b) < 0.6
+    # single-column sort: the non-sort column spans ~everything per file
+    assert sum(s_b) / len(s_b) > 0.8
+
+    after = spark.read.parquet(zpath)
+    assert after.count() == before
+    assert (
+        after.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
+        == od.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
+    )

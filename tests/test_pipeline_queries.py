@@ -364,3 +364,37 @@ def test_readability_values(q):
             6,
         )
         assert abs(r["fk_grade"] - expect) < 1e-9
+
+
+# ------------------------------------------------------- X61 + X62
+
+def test_pseudonymize_tokens_stable_and_opaque(q, spark, sf_dir):
+    rows = q("pseudonymize_orders").collect()
+    orders = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey").collect()
+    }
+    seen: dict = {}
+    for r in rows:
+        cust = orders[r["o_orderkey"]]
+        tok = r["cust_token"]
+        assert len(tok) == 16 and int(tok, 16) >= 0  # hex, truncated
+        # same customer -> same token (join-stable pseudonym)
+        assert seen.setdefault(cust, tok) == tok
+        assert r["price_band"] % 1000 == 0
+    # distinct customers -> distinct tokens (no accidental collisions
+    # at fixture scale)
+    assert len(set(seen.values())) == len(seen)
+
+
+def test_pseudonymize_zero_exchange(q):
+    assert "Exchange" not in _plan(q("pseudonymize_orders"))
+
+
+def test_k_anonymity_audit_counts(q, spark, sf_dir):
+    rows = q("k_anonymity_audit").collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    for r in rows:
+        assert (r["n"] >= 10) == (r["k_ok"] == 1)
