@@ -196,3 +196,19 @@ def test_training_pipeline_single_scan_bounded_exchanges(plans):
     assert p.count("FileScan") == 1
     assert p.count("Exchange") <= 3
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_lang_id_fully_in_row(plans):
+    # round-5 rewrite: per-lang stopword counting + argmax all in-row;
+    # no explode-join-window relational detour, so no shuffle at all
+    p = plans("lang_id_stopwords")
+    assert "Exchange" not in p
+    assert "Window" not in p
+
+
+def test_try_scalar_guard_no_exception_storm(plans):
+    # the always-failing TRY_CAST is guarded by a regex pre-filter so
+    # unparseable rows short-circuit to NULL (the guard shows up as a
+    # RLIKE in the projection)
+    p = plans("try_scalar_ops_orders")
+    assert "RLIKE" in p or "rlike" in p
