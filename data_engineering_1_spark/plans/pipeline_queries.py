@@ -803,3 +803,207 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") >= 10).cast("int").alias("k_ok"),
         )
     )
+
+
+@declared_query(
+    "radius_pairs_customers",
+    oracle="""
+    WITH pts AS (
+        SELECT c_custkey AS id,
+               -30.0 + 60.0 * (('0x' || substr(md5('y' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100000) / 100000.0
+                   AS y,
+               -60.0 + 120.0 * (('0x' || substr(md5('x' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 100000) / 100000.0
+                   AS x
+        FROM customer
+    ), cells AS (
+        SELECT id, x, y,
+               CAST(floor(x / 0.3) AS BIGINT) AS cx,
+               CAST(floor(y / 0.3) AS BIGINT) AS cy
+        FROM pts
+    ), offs(dx, dy) AS (
+        VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),(0,1),(1,-1),(1,0),(1,1)
+    ), lhs AS (
+        SELECT id, x, y, cx + dx AS cx, cy + dy AS cy
+        FROM cells CROSS JOIN offs
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(ROUND(sqrt((a.x - b.x) * (a.x - b.x)
+                           + (a.y - b.y) * (a.y - b.y)), 6) AS DOUBLE) AS dist
+    FROM lhs a JOIN cells b ON a.cx = b.cx AND a.cy = b.cy
+    WHERE a.id < b.id
+      AND sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) <= 0.3
+    """,
+)
+def radius_pairs_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed radius join (X64): all point pairs within radius
+    0.3 of each other, via the spatial-join discipline — bucket the
+    plane into radius-sized cells, explode each LEFT point into its
+    3x3 neighborhood, equi-join on the cell, verify exact distance.
+    Every qualifying pair is found EXACTLY once (the right side stays
+    in its unique home cell), so no distinct pass. Candidates scale
+    with cell occupancy, never |points|^2 — the same blocking shape
+    as the LSH family, applied to geometry. Coordinates are synthesized
+    deterministically from customer keys (portable md5 scrambling —
+    exact integers both engines); distance is planar sqrt (bit-exact —
+    production geo swaps in haversine at the verify step only)."""
+    cust = load_table(spark, sf_dir, "customer")
+    def scramble(prefix: str) -> F.Column:
+        # portable md5-hex -> int (same idiom as the minhash/simhash
+        # oracles): identical values in Spark conv() and DuckDB ::BIGINT
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(prefix), F.col("c_custkey").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % 100000
+        )
+
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (F.lit(-30.0) + F.lit(60.0) * scramble("y") / 100000.0).alias("y"),
+        (F.lit(-60.0) + F.lit(120.0) * scramble("x") / 100000.0).alias("x"),
+    )
+    cells = pts.select(
+        "id", "x", "y",
+        F.floor(F.col("x") / 0.3).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / 0.3).cast("bigint").alias("cy"),
+    )
+    offs = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    lhs = cells.select(
+        "id", "x", "y",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + F.lit(dx)).alias("cx"),
+                        (F.col("cy") + F.lit(dy)).alias("cy"),
+                    )
+                    for dx, dy in offs
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "x", "y", "c.cx", "c.cy")
+    a, b = lhs.alias("a"), cells.alias("b")
+    dx = F.col("a.x") - F.col("b.x")
+    dy = F.col("a.y") - F.col("b.y")
+    dist = F.sqrt(dx * dx + dy * dy)
+    return (
+        a.join(b, ["cx", "cy"])
+        .where((F.col("a.id") < F.col("b.id")) & (dist <= 0.3))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dist, 6).cast("double").alias("dist"),
+        )
+    )
+
+
+@declared_query(
+    "embedding_covariance_8d",
+    oracle="""
+    WITH e AS (
+        SELECT vec_id, embedding FROM embeddings
+    ), cross_p AS (
+        SELECT i.i, j.j,
+               CAST(CAST(embedding[i.i] AS DOUBLE)
+                    * CAST(embedding[j.j] AS DOUBLE)
+                    AS DECIMAL(28,12)) AS p
+        FROM e
+        CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+        CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS j) j
+        WHERE i.i <= j.j
+    ), sums AS (
+        SELECT i, j, SUM(p) AS sxy, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cross_p GROUP BY i, j
+    ), m AS (
+        SELECT i.i,
+               SUM(CAST(CAST(embedding[i.i] AS DOUBLE) AS DECIMAL(28,12)))
+                   AS sx
+        FROM e CROSS JOIN (SELECT unnest(generate_series(1, 8)) AS i) i
+        GROUP BY i.i
+    )
+    SELECT s.i AS dim_i, s.j AS dim_j,
+           CAST(ROUND((CAST(s.sxy AS DOUBLE)
+                       - CAST(mi.sx AS DOUBLE) * CAST(mj.sx AS DOUBLE) / s.n)
+                      / (s.n - 1), 6) AS DOUBLE) AS cov
+    FROM sums s
+    JOIN m mi ON mi.i = s.i
+    JOIN m mj ON mj.i = s.j
+    """,
+)
+def embedding_covariance_8d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding covariance (X65): the upper triangle of the 8x8
+    covariance of the leading embedding dimensions — the PCA-prep /
+    whitening statistic, computed relationally. Cross-products and
+    per-dim sums are DECIMAL(28,12)-cast BEFORE summing (both engines
+    round the identical double identically, then sum exactly), so the
+    aggregates are order-independent; covariance derives from those
+    exact sums through one shared IEEE expression. In-row index
+    fan-out (8x9/2 pairs per row) -> ONE combinable aggregate; the
+    per-dim mean join is 8 rows, broadcast. At the full 64 dims the
+    same plan emits 2080 cells — still one shuffle of |dims^2| rows,
+    never a second pass over the vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = [(i, j) for i in range(1, 9) for j in range(1, 9) if i <= j]
+    ex = emb.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.lit(j).alias("j"),
+                        (
+                            F.element_at("embedding", i).cast("double")
+                            * F.element_at("embedding", j).cast("double")
+                        )
+                        .cast("decimal(28,12)")
+                        .alias("p"),
+                    )
+                    for i, j in pairs
+                ]
+            )
+        ).alias("c")
+    ).select("c.i", "c.j", "c.p")
+    sums = ex.groupBy("i", "j").agg(
+        F.sum("p").alias("sxy"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    m = (
+        emb.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"),
+                            F.element_at("embedding", i)
+                            .cast("double")
+                            .cast("decimal(28,12)")
+                            .alias("x"),
+                        )
+                        for i in range(1, 9)
+                    ]
+                )
+            ).alias("c")
+        )
+        .select("c.i", "c.x")
+        .groupBy("i")
+        .agg(F.sum("x").alias("sx"))
+    )
+    mi = F.broadcast(m.select(F.col("i").alias("_mi"), F.col("sx").alias("sx_i")))
+    mj = F.broadcast(m.select(F.col("i").alias("_mj"), F.col("sx").alias("sx_j")))
+    joined = sums.join(mi, sums["i"] == mi["_mi"]).join(
+        mj, sums["j"] == mj["_mj"]
+    )
+    cov = (
+        F.col("sxy").cast("double")
+        - F.col("sx_i").cast("double") * F.col("sx_j").cast("double") / F.col("n")
+    ) / (F.col("n") - F.lit(1))
+    return joined.select(
+        F.col("i").cast("bigint").alias("dim_i"),
+        F.col("j").cast("bigint").alias("dim_j"),
+        F.round(cov, 6).cast("double").alias("cov"),
+    )

@@ -398,3 +398,32 @@ def test_k_anonymity_audit_counts(q, spark, sf_dir):
     assert sum(r["n"] for r in rows) == n_orders
     for r in rows:
         assert (r["n"] >= 10) == (r["k_ok"] == 1)
+
+
+# ------------------------------------------------------- X64 + X65
+
+def test_radius_pairs_symmetric_exact_once(q):
+    rows = q("radius_pairs_customers").collect()
+    assert rows  # scrambled points must yield some close pairs
+    seen = set()
+    for r in rows:
+        assert r["id_a"] < r["id_b"]
+        assert 0.0 <= r["dist"] <= 0.3
+        key = (r["id_a"], r["id_b"])
+        assert key not in seen  # grid neighborhood finds each pair ONCE
+        seen.add(key)
+
+
+def test_radius_pairs_no_cartesian(q):
+    p = _plan(q("radius_pairs_customers"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_covariance_upper_triangle_and_diag_positive(q):
+    rows = q("embedding_covariance_8d").collect()
+    assert len(rows) == 36  # 8*9/2 upper-triangle cells
+    for r in rows:
+        assert 1 <= r["dim_i"] <= r["dim_j"] <= 8
+        if r["dim_i"] == r["dim_j"]:
+            assert r["cov"] > 0  # variances are positive
