@@ -708,3 +708,49 @@ def click_purchase_join_stream(
         F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
         F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
     )
+
+
+def purchase_click_left_outer_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """X66 stream-stream LEFT OUTER interval join: every purchase emits —
+    joined to the same user's preceding-``within`` clicks when they
+    exist, or ONCE with a NULL click after the watermark proves no
+    in-range click can still arrive.
+
+    The null side of an outer stream-stream join is watermark-driven
+    output: Spark buffers the preserved (purchase) row in the state
+    store and only emits the null-padded result when the watermark
+    passes the row's join-window end (p_ts: no earlier-click can arrive
+    once the watermark clears p_ts, since c_ts <= p_ts) — so "no match"
+    is a PROVEN fact, not a timeout guess. Both sides carry watermarks
+    and the condition bounds the click's event time on both sides,
+    which is what lets state evict; the batch twin is a plain left
+    join."""
+    p = _with_watermark(purchases, watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = _with_watermark(clicks, watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts <= p_ts "
+            f"AND c_ts >= p_ts - INTERVAL {within}"
+        ),
+        "leftOuter",
+    ).select(
+        "p_user",
+        "purchase_id",
+        "click_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
+    )

@@ -11,6 +11,8 @@ from __future__ import annotations
 import glob
 import os
 
+import pandas as pd
+
 import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
@@ -838,3 +840,87 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_batch, tmp_path)
     exp = exp[key].sort_values(key).reset_index(drop=True)
     assert len(out) == len(exp) > 0
     assert (out.values == exp.values).all()
+
+
+def test_stream_stream_left_outer_null_on_watermark(spark, tmp_path):
+    """X66: the LEFT OUTER stream-stream join must emit a matched row
+    immediately AND emit the null-padded row for an unmatched purchase
+    only after the watermark proves no in-range click can arrive.
+
+    Three mtime-ordered single-file batches:
+      batch 0: user 1 purchase (t0+30m) WITH a click 10m before; user 2
+               purchase (t0+40m) with NO click ever; watermark pushers
+               on both sides at t0+4h (users 98/99).
+      batch 1: far-future rows on BOTH sides (t0+8h; the global
+               watermark is the min over the two inputs) — at its end
+               the watermark (t0+6h) clears every batch-0 purchase's
+               join window.
+      batch 2: trivial flush batch so expired state is emitted.
+    Expected: (purchase 1, click 11) matched; purchase 2 null-padded;
+    the pusher purchase (user 99) also null-padded once expired."""
+    from datetime import datetime, timedelta
+
+    src_dir = tmp_path / "lo_events"
+    src_dir.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    f1 = src_dir / "b1.parquet"
+    _write_events_file(
+        f1,
+        [
+            (11, t0 + timedelta(minutes=20), 1, "click"),
+            (1, t0 + timedelta(minutes=30), 1, "purchase"),
+            (2, t0 + timedelta(minutes=40), 2, "purchase"),
+            (5, t0 + timedelta(hours=4), 99, "purchase"),
+            (6, t0 + timedelta(hours=4), 98, "click"),
+        ],
+    )
+    f2 = src_dir / "b2.parquet"
+    _write_events_file(
+        f2,
+        [
+            (7, t0 + timedelta(hours=8), 97, "click"),
+            # the global watermark is the MIN over BOTH inputs — the
+            # purchases side needs its own far-future row to advance
+            (9, t0 + timedelta(hours=8), 95, "purchase"),
+        ],
+    )
+    f3 = src_dir / "b3.parquet"
+    _write_events_file(f3, [(8, t0 + timedelta(hours=8), 96, "click")])
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+    os.utime(f3, (1_000_000_200, 1_000_000_200))
+
+    def stream():
+        return sp.events_file_stream(
+            spark,
+            str(src_dir),
+            max_files_per_trigger=1,
+            path_glob="*.parquet",
+        )
+
+    out = _drain(
+        sp.purchase_click_left_outer_stream(
+            stream().filter(F.col("event_type") == "click"),
+            stream().filter(F.col("event_type") == "purchase"),
+        ),
+        "t_lo_join",
+        tmp_path,
+        mode="append",
+    ).toPandas()
+
+    rows = {
+        int(r.purchase_id): (
+            None if pd.isna(r.click_id) else int(r.click_id)
+        )
+        for r in out.itertuples()
+    }
+    # matched purchase joins its click; unmatched purchases emit exactly
+    # one null-padded row each after their join window expires
+    assert rows.get(1) == 11, f"got {out.to_dict('records')}"
+    assert 2 in rows and rows[2] is None
+    assert 5 in rows and rows[5] is None
+    # the t0+8h purchase pusher is still unexpired at drain end, so it
+    # must NOT have emitted
+    assert 9 not in rows
+    assert len(out) == 3  # one row per purchase, no duplicates
