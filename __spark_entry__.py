@@ -48,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json files so the least-verified queries stay in front.
 _SAMPLER_PRIORITY = (
     # never officially sampled (new in round 5)
+    "kmeans_assignments",
     "radius_pairs_customers",
     "embedding_covariance_8d",
     "pseudonymize_orders",

@@ -1,0 +1,121 @@
+"""Lloyd's k-means over an embedding column — the iterative-algorithm
+pattern (X67) applied to float geometry.
+
+The per-iteration shape is the one that survives 100 TB:
+
+  assignment:   vectors x broadcast-centroid-arrays, Euclidean distance
+                reduced IN-ROW with aggregate(zip_with(...)) and argmin
+                via array_min over (dist, label) structs — a map-side
+                pass with no shuffle at all (same discipline as
+                similarity.ivf_assign, which is the dot-product special
+                case of this assignment step);
+  update:       posexplode(vector) -> groupBy(label, pos).avg — ONE
+                map-side-combinable shuffle of |clusters| x dim rows.
+
+Iteration state (the centroid table) is k x dim — tiny — so each round
+re-broadcasts it; the vectors are scanned once per iteration and never
+shuffled. Deterministic init: the k lowest-id vectors seed the
+centroids (k-means++ would add a driver-side sampling loop; determinism
+matters more here than seeding quality, and the test pins convergence
+against an independent numpy reference either way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _centroid_arrays(centroids: DataFrame) -> DataFrame:
+    """(label, pos, val) -> one row per label with the dense array."""
+    return centroids.groupBy(F.col("label").alias("c_label")).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "val"))),
+            lambda s: s["val"],
+        ).alias("c_vec")
+    )
+
+
+def assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Nearest-centroid assignment by squared Euclidean distance.
+
+    One broadcast cross with the k centroid arrays; the distance is an
+    in-row aggregate(zip_with((x-y)^2)) and the argmin an array_min over
+    (dist, label) structs — ties (measure-zero on float data) break to
+    the smallest label deterministically. No shuffle."""
+    cent = F.broadcast(_centroid_arrays(centroids))
+    dists = vectors.crossJoin(cent).select(
+        id_col,
+        vec_col,
+        F.struct(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.col("c_vec"),
+                    lambda x, y: (x.cast("double") - y)
+                    * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            ).alias("dist"),
+            F.col("c_label").alias("label"),
+        ).alias("dl"),
+    )
+    best = dists.groupBy(id_col, vec_col).agg(F.min("dl").alias("best"))
+    return best.select(
+        id_col,
+        vec_col,
+        F.col("best.label").alias("label"),
+        F.col("best.dist").alias("sq_dist"),
+    )
+
+
+def kmeans_lloyd(
+    vectors: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, DataFrame]:
+    """Run ``n_iter`` Lloyd iterations; returns (assignment, centroids).
+
+    assignment: (id, label, sq_dist); centroids: (label, pos, val).
+    Each iteration: broadcast-assign (no shuffle) + one combinable
+    update shuffle of k x dim rows. The loop materializes only the
+    TINY centroid table per round (via its own aggregation); the
+    vector table is scanned per iteration, never cached mutably —
+    re-running the same plan is pure."""
+    # deterministic seed: the k lowest-id vectors. Explode FIRST, then
+    # label with dense_rank — a window in the same select as a
+    # generator is evaluated over the already-exploded rows (one
+    # "label" per (vector, pos) — 1-element centroids; found the hard
+    # way), and the global window here runs on k x dim rows only.
+    seed = (
+        vectors.orderBy(id_col)
+        .limit(k)
+        .select(F.col(id_col), F.posexplode(vec_col).alias("pos", "val"))
+    )
+    init = seed.select(
+        (F.dense_rank().over(Window.orderBy(id_col)) - 1)
+        .cast("int")
+        .alias("label"),
+        "pos",
+        F.col("val").cast("double").alias("val"),
+    )
+    centroids = init
+    for _ in range(n_iter):
+        assigned = assign(vectors, centroids, vec_col=vec_col, id_col=id_col)
+        centroids = (
+            assigned.select(
+                "label", F.posexplode(vec_col).alias("pos", "v")
+            )
+            .groupBy("label", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("val"))
+        )
+    final = assign(vectors, centroids, vec_col=vec_col, id_col=id_col)
+    return final, centroids

@@ -1007,3 +1007,21 @@ def embedding_covariance_8d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("bigint").alias("dim_j"),
         F.round(cov, 6).cast("double").alias("cov"),
     )
+
+
+@declared_query("kmeans_assignments")  # rows-only: iterative float algorithm
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (X67), declared rows-only: two iterations from
+    the deterministic lowest-id seed over the embeddings table,
+    emitting (vec_id, label). No DuckDB oracle by design — the
+    centroid averages are float reductions whose cross-engine
+    last-ulp differences could legitimately flip a boundary
+    assignment; the operator is instead pinned by
+    tests/test_clustering.py against an independent numpy Lloyd
+    implementation (assignment equality + SSE monotonicity + the
+    no-shuffle assignment plan)."""
+    from ..operators.clustering import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_lloyd(emb, k=8, n_iter=2)
+    return assigned.select("vec_id", "label")

@@ -92,3 +92,28 @@ def test_load_table_events_nanos_safe(spark):
     ev = io.load_table(spark, "/root/testdata/sf0.001", "events")
     assert dict(ev.dtypes)["ts"] in ("timestamp", "timestamp_ntz")
     assert ev.count() > 0
+
+
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC source/sink: Spark's other built-in columnar format — write
+    the orders table as ORC, read it back, and the content (schema and
+    every row) survives unchanged, including decimal-exact sums."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_1_spark.io import load_table
+
+    od = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    od.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == od.schema
+    assert back.count() == od.count()
+    s1 = od.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
+    s2 = back.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
+    assert s1 == s2
+    # predicate pushdown works on the ORC scan too
+    plan = (
+        back.where(F.col("o_orderkey") == 42)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
