@@ -1,0 +1,173 @@
+"""Fleet-wide physical-plan audit: every declared query's executed plan
+is checked for the anti-patterns that are invisible at sf0.01 and fatal
+at 100 TB. Unlike the per-query pins in test_plan_shapes.py, this is a
+REGRESSION NET over the whole registry — a new or edited query that
+sneaks in a Cartesian product or an unpartitioned window fails here
+unless it is explicitly whitelisted with a justification.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from data_engineering_1_spark.plans import registry
+
+# Queries allowed to contain a CartesianProduct/BroadcastNestedLoopJoin:
+# every entry must be a bounded-side cross (a broadcast 1-row aggregate,
+# a literal grid, or a k-row centroid/neighbor table), never fact x fact.
+CROSS_OK = {
+    # scalar-subquery shapes: 1-row global aggregate crossed back in
+    "q11_important_stock",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q22_idle_rich_customers",
+    "q8_market_share",
+    "q9_product_profit",
+    "tfidf_top_terms",
+    "training_corpus_pipeline",
+    "order_value_distribution",
+    "heavy_hitter_tokens",
+    "gapfill_daily_big_events",
+    "recursive_month_spine_orders",
+    "doc_length_percentiles",
+    "exact_value_percentiles",
+    "approx_value_quantiles",
+    "order_price_histogram",
+    # tiny-dim grids / broadcast centroid & query tables (k rows)
+    "region_segment_grid",
+    # funnel stage bounds / df-threshold 1-row aggregates crossed in
+    "conversion_funnel_12h",
+    "jaccard_neardup_pairs",
+    "lang_text_stats",
+    "lang_id_stopwords",
+    "top_terms_per_lang",
+    "embedding_centroids",
+    "ivf_assignment",
+    "ivf_topk_search_vec0",
+    "ivf_topk_search_cached_vec0",
+    "ivf_knn_join_mod100",
+    "knn_join_mod100",
+    "cosine_topk_vec0",
+    "embedding_neardup_pairs",
+    "kmeans_assignments",
+    "embedding_covariance_8d",
+    "vector_norms",
+    "word_counts_top50",
+    "bigram_counts_top30",
+    "token_counts_bpe",
+    "doc_quality_features",
+}
+
+# Queries allowed an UNPARTITIONED window (all data through one task):
+# every entry must run the global window over a provably tiny relation
+# (a limited top-k, a k-row seed, a per-group aggregate of bounded
+# cardinality), never over a fact table.
+GLOBAL_WINDOW_OK = {
+    "nulls_ordering_readings",  # global nulls-first rank feeds a LIMIT 500
+    "kmeans_assignments",  # dense_rank over the k x dim seed rows
+    "q2_best_supplier_per_part",  # rank over per-part argmax (bounded by |part|)
+    "doc_length_percentiles",  # percentile grid is a handful of rows
+    "exact_value_percentiles",  # same: interpolation over a tiny grid
+    "watermark_late_events",  # prefix-max over the per-micro-batch
+    # skeleton: one row per 10-minute batch_id, not per event (X16)
+}
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir):
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    out = {}
+    for name, fn in registry.get_queries().items():
+        out[name] = (
+            fn(spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    return out
+
+
+def _top_level_groups(line: str) -> list[str]:
+    groups, depth, cur = [], 0, None
+    for ch in line:
+        if ch == "[":
+            if depth == 0:
+                cur = []
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and cur is not None:
+                groups.append("".join(cur))
+                cur = None
+        elif depth > 0:
+            cur.append(ch)
+    return groups
+
+
+def _global_window_lines(plan: str) -> list[str]:
+    """Window/WindowGroupLimit nodes with NO partition spec.
+
+    Plan text shapes: `Window [exprs], [partition], [order]` (the exprs
+    group contains windowspecdefinition) and `WindowGroupLimit
+    [partition], [order], fn, k`. Rule: among the top-level bracket
+    groups that are NOT the exprs group, a partition spec is one
+    without ASC/DESC sort markers — if every non-exprs group is a sort
+    spec, the window is global."""
+    bad = []
+    for line in plan.splitlines():
+        if not re.search(r"\bWindow(?:GroupLimit)? \[", line):
+            continue
+        groups = [
+            g
+            for g in _top_level_groups(line)
+            if "windowspecdefinition" not in g
+        ]
+        has_partition = any(
+            g and " ASC" not in g and " DESC" not in g for g in groups
+        )
+        if not has_partition:
+            bad.append(line.strip()[:160])
+    return bad
+
+
+def test_no_unlisted_cartesian_products(all_plans):
+    offenders = {
+        name: plan
+        for name, plan in all_plans.items()
+        if name not in CROSS_OK
+        and ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan)
+    }
+    assert not offenders, (
+        f"unlisted cross joins in: {sorted(offenders)} — bounded-side "
+        "crosses belong in CROSS_OK with a justification; anything else "
+        "is a fact-x-fact blowup"
+    )
+
+
+def test_no_unlisted_global_windows(all_plans):
+    offenders = {
+        name: lines
+        for name, plan in all_plans.items()
+        if name not in GLOBAL_WINDOW_OK
+        and (lines := _global_window_lines(plan))
+    }
+    assert not offenders, (
+        "unpartitioned windows (single-task at scale) in: "
+        f"{ {k: v[:1] for k, v in offenders.items()} } — tiny-relation "
+        "globals belong in GLOBAL_WINDOW_OK with a justification"
+    )
+
+
+def test_every_query_reads_some_table(all_plans):
+    # smoke net: a declared query that scans nothing is a stub.
+    # dedup_clusters_lsh ends in Scan ExistingRDD: its convergence loop
+    # localCheckpoints the edge table, which REPLACES the parquet scan
+    # lineage in the final plan — the scan happened in earlier jobs.
+    for name, plan in all_plans.items():
+        assert (
+            "FileScan" in plan
+            or "LocalTableScan" in plan
+            or "Scan ExistingRDD" in plan
+        ), name
