@@ -924,3 +924,60 @@ def test_stream_stream_left_outer_null_on_watermark(spark, tmp_path):
     # must NOT have emitted
     assert 9 not in rows
     assert len(out) == 3  # one row per purchase, no duplicates
+
+
+def test_dedup_within_watermark_ttl_reemits_after_expiry(spark, tmp_path):
+    """ST5 state-TTL semantics: dropDuplicatesWithinWatermark keeps a
+    key's fingerprint only until the watermark passes its expiry — a
+    duplicate that arrives while the fingerprint lives is suppressed;
+    one that arrives after eviction is RE-EMITTED. This is exactly
+    where it differs from plain dropDuplicates, whose streaming state
+    never expires and therefore grows without bound.
+
+    Spark evicts expired fingerprints at micro-batch END, so the
+    duplicate in batch 1 is still checked against batch 0's fingerprint
+    (suppressed) even though the watermark already passed its expiry;
+    the batch-2 duplicate then finds the state gone and re-emits:
+      batch 0: (user 1, click) at t0 emitted; pusher sets watermark to
+               t0+2h, past the fingerprint's t0+1h expiry.
+      batch 1: duplicate at t0+4h -> suppressed (eviction not yet run),
+               and its own arrival re-arms nothing — the expired
+               fingerprint is dropped at this batch's end.
+      batch 2: duplicate at t0+4h10m -> re-emitted (state was gone)."""
+    from datetime import datetime, timedelta
+
+    src_dir = tmp_path / "ttl_events"
+    src_dir.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    f1 = src_dir / "b1.parquet"
+    _write_events_file(
+        f1,
+        [(1, t0, 1, "click"), (90, t0 + timedelta(hours=3), 90, "seed")],
+    )
+    f2 = src_dir / "b2.parquet"
+    _write_events_file(f2, [(2, t0 + timedelta(hours=4), 1, "click")])
+    f3 = src_dir / "b3.parquet"
+    _write_events_file(
+        f3, [(3, t0 + timedelta(hours=4, minutes=10), 1, "click")]
+    )
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+    os.utime(f3, (1_000_000_200, 1_000_000_200))
+
+    out = _drain(
+        sp.dedup_stream(
+            sp.events_file_stream(
+                spark, str(src_dir), max_files_per_trigger=1,
+                path_glob="*.parquet",
+            ),
+            keys=("user_id", "event_type"),
+            watermark="1 hour",
+        ),
+        "t_ttl_dedup",
+        tmp_path,
+        mode="append",
+    ).toPandas()
+    clicks = out[out.event_type == "click"]
+    assert sorted(clicks.event_id.tolist()) == [1, 3], (
+        f"TTL dedup emitted {clicks.event_id.tolist()}"
+    )
