@@ -400,3 +400,49 @@ class TestSessionizeStateMachine:
             f"batch1={batch1} later={later} emitted={emitted} "
             f"state={state.get} expected={expected}"
         )
+
+
+def test_zvalue_interleave_is_bijective_and_ordered(spark):
+    """X63's Morton key: property-check the bit interleave against a
+    pure-Python reference — bijective (distinct pairs -> distinct keys)
+    and exactly the reference interleave for every tested pair."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_engineering_1_spark.operators.maintenance import _zvalue
+
+    def ref(a: int, b: int, bits: int = 16) -> int:
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    pairs_seen = {}
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1)
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    @settings(max_examples=10, deadline=None)
+    def run(pairs):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(pairs, "a bigint, b bigint")
+        got = [
+            r["z"]
+            for r in df.select(
+                _zvalue(F.col("a"), F.col("b")).alias("z")
+            ).collect()
+        ]
+        for (a, b), z in zip(pairs, got):
+            assert z == ref(a, b), (a, b, z)
+            prev = pairs_seen.setdefault(z, (a, b))
+            assert prev == (a, b)  # bijective across all draws
+
+    run()
