@@ -48,6 +48,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json files so the least-verified queries stay in front.
 _SAMPLER_PRIORITY = (
     # never officially sampled (new in round 5)
+    "part_affinity_pairs",
+    "revenue_share_within_region",
+    "rolling_7d_distinct_users",
     "kmeans_assignments",
     "radius_pairs_customers",
     "embedding_covariance_8d",

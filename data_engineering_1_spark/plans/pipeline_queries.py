@@ -1025,3 +1025,158 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, _ = kmeans_lloyd(emb, k=8, n_iter=2)
     return assigned.select("vec_id", "label")
+
+
+@declared_query(
+    "part_affinity_pairs",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    )
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM items a JOIN items b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 30
+    """,
+)
+def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity (X70): the top co-purchased part pairs.
+    The self-join is keyed on l_orderkey, so the pair fan-out is
+    bounded by items-per-order squared (~7^2), NEVER corpus-squared,
+    and both sides share one orderkey partitioning — the same shuffle
+    serves the distinct, the join, and nothing else; the pair count
+    then combines map-side. Top-30 with full deterministic tie-break."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.alias("a")
+    b = items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"),
+        F.col("b.l_partkey").alias("part_b"),
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(30)
+    )
+
+
+@declared_query(
+    "revenue_share_within_region",
+    oracle="""
+    WITH rev AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS nation_rev
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, nation,
+           CAST(nation_rev AS DOUBLE) AS nation_rev,
+           CAST(ROUND(CAST(nation_rev AS DOUBLE)
+                / CAST(SUM(nation_rev) OVER (PARTITION BY region)
+                       AS DOUBLE), 6) AS DOUBLE) AS region_share
+    FROM rev
+    """,
+)
+def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report (X71): each nation's share of its region's
+    revenue — the BI staple of a windowed percent-of-total. The
+    aggregate rides one (region, nation) groupBy; the share window
+    re-partitions only the ~25-row aggregate, not the fact table.
+    Revenue sums are exact DECIMAL; the share divides the exact sums
+    as doubles with the identical expression both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "nation_rev_d"
+            )
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        F.col("nation_rev_d").cast("double").alias("nation_rev"),
+        F.round(
+            F.col("nation_rev_d").cast("double")
+            / F.sum("nation_rev_d").over(w).cast("double"),
+            6,
+        )
+        .cast("double")
+        .alias("region_share"),
+    )
+
+
+@declared_query(
+    "rolling_7d_distinct_users",
+    oracle="""
+    WITH daily AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS event_day, user_id FROM events
+    )
+    SELECT event_day,
+           CAST(COUNT(*) AS BIGINT) AS dau,
+           CAST((
+               SELECT COUNT(DISTINCT d2.user_id)
+               FROM daily d2
+               WHERE d2.event_day BETWEEN d.event_day - 6 AND d.event_day
+           ) AS BIGINT) AS wau_7d
+    FROM daily d
+    GROUP BY event_day
+    """,
+)
+def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct counts / DAU-WAU (X72): per day, the distinct
+    actives that day AND over the trailing 7 days. COUNT(DISTINCT)
+    over a sliding window isn't a native window aggregate in either
+    engine; Spark expresses it as size(collect_set(user)) over a
+    RANGE frame in epoch-days — one (day, user) dedup shuffle, then a
+    window over the small daily grid whose state is the trailing
+    user set. The oracle cross-checks with a correlated-subquery
+    formulation — completely different machinery, same numbers."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.to_date("ts").alias("event_day"), "user_id"
+    ).distinct()
+    keyed = daily.withColumn(
+        "day_num", F.datediff("event_day", F.lit("1970-01-01"))
+    )
+    w7 = (
+        Window.orderBy("day_num").rangeBetween(-6, 0)
+    )
+    per_day = keyed.select(
+        "event_day",
+        "day_num",
+        F.size(F.collect_set("user_id").over(w7)).cast("bigint").alias(
+            "wau_7d"
+        ),
+    )
+    dau = keyed.groupBy("event_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("dau")
+    )
+    return (
+        per_day.groupBy("event_day", "wau_7d")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .join(dau, "event_day")
+        .select("event_day", "dau", "wau_7d")
+    )

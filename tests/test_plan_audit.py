@@ -72,6 +72,8 @@ GLOBAL_WINDOW_OK = {
     "exact_value_percentiles",  # same: interpolation over a tiny grid
     "watermark_late_events",  # prefix-max over the per-micro-batch
     # skeleton: one row per 10-minute batch_id, not per event (X16)
+    "rolling_7d_distinct_users",  # trailing-set window over the DAILY
+    # GRID (one row per day), not over events
 }
 
 
