@@ -1180,3 +1180,37 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(dau, "event_day")
         .select("event_day", "dau", "wau_7d")
     )
+
+
+@declared_query(
+    "group_by_all_order_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+    """,
+)
+def group_by_all_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL (X79): the modern SQL shorthand both
+    engines adopted (group on every non-aggregate select item; order on
+    every select item) — declared through spark.sql so the SQL surface
+    itself is what's verified, with the DuckDB twin using the identical
+    text. Same one-shuffle combinable aggregate as the explicit form."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "gba_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_price
+        FROM gba_orders
+        GROUP BY ALL
+        ORDER BY ALL
+        """
+    )

@@ -981,3 +981,57 @@ def test_dedup_within_watermark_ttl_reemits_after_expiry(spark, tmp_path):
     assert sorted(clicks.event_id.tolist()) == [1, 3], (
         f"TTL dedup emitted {clicks.event_id.tolist()}"
     )
+
+
+def test_rocksdb_state_store_matches_default(spark, sf_dir, tmp_path):
+    """X78: the RocksDB state store — the provider production clusters
+    run for large state (state lives off-heap/on-disk instead of in the
+    JVM heap snapshot maps) — must produce byte-identical aggregation
+    results to the default provider, and must actually engage (sst
+    files in the checkpoint)."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    saved = spark.conf.get(key, None)
+    rocks_ckpt = str(tmp_path / "ckpt_rocks")
+    try:
+        spark.conf.set(
+            key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        agg = sp.tumbling_counts(sp.events_file_stream(spark, sf_dir))
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("t_rocks")
+            .outputMode("complete")
+            .option("checkpointLocation", rocks_ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        rocks = spark.sql(
+            "SELECT * FROM t_rocks ORDER BY window_start, event_type"
+        ).collect()
+    finally:
+        if saved is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, saved)
+    default = _drain(
+        sp.tumbling_counts(sp.events_file_stream(spark, sf_dir)),
+        "t_rocks_default",
+        tmp_path,
+        mode="complete",
+    )
+    want = sorted(
+        map(tuple, default.collect()),
+        key=lambda t: (t[0], t[1] or ""),
+    )
+    got = sorted(map(tuple, rocks), key=lambda t: (t[0], t[1] or ""))
+    assert got == want
+    sst = [
+        f
+        for r, _, fs in os.walk(rocks_ckpt)
+        for f in fs
+        if f.endswith((".sst", ".zip")) or "rocksdb" in r.lower()
+    ]
+    assert sst, "RocksDB provider left no state artifacts in the checkpoint"
