@@ -155,7 +155,36 @@ def mapinarrow_byte_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+class SplitFixedUDTF:
+    """Polymorphic Python UDTF (Spark 4 ``analyze``): output SCHEMA is
+    computed at plan time from the constant ``n`` argument — n string
+    columns c0..c{n-1} — the dynamic-schema half of the UDTF surface
+    (ChunkTextUDTF above is the static-schema half). A CSV-ish splitter
+    is the canonical use: the column count is data-design, not code."""
+
+    @staticmethod
+    def analyze(s, n):
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if n.value is None:
+            raise ValueError("n must be a constant literal")
+        schema = StructType()
+        for i in range(int(n.value)):
+            schema = schema.add(f"c{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, s, n):
+        parts = (s or "").split(",")
+        yield tuple(
+            parts[i] if i < len(parts) else None for i in range(int(n))
+        )
+
+
 def register_udfs(spark) -> None:
     """Expose the surface to Spark SQL."""
+    from pyspark.sql.functions import udtf as _udtf
+
     spark.udtf.register("chunk_text_udtf", ChunkTextUDTF)
+    spark.udtf.register("split_fixed_udtf", _udtf(SplitFixedUDTF))
     spark.udf.register("weighted_mean_udaf", weighted_mean_udaf)

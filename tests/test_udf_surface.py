@@ -177,3 +177,27 @@ def test_mapinarrow_matches_jvm_expressions(spark, sf_dir):
     assert (got["doc_id"].values == exp["doc_id"].values).all()
     assert (got["n_bytes"].values == exp["n_bytes"].values).all()
     assert (got["n_chars_arrow"].values == exp["n_chars_arrow"].values).all()
+
+
+def test_polymorphic_udtf_analyze_schema(spark):
+    """§2.10 completion: a UDTF whose output schema is computed at plan
+    time by ``analyze`` from a constant argument — 2-arg call yields 2
+    columns, 4-arg yields 4 — and composes with LATERAL over a table."""
+    from data_engineering_1_spark.functions.udfs import register_udfs
+
+    register_udfs(spark)
+    two = spark.sql("SELECT * FROM split_fixed_udtf('a,b,c', 2)")
+    assert two.columns == ["c0", "c1"]
+    assert [tuple(r) for r in two.collect()] == [("a", "b")]
+    four = spark.sql("SELECT * FROM split_fixed_udtf('a,b,c', 4)")
+    assert four.columns == ["c0", "c1", "c2", "c3"]
+    assert [tuple(r) for r in four.collect()] == [("a", "b", "c", None)]
+    lat = spark.sql(
+        """
+        SELECT t.id, u.c0, u.c1
+        FROM VALUES (1, 'x,y'), (2, 'z') AS t(id, csv),
+             LATERAL split_fixed_udtf(t.csv, 2) u
+        ORDER BY t.id
+        """
+    ).collect()
+    assert [tuple(r) for r in lat] == [(1, "x", "y"), (2, "z", None)]
