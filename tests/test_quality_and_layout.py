@@ -106,3 +106,41 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
         ).select("file").distinct().collect()
     }
     assert files and all(f"{os.sep}lang=en{os.sep}" in f for f in files)
+
+
+def test_catalog_table_statistics_for_cbo(spark, sf_dir):
+    """X82: warehouse catalog surface — saveAsTable + ANALYZE TABLE
+    COMPUTE STATISTICS populates the table-level rowCount/size and the
+    per-column min/max/ndv the cost-based optimizer consumes (join
+    reorder and broadcast decisions at 100 TB run on exactly these
+    numbers; a catalog without stats costs CBO its entire input)."""
+    od = load_table(spark, sf_dir, "orders")
+    spark.sql("DROP TABLE IF EXISTS cat_orders_stats")
+    od.write.mode("overwrite").saveAsTable("cat_orders_stats")
+    try:
+        spark.sql(
+            "ANALYZE TABLE cat_orders_stats COMPUTE STATISTICS "
+            "FOR COLUMNS o_custkey, o_totalprice"
+        )
+        table_stats = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE EXTENDED cat_orders_stats").collect()
+        }
+        n = od.count()
+        assert f"{n} rows" in table_stats["Statistics"]
+        col = {
+            r["info_name"]: r["info_value"]
+            for r in spark.sql(
+                "DESCRIBE EXTENDED cat_orders_stats o_custkey"
+            ).collect()
+        }
+        lo, hi = (
+            od.agg(F.min("o_custkey"), F.max("o_custkey")).collect()[0]
+        )
+        assert col["min"] == str(lo) and col["max"] == str(hi)
+        assert col["num_nulls"] == "0"
+        # ndv is an HLL estimate: within the sketch's documented error
+        exact = od.select("o_custkey").distinct().count()
+        assert abs(int(col["distinct_count"]) - exact) <= max(1, exact * 0.05)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cat_orders_stats")
