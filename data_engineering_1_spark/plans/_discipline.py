@@ -28,8 +28,18 @@ def dec(col: Column | str, scale: int = 2) -> Column:
 
 
 def sum_dec(col: Column | str, scale: int = 2) -> Column:
-    """Exact, order-independent sum; emitted as DOUBLE."""
-    return F.sum(dec(col, scale)).cast("double")
+    """Exact, order-independent sum; quantized to cents, then DOUBLE.
+
+    The DECIMAL(38,2) quantize before the double cast is a SCALE
+    guard, found at 10x fixture volume: once a decimal sum's scaled
+    integer exceeds 2^53 (a scale-6 money sum does at ~9e9), DuckDB's
+    decimal->double conversion rounds twice (int128->double, then
+    /10^scale) while Spark's BigDecimal.doubleValue rounds once — a
+    1-ulp hash mismatch that only appears at volume. At scale 2 the
+    scaled integer stays exact up to ~9e13, and both engines make a
+    single correctly-rounded conversion. Cents precision is the money
+    contract anyway."""
+    return F.sum(dec(col, scale)).cast("decimal(38,2)").cast("double")
 
 
 def avg6(col: Column | str, scale: int = 2) -> Column:
@@ -46,7 +56,14 @@ def count_big(col: Column | str = "*") -> Column:
 
 # Oracle-side (DuckDB) SQL fragments mirroring the helpers above.
 def o_sum_dec(expr: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
+    # ROUND-to-cents before DOUBLE: see sum_dec's scale note. ROUND, not
+    # a decimal cast — DuckDB's decimal downscale CAST truncates while
+    # Spark's rounds HALF_UP; DuckDB ROUND() is half-away-from-zero,
+    # which matches Spark's HALF_UP on both signs.
+    return (
+        f"CAST(ROUND(SUM(CAST({expr} AS DECIMAL(18,{scale}))), 2)"
+        " AS DOUBLE)"
+    )
 
 
 def o_avg6(expr: str, scale: int = 2) -> str:

@@ -60,8 +60,8 @@ def _charge() -> F.Column:
     SELECT l_returnflag, l_linestatus,
            {o_sum_dec('l_quantity')} AS sum_qty,
            {o_sum_dec('l_extendedprice')} AS sum_base_price,
-           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM({_O_CHARGE}) AS DOUBLE) AS sum_charge,
+           CAST(ROUND(SUM({_O_DISC_PRICE}), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM({_O_CHARGE}), 2) AS DOUBLE) AS sum_charge,
            {o_avg6('l_quantity')} AS avg_qty,
            {o_avg6('l_extendedprice')} AS avg_price,
            {o_avg6('l_discount')} AS avg_disc,
@@ -83,8 +83,8 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             sum_dec("l_quantity").alias("sum_qty"),
             sum_dec("l_extendedprice").alias("sum_base_price"),
-            F.sum(_disc_price()).cast("double").alias("sum_disc_price"),
-            F.sum(_charge()).cast("double").alias("sum_charge"),
+            F.sum(_disc_price()).cast("decimal(38,2)").cast("double").alias("sum_disc_price"),
+            F.sum(_charge()).cast("decimal(38,2)").cast("double").alias("sum_charge"),
             avg6("l_quantity").alias("avg_qty"),
             avg6("l_extendedprice").alias("avg_price"),
             avg6("l_discount").alias("avg_disc"),
@@ -98,7 +98,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle=f"""
     SELECT l_orderkey,
-           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS revenue,
+           CAST(ROUND(SUM({_O_DISC_PRICE}), 2) AS DOUBLE) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -128,7 +128,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.join(od, cu.c_custkey == od.o_custkey)
         .join(li, od.o_orderkey == li.l_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("decimal(38,2)").cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
@@ -139,7 +139,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_region_revenue",
     oracle=f"""
     SELECT n_name,
-           CAST(SUM({_O_DISC_PRICE}) AS DOUBLE) AS revenue
+           CAST(ROUND(SUM({_O_DISC_PRICE}), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -176,7 +176,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("decimal(38,2)").cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
     )
 

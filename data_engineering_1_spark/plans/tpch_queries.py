@@ -115,7 +115,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         * dec("l_discount").cast("decimal(4,2)")
     ).cast("decimal(18,4)")
     return sel.agg(
-        F.sum(rev).cast("double").alias("revenue"),
+        F.sum(rev).cast("decimal(38,2)").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -170,7 +170,7 @@ def q7_nation_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supp_nation",
         "cust_nation",
         F.year("l_shipdate").alias("ship_year"),
-    ).agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+    ).agg(F.sum(_disc_price()).cast("decimal(38,2)").cast("double").alias("revenue"))
 
 
 @declared_query(
@@ -210,7 +210,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(_disc_price()).cast("double").alias("revenue"))
+        .agg(F.sum(_disc_price()).cast("decimal(38,2)").cast("double").alias("revenue"))
     )
     return agg.orderBy(F.desc("revenue"), "c_custkey").limit(20)
 
@@ -280,7 +280,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        F.sum(_disc_price()).cast("double").alias("total_revenue")
+        F.sum(_disc_price()).cast("decimal(38,2)").cast("double").alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
@@ -415,7 +415,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = li.join(F.broadcast(pa), li.l_partkey == pa.p_partkey).filter(cond)
     return joined.agg(
-        F.sum(_disc_price()).cast("double").alias("revenue"),
+        F.sum(_disc_price()).cast("decimal(38,2)").cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -880,8 +880,8 @@ def _line_cost() -> F.Column:
     oracle=f"""
     SELECT n.n_name AS nation,
            CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
-           CAST(SUM(CAST({_O_DISC_PRICE} AS DECIMAL(18,5))
-                    - {_O_LINE_COST}) AS DOUBLE) AS profit
+           CAST(ROUND(SUM(CAST({_O_DISC_PRICE} AS DECIMAL(18,5))
+                    - {_O_LINE_COST}), 2) AS DOUBLE) AS profit
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -925,7 +925,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             profit_line.alias("line_profit"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("line_profit").cast("double").alias("profit"))
+        .agg(F.sum("line_profit").cast("decimal(38,2)").cast("double").alias("profit"))
         .orderBy("nation", "o_year")
     )
 

@@ -1,0 +1,94 @@
+"""Synthesize a larger fixture by stacking offset copies of an existing
+one — the 10x scale-up rig.
+
+Each copy c shifts every KEY column by c * stride so referential
+integrity holds across tables (an order's o_custkey still points at a
+customer row in the same copy), while non-key attributes repeat. The
+result is a dataset with c-times the rows and the SAME per-key
+cardinality profile — exactly what you want for "does the plan survive
+10x" checks: shuffles, joins and windows see 10x volume but no new
+skew.
+
+Timestamps also shift per copy (+c days) so time-series queries see a
+longer, denser history instead of 10 identical overlapping days.
+
+Usage: python tools/make_scaled_fixture.py [src_sf_dir] [out_dir] [copies]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from data_engineering_1_spark.io import TABLES  # noqa: E402
+from data_engineering_1_spark.session import get_spark  # noqa: E402
+
+STRIDE = 10_000_000
+
+# key columns to offset, per table (referential integrity preserved)
+KEYS = {
+    "region": ["r_regionkey"],
+    "nation": ["n_nationkey", "n_regionkey"],
+    "customer": ["c_custkey", "c_nationkey"],
+    "supplier": ["s_suppkey", "s_nationkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+TS_COLS = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
+
+
+def scale_table(spark, src_dir, out_dir, name, copies):
+    df = spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
+    parts = []
+    for c in range(copies):
+        cur = df
+        for k in KEYS.get(name, []):
+            cur = cur.withColumn(k, F.col(k) + F.lit(c * STRIDE))
+        for t in TS_COLS.get(name, []):
+            cur = cur.withColumn(
+                t, (F.col(t) + F.expr(f"INTERVAL {c} DAYS")).cast("timestamp_ntz")
+            )
+        parts.append(cur)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    # one physical file per table, matching the driver fixture layout
+    # (DuckDB's oracle views read '{table}.parquet' as a single file)
+    tmp = os.path.join(out_dir, f"__tmp_{name}")
+    out.coalesce(1).write.mode("overwrite").parquet(tmp)
+    import glob as _glob
+    import shutil
+
+    part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    final = os.path.join(out_dir, f"{name}.parquet")
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    elif os.path.exists(final):
+        os.remove(final)
+    shutil.move(part, final)
+    shutil.rmtree(tmp)
+
+
+def main():
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    spark = get_spark("make_scaled_fixture")
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        scale_table(spark, src, out, t, copies)
+        print(f"{t}: done")
+    print(out)
+
+
+if __name__ == "__main__":
+    main()
