@@ -89,7 +89,14 @@ def kmeans_lloyd(
     update shuffle of k x dim rows. The loop materializes only the
     TINY centroid table per round (via its own aggregation); the
     vector table is scanned per iteration, never cached mutably —
-    re-running the same plan is pure."""
+    re-running the same plan is pure.
+
+    Empty-cluster semantics: a cluster that loses all members simply
+    drops out of the centroid table (k shrinks) — the standard Lloyd
+    variant. The numpy reference in the tests instead KEEPS the stale
+    centroid; the two agree exactly as long as no cluster empties,
+    which the assignment-equality test would expose if it ever
+    happened on a fixture."""
     # deterministic seed: the k lowest-id vectors. Explode FIRST, then
     # label with dense_rank — a window in the same select as a
     # generator is evaluated over the already-exploded rows (one

@@ -169,6 +169,15 @@ def zorder_layout(
         F.min(F.col(col_b).cast("double")),
         F.max(F.col(col_b).cast("double")),
     ).collect()[0]
+    if lo_a is None or lo_b is None:
+        # empty table (or all-null keys): nothing to cluster; leave the
+        # layout untouched rather than rewriting to a keyless jumble
+        return sum(
+            1
+            for _, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
     top = (1 << bits) - 1
 
     def scaled(c: str, lo: float, hi: float) -> F.Column:

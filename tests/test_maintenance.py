@@ -234,3 +234,19 @@ def test_zorder_layout_narrows_both_dimensions(spark, sf_dir, tmp_path):
         after.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
         == od.agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))).collect()
     )
+
+
+def test_zorder_layout_empty_table_noop(spark, tmp_path):
+    from data_engineering_1_spark.operators.maintenance import zorder_layout
+
+    path = str(tmp_path / "empty_z")
+    spark.createDataFrame([], "a bigint, b double").write.parquet(path)
+    before = sorted(
+        f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    n = zorder_layout(spark, path, "a", "b", n_files=4)
+    after = sorted(
+        f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")
+    )
+    assert after == before and n == len(before)
+    assert spark.read.parquet(path).count() == 0
