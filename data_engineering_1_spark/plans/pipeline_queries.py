@@ -541,6 +541,9 @@ def ohlc_hourly_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly."""
     ev = load_table(spark, sf_dir, "events")
     d38 = "decimal(38,0)"
+    # packing contract: event_id < 1e10 (fixture max ~1e5; at larger id
+    # spaces raise the multiplier — ts_us(16 digits) x up to 1e21 still
+    # fits DECIMAL(38,0))
     key = (
         F.unix_micros(F.col("ts").cast("timestamp")).cast(d38)
         * F.lit(10_000_000_000).cast(d38)
