@@ -1217,3 +1217,65 @@ def group_by_all_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ALL
         """
     )
+
+
+@declared_query(
+    "sequence_regex_funnel",
+    oracle="""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                   AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'c.*p') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_click_then_purchase,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*s') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_view_then_signup,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'e') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_error_users
+    FROM seqs
+    """,
+)
+def sequence_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching (X85): MATCH_RECOGNIZE-style ordered
+    funnels via regex over per-user event-initial strings — each user's
+    whole history compresses to one row of a few hundred characters,
+    then any ordered pattern ('click then eventually purchase') is a
+    regex, evaluated in-row. One groupBy shuffle builds the sequences
+    (in-row array_sort of collected (ts,event_id,letter) structs — no
+    reliance on collect_list order); the pattern pass adds ZERO
+    exchanges. The X26 funnel answers one fixed 3-stage question with
+    joins; this shape answers ARBITRARY ordered patterns over the same
+    partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            "",
+        ).alias("seq")
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.col("seq").rlike("c.*p").cast("int"))
+        .cast("bigint")
+        .alias("n_click_then_purchase"),
+        F.sum(F.col("seq").rlike("v.*s").cast("int"))
+        .cast("bigint")
+        .alias("n_view_then_signup"),
+        F.sum(F.col("seq").rlike("e").cast("int"))
+        .cast("bigint")
+        .alias("n_error_users"),
+    )

@@ -25,7 +25,12 @@ from __future__ import annotations
 from collections.abc import Iterator, Sequence
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+)
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
 _SCHEMA = (
@@ -113,6 +118,62 @@ class _SyntheticEventsStreamReader:
         pass
 
 
+class _JsonlWriter(DataSourceWriter):
+    """Write-side of the DataSource API (X83): each executor task
+    serializes its partition to one JSON-lines part file and returns a
+    commit message (path, row count); the driver's ``commit`` gets the
+    full message list — the two-phase pattern any transactional sink
+    builds on. Files land under ``path`` as ``part-<uuid>.jsonl``."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires .option('path', ...)")
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark.sql.datasource import WriterCommitMessage
+
+        os.makedirs(self.path, exist_ok=True)
+        out = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(out, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+
+        class _Msg(WriterCommitMessage):
+            pass
+
+        m = _Msg()
+        m.path, m.rows = out, n
+        return m
+
+    def commit(self, messages):
+        import json
+        import os
+
+        # driver-side manifest = the commit point (readers that honor
+        # the manifest see old-or-new, never a torn write)
+        manifest = {
+            "files": sorted(m.path for m in messages if m is not None),
+            "rows": sum(m.rows for m in messages if m is not None),
+        }
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages or []:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class SyntheticEventsDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -128,5 +189,21 @@ class SyntheticEventsDataSource(DataSource):
         return _SyntheticEventsStreamReader(self.options)
 
 
+class JsonlSinkDataSource(DataSource):
+    """Registerable write-capable source: ``df.write.format("jsonl_sink")
+    .option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def schema(self) -> str:  # pragma: no cover - required by ABC
+        return "value STRING"
+
+    def writer(self, schema, overwrite: bool):
+        return _JsonlWriter(self.options, overwrite)
+
+
 def register(spark) -> None:
     spark.dataSource.register(SyntheticEventsDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -79,3 +79,40 @@ def test_stream_reader_drains_and_matches_batch(spark, tmp_path):
     got = spark.table("t_pyds_stream").orderBy("event_id").collect()
     exp = _read(spark, 300, 4).orderBy("event_id").collect()
     assert got == exp
+
+
+def test_python_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
+    """X83: the WRITE side of the Python DataSource API — each task
+    writes a JSON-lines part and returns a commit message; the driver
+    commit writes a manifest. Content round-trips through Spark's own
+    JSON reader and the manifest row count matches."""
+    import json
+    import os
+
+    from data_engineering_1_spark.io import load_table
+    from data_engineering_1_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "jsonl_out")
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus")
+        .limit(200)
+    )
+    src.write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 200
+    assert manifest["files"] and all(
+        os.path.exists(f) for f in manifest["files"]
+    )
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 200
+    got = sorted(
+        (int(r["o_orderkey"]), r["o_orderstatus"]) for r in back.collect()
+    )
+    want = sorted(
+        (r["o_orderkey"], r["o_orderstatus"]) for r in src.collect()
+    )
+    assert got == want

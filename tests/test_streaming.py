@@ -1035,3 +1035,55 @@ def test_rocksdb_state_store_matches_default(spark, sf_dir, tmp_path):
         if f.endswith((".sst", ".zip")) or "rocksdb" in r.lower()
     ]
     assert sst, "RocksDB provider left no state artifacts in the checkpoint"
+
+
+def test_chained_stateful_dedup_then_window(spark, sf_dir, events_batch, tmp_path):
+    """X84: TWO stateful operators chained in ONE streaming query
+    (dropDuplicatesWithinWatermark -> windowed aggregate) — legal since
+    Spark 3.4/4 in append mode; historically this required two queries
+    with an intermediate sink. The dedup key INCLUDES the window so the
+    kept row's window assignment is deterministic regardless of arrival
+    order, making the batch twin exact: distinct (window, type, user)
+    counted per (window, type)."""
+    src = sp.events_file_stream(spark, sf_dir)
+    w = F.window("ts", "10 minutes")
+    dd = (
+        sp._with_watermark(src, "1 hour")
+        .withColumn("win", w)
+        # drop ts: the window struct inherits the event-time watermark,
+        # and a stream may carry at most ONE event-time column into a
+        # stateful operator (both ts and win qualify otherwise)
+        .drop("ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "win"])
+    )
+    agg = dd.groupBy("win", "event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    ).select(
+        F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_users",
+    )
+    out = _drain(agg, "t_chain", tmp_path, mode="append").toPandas()
+    exp = (
+        events_batch.select(
+            w.alias("win"), "event_type", "user_id"
+        )
+        .distinct()
+        .groupBy("win", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_users",
+        )
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    out = out.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    # append mode emits only watermark-closed windows; every emitted row
+    # must match the batch twin exactly, and most windows must emit
+    merged = out.merge(exp, on=key, suffixes=("_s", "_b"))
+    assert len(merged) == len(out) > 0
+    assert (merged["n_users_s"] == merged["n_users_b"]).all()
+    assert len(out) >= 0.8 * len(exp)
