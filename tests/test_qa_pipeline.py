@@ -135,3 +135,32 @@ class TestFullPipeline:
         assert 0.0 < top["similarity"] <= 1.0
         assert top["metadata"]["source"] == "spark.pdf"
         assert top["metadata"]["page_number"] == 1
+
+
+def test_demo_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """The composed training-data pipeline demo must run end-to-end on
+    the fixture and its stage counts must be internally consistent
+    (monotone filters, non-empty output, clustered files on disk)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.demo_pipeline import run
+
+    report = run(spark, sf_dir, str(tmp_path / "demo_out"))
+    assert (
+        report["ingested"]
+        >= report["after_quality_floor"]
+        >= report["after_exact_dedup"]
+        >= report["after_contamination_screen"]
+        > 0
+    )
+    assert report["neardup_candidate_pairs"] >= 0
+    assert sum(v["n_docs"] for v in report["per_lang"].values()) == (
+        report["after_contamination_screen"]
+    )
+    out = report["output"]
+    assert os.path.isdir(out["path"]) and out["files"] >= 1
+    back = spark.read.parquet(out["path"])
+    assert back.count() == report["after_contamination_screen"]
+    assert "text" not in back.columns  # raw text dropped before landing
