@@ -212,3 +212,33 @@ def test_try_scalar_guard_no_exception_storm(plans):
     # RLIKE in the projection)
     p = plans("try_scalar_ops_orders")
     assert "RLIKE" in p or "rlike" in p
+
+
+def test_cache_reuse_shows_inmemory_scan(spark, sf_dir):
+    """X86 caching surface: a persisted subplan is served from
+    InMemoryTableScan on reuse — the plan-visible proof that iterative
+    consumers (X3's loop, X67's k-means) re-read memory, not parquet —
+    and unpersist() returns the plan to the file scan."""
+    from data_engineering_1_spark.io import load_table
+
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    cached = base.cache()
+    try:
+        cached.count()  # materialize
+        p = cached._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in p
+        joined = cached.join(cached.select("o_orderstatus"), "o_orderstatus")
+        jp = joined._jdf.queryExecution().executedPlan().toString()
+        # BOTH sides of the self-join read the cache (the cached
+        # relation's description still PRINTS its original FileScan,
+        # so assert the memory scans, not the absence of the text)
+        assert jp.count("InMemoryTableScan") >= 2
+    finally:
+        cached.unpersist()
+    p2 = base._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" not in p2
+    assert "FileScan parquet" in p2
