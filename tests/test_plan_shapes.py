@@ -238,7 +238,13 @@ def test_cache_reuse_shows_inmemory_scan(spark, sf_dir):
         # so assert the memory scans, not the absence of the text)
         assert jp.count("InMemoryTableScan") >= 2
     finally:
-        cached.unpersist()
-    p2 = base._jdf.queryExecution().executedPlan().toString()
+        cached.unpersist(blocking=True)
+    # a freshly-built identical plan no longer matches any cache entry
+    fresh = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .count()
+    )
+    p2 = fresh._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" not in p2
     assert "FileScan parquet" in p2
