@@ -181,3 +181,69 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         )
         .mapInPandas(run, schema=FRAME_SCHEMA)
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id BIGINT, target_w INT, target_h INT, resized BINARY, "
+    "resized_sha256 STRING, decoder STRING"
+)
+
+
+def _resize_image(content: bytes, target_w: int, target_h: int):
+    """(resized_bytes, decoder). Tries PIL (real decode->resize->PNG);
+    otherwise the DETERMINISTIC FAKE: an md5-chained byte stream of
+    exactly target_w*target_h bytes — stable across processes, so the
+    Spark-side plumbing (binary column in/out, batch shapes, hashes)
+    is fully testable without codecs."""
+    try:
+        import io
+
+        from PIL import Image  # type: ignore
+
+        img = Image.open(io.BytesIO(content))
+        out = io.BytesIO()
+        img.resize((target_w, target_h)).save(out, format="PNG")
+        return out.getvalue(), "pillow"
+    except ImportError:
+        n = target_w * target_h
+        return bytes(_digest_ints(content, n)), "fake-md5"
+
+
+def resize_images(
+    media: DataFrame, target_w: int = 32, target_h: int = 32
+) -> DataFrame:
+    """Resize every image payload to (target_w, target_h) — the
+    batch-preprocessing step a vision training pipeline runs before
+    packing examples. Same discipline as the other multimodal ops:
+    non-image rows filtered JVM-side, Arrow-batched mapInPandas, binary
+    in -> binary out, real-codec leg auto-activates when PIL exists."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                data = bytes(content)
+                resized, dec = _resize_image(data, target_w, target_h)
+                rows.append(
+                    (
+                        mid,
+                        target_w,
+                        target_h,
+                        resized,
+                        hashlib.sha256(resized).hexdigest(),
+                        dec,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "target_w", "target_h", "resized",
+                    "resized_sha256", "decoder",
+                ],
+            )
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_id", "content")
+        .mapInPandas(run, schema=RESIZED_SCHEMA)
+    )

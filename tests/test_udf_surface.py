@@ -201,3 +201,26 @@ def test_polymorphic_udtf_analyze_schema(spark):
         """
     ).collect()
     assert [tuple(r) for r in lat] == [(1, "x", "y"), (2, "z", None)]
+
+
+class TestResize:
+    def test_resize_images_plumbing(self, spark, media):
+        """§2.12 resize: binary in -> binary out through Arrow-batched
+        mapInPandas; deterministic fake emits exactly target_w*target_h
+        bytes per image, stable across runs; non-image rows never cross
+        the Python boundary."""
+        out = {r.media_id: r for r in MM.resize_images(media, 8, 6).collect()}
+        assert set(out) == {1, 2}  # images only
+        for r in out.values():
+            assert (r.target_w, r.target_h) == (8, 6)
+            assert len(bytes(r.resized)) == 8 * 6
+            assert r.decoder in ("fake-md5", "pillow")
+            assert (
+                hashlib.sha256(bytes(r.resized)).hexdigest() == r.resized_sha256
+            )
+        again = {
+            x.media_id: x for x in MM.resize_images(media, 8, 6).collect()
+        }
+        assert {k: v.resized_sha256 for k, v in again.items()} == {
+            k: v.resized_sha256 for k, v in out.items()
+        }
