@@ -1279,3 +1279,39 @@ def sequence_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_error_users"),
     )
+
+
+@declared_query(
+    "sql_pivot_unpivot_roundtrip",
+    oracle="""
+    SELECT user_id % 10 AS bucket, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE event_type IN ('view', 'click', 'purchase')
+    GROUP BY 1, 2
+    """,
+)
+def sql_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIVOT + UNPIVOT clauses (X88): the long->wide->long round
+    trip through the dedicated SQL syntax (the DataFrame pivot/unpivot
+    surface is X-declared elsewhere; this pins the SQL front door).
+    UNPIVOT's default EXCLUDE NULLS drops the empty cells PIVOT
+    minted, so the round trip equals the plain aggregate — which is
+    exactly what the oracle computes, making the equivalence itself
+    the verified claim."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "pvt_events"
+    )
+    return spark.sql(
+        """
+        WITH p AS (
+            SELECT * FROM (
+                SELECT user_id % 10 AS bucket, event_type FROM pvt_events
+            )
+            PIVOT (COUNT(*) AS n
+                   FOR event_type IN ('view', 'click', 'purchase'))
+        )
+        SELECT bucket, event_type, CAST(n AS BIGINT) AS n
+        FROM p UNPIVOT (n FOR event_type IN (`view`, `click`, `purchase`))
+        """
+    )
