@@ -117,3 +117,36 @@ def test_orc_roundtrip(spark, sf_dir, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PushedFilters: [IsNotNull(o_orderkey), EqualTo(o_orderkey,42)]" in plan
+
+
+def test_parquet_compression_codecs(spark, sf_dir, tmp_path):
+    """Codec surface (X89): zstd and snappy write options round-trip
+    with identical content, the requested codec actually lands in the
+    parquet column-chunk metadata (checked via pyarrow), and zstd
+    compresses the text corpus tighter — the 100 TB storage lever."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from data_engineering_1_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    want = docs.agg(
+        F.count(F.lit(1)), F.sum(F.length("text").cast("decimal(18,0)"))
+    ).collect()
+    sizes = {}
+    for codec in ("zstd", "snappy"):
+        path = str(tmp_path / f"docs_{codec}")
+        docs.coalesce(1).write.option("compression", codec).parquet(path)
+        f = _glob.glob(os.path.join(path, "*.parquet"))[0]
+        md = pq.ParquetFile(f).metadata
+        assert md.row_group(0).column(0).compression.lower() == codec
+        back = spark.read.parquet(path)
+        got = back.agg(
+            F.count(F.lit(1)), F.sum(F.length("text").cast("decimal(18,0)"))
+        ).collect()
+        assert got == want
+        sizes[codec] = os.path.getsize(f)
+    assert sizes["zstd"] < sizes["snappy"]
