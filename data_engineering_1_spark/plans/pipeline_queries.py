@@ -1248,7 +1248,11 @@ def sequence_regex_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     reliance on collect_list order); the pattern pass adds ZERO
     exchanges. The X26 funnel answers one fixed 3-stage question with
     joins; this shape answers ARBITRARY ordered patterns over the same
-    partitioning."""
+    partitioning. Scale note: this collects a user's FULL ordered
+    history into one row (fixture histories are ~100s of events); at
+    100 TB cap it — slice(collected, 1, N) after the in-row sort, or
+    pre-filter to a time window — the pattern regex rarely needs
+    unbounded history."""
     ev = load_table(spark, sf_dir, "events")
     seqs = ev.groupBy("user_id").agg(
         F.array_join(
