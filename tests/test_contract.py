@@ -64,3 +64,21 @@ def test_priority_queries_lead_the_ordering():
     names = list(entry_mod.queries())
     k = len(entry_mod._SAMPLER_PRIORITY)
     assert names[:k] == list(entry_mod._SAMPLER_PRIORITY)
+
+
+def test_query_index_in_sync():
+    """QUERY_INDEX.md is generated; a registry change without
+    regeneration would hand the reader a stale coverage map."""
+    import os
+    import re
+
+    from data_engineering_1_spark.plans import registry
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    text = open(os.path.join(repo, "QUERY_INDEX.md")).read()
+    listed = set(re.findall(r"^\| (\w+) \| `", text, re.M))
+    declared = set(registry.get_queries())
+    assert listed == declared, (
+        "QUERY_INDEX.md out of sync; run python tools/gen_query_index.py "
+        f"(missing={sorted(declared - listed)}, stale={sorted(listed - declared)})"
+    )

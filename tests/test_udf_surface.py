@@ -224,3 +224,49 @@ class TestResize:
         assert {k: v.resized_sha256 for k, v in again.items()} == {
             k: v.resized_sha256 for k, v in out.items()
         }
+
+
+def test_udtf_table_argument_partition_by(spark, sf_dir):
+    """§2.10 completion (X90): a UDTF consuming a TABLE argument with
+    PARTITION BY — Spark feeds each partition's rows through eval()
+    and calls terminate() per partition, i.e. a Python aggregation
+    operator in SQL. The per-partition type counts must re-sum to the
+    exact global counts."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import udtf
+
+    from data_engineering_1_spark.io import load_table
+
+    @udtf(returnType="event_type STRING, n INT")
+    class CountPerPartition:
+        def __init__(self):
+            self.counts = {}
+
+        def eval(self, row):
+            t = row["event_type"]
+            self.counts[t] = self.counts.get(t, 0) + 1
+
+        def terminate(self):
+            for t, n in sorted(self.counts.items()):
+                yield t, n
+
+    spark.udtf.register("count_types_t", CountPerPartition)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("tudtf_ev")
+    got = {
+        r["event_type"]: r["total"]
+        for r in spark.sql(
+            """
+            SELECT event_type, SUM(n) AS total
+            FROM count_types_t(TABLE(tudtf_ev) PARTITION BY user_id % 4)
+            GROUP BY event_type
+            """
+        ).collect()
+    }
+    want = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
