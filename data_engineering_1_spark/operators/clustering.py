@@ -3,12 +3,13 @@ pattern (X67) applied to float geometry.
 
 The per-iteration shape is the one that survives 100 TB:
 
-  assignment:   vectors x broadcast-centroid-arrays, Euclidean distance
-                reduced IN-ROW with aggregate(zip_with(...)) and argmin
-                via array_min over (dist, label) structs — a map-side
-                pass with no shuffle at all (same discipline as
-                similarity.ivf_assign, which is the dot-product special
-                case of this assignment step);
+  assignment:   vectors x ONE broadcast row of all centroid arrays;
+                Euclidean distances reduced IN-ROW with
+                transform + aggregate(zip_with(...)) and argmin via
+                array_min over (dist, label) structs — a map-side pass
+                with no shuffle and no aggregate at all (same
+                discipline as similarity.ivf_assign, which is the
+                dot-product special case of this assignment step);
   update:       posexplode(vector) -> groupBy(label, pos).avg — ONE
                 map-side-combinable shuffle of |clusters| x dim rows.
 
@@ -44,34 +45,50 @@ def assign(
 ) -> DataFrame:
     """Nearest-centroid assignment by squared Euclidean distance.
 
-    One broadcast cross with the k centroid arrays; the distance is an
-    in-row aggregate(zip_with((x-y)^2)) and the argmin an array_min over
-    (dist, label) structs — ties (measure-zero on float data) break to
-    the smallest label deterministically. No shuffle."""
-    cent = F.broadcast(_centroid_arrays(centroids))
-    dists = vectors.crossJoin(cent).select(
-        id_col,
-        vec_col,
-        F.struct(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.col("c_vec"),
-                    lambda x, y: (x.cast("double") - y)
-                    * (x.cast("double") - y),
-                ),
-                F.lit(0.0),
-                lambda acc, d: acc + d,
-            ).alias("dist"),
-            F.col("c_label").alias("label"),
-        ).alias("dl"),
+    ALL k centroids collapse to ONE broadcast row holding an array of
+    (c_label, c_vec) structs; each vector computes every distance with
+    an in-row transform + aggregate(zip_with((x-y)^2)) and takes the
+    argmin with array_min over (dist, label) structs — ties
+    (measure-zero on float data) break to the smallest label
+    deterministically. Genuinely shuffle-free: no groupBy anywhere
+    (an earlier version crossed k rows then re-grouped by
+    (id, vector), which silently re-shuffled the whole vector table
+    per iteration AND demoted to SortAggregate on the array key —
+    pinned against regression by the no-Exchange plan test)."""
+    cent_one_row = F.broadcast(
+        _centroid_arrays(centroids).agg(
+            F.array_sort(
+                F.collect_list(F.struct("c_label", "c_vec"))
+            ).alias("cents")
+        )
     )
-    best = dists.groupBy(id_col, vec_col).agg(F.min("dl").alias("best"))
-    return best.select(
-        id_col,
-        vec_col,
-        F.col("best.label").alias("label"),
-        F.col("best.dist").alias("sq_dist"),
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col),
+                        c["c_vec"],
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, d: acc + d,
+                ).alias("dist"),
+                c["c_label"].alias("label"),
+            ),
+        )
+    )
+    return (
+        vectors.crossJoin(cent_one_row)
+        .select(id_col, vec_col, best.alias("best"))
+        .select(
+            id_col,
+            vec_col,
+            F.col("best.label").alias("label"),
+            F.col("best.dist").alias("sq_dist"),
+        )
     )
 
 

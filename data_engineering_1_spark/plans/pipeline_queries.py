@@ -400,23 +400,23 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = old.alias("o").join(
         new.alias("n"), on=F.col("o.o_orderkey") == F.col("n.o_orderkey"), how="full"
     )
-    return (
-        j.select(
-            F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
-                "o_orderkey"
-            ),
-            F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
-            .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
-            .otherwise(F.lit("update"))
-            .alias("change_type"),
-            F.col("o.price").alias("old_price"),
-            F.col("n.price").alias("new_price"),
-        )
-        .where(
-            F.col("old_price").isNull()
-            | F.col("new_price").isNull()
-            | (F.col("old_price") != F.col("new_price"))
-        )
+    # change detection on JOIN-KEY nullness (matching the oracle
+    # exactly): a key present in both snapshots with a NULL price on
+    # both sides is UNCHANGED (NULL <> NULL is not true), not an update
+    return j.where(
+        F.col("o.o_orderkey").isNull()
+        | F.col("n.o_orderkey").isNull()
+        | (F.col("o.price") != F.col("n.price"))
+    ).select(
+        F.coalesce(F.col("o.o_orderkey"), F.col("n.o_orderkey")).alias(
+            "o_orderkey"
+        ),
+        F.when(F.col("o.o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("n.o_orderkey").isNull(), F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("change_type"),
+        F.col("o.price").alias("old_price"),
+        F.col("n.price").alias("new_price"),
     )
 
 
@@ -1152,36 +1152,33 @@ def rolling_7d_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling distinct counts / DAU-WAU (X72): per day, the distinct
     actives that day AND over the trailing 7 days. COUNT(DISTINCT)
     over a sliding window isn't a native window aggregate in either
-    engine; Spark expresses it as size(collect_set(user)) over a
-    RANGE frame in epoch-days — one (day, user) dedup shuffle, then a
-    window over the small daily grid whose state is the trailing
-    user set. The oracle cross-checks with a correlated-subquery
-    formulation — completely different machinery, same numbers."""
+    engine; Spark builds per-day distinct user SETS with one
+    combinable collect_set shuffle (output = the daily grid, one row
+    per day), then the trailing-7-day distinct is an in-row
+    array_distinct(flatten(...)) over a RANGE frame on that grid —
+    the only global window in the plan runs over |days| rows, bounded
+    by the calendar, never by event volume. The oracle cross-checks
+    with a correlated-subquery formulation — completely different
+    machinery, same numbers."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.select(
-        F.to_date("ts").alias("event_day"), "user_id"
-    ).distinct()
-    keyed = daily.withColumn(
+    # ONE shuffle: per-day distinct user SETS (collect_set is the
+    # distinct) — the output is the daily grid, one row per day
+    day_sets = ev.groupBy(F.to_date("ts").alias("event_day")).agg(
+        F.collect_set("user_id").alias("users")
+    )
+    keyed = day_sets.withColumn(
         "day_num", F.datediff("event_day", F.lit("1970-01-01"))
     )
-    w7 = (
-        Window.orderBy("day_num").rangeBetween(-6, 0)
-    )
-    per_day = keyed.select(
+    # the global window runs over THAT grid (|days| rows — tiny and
+    # bounded by the calendar, never by event volume); the trailing
+    # 7-day distinct count unions the per-day sets in-row
+    w7 = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return keyed.select(
         "event_day",
-        "day_num",
-        F.size(F.collect_set("user_id").over(w7)).cast("bigint").alias(
-            "wau_7d"
-        ),
-    )
-    dau = keyed.groupBy("event_day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("dau")
-    )
-    return (
-        per_day.groupBy("event_day", "wau_7d")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .join(dau, "event_day")
-        .select("event_day", "dau", "wau_7d")
+        F.size("users").cast("bigint").alias("dau"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("users").over(w7))))
+        .cast("bigint")
+        .alias("wau_7d"),
     )
 
 

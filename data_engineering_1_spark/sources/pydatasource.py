@@ -201,6 +201,20 @@ class JsonlSinkDataSource(DataSource):
         return "value STRING"
 
     def writer(self, schema, overwrite: bool):
+        if overwrite:
+            # driver-side, before any task writes: clear prior parts +
+            # manifest so glob readers can't mix old and new rows
+            # (single-writer contract, same as the _rewrite swap ops)
+            import glob as _glob
+            import os
+
+            path = self.options.get("path")
+            if path and os.path.isdir(path):
+                for f in _glob.glob(os.path.join(path, "part-*.jsonl")):
+                    os.remove(f)
+                m = os.path.join(path, "_MANIFEST.json")
+                if os.path.exists(m):
+                    os.remove(m)
         return _JsonlWriter(self.options, overwrite)
 
 

@@ -74,7 +74,15 @@ def test_kmeans_assignment_never_shuffles_vectors(spark, sf_dir):
     cent_local = spark.createDataFrame(cent.collect(), cent.schema)
     a = assign(emb, cent_local)
     plan = a._jdf.queryExecution().executedPlan().toString()
-    # centroids arrive by broadcast (no shuffle of the vector side to
-    # meet them), and the vectors are scanned exactly once
+    # centroids arrive as ONE broadcast row (no shuffle of the vector
+    # side to meet them), the vectors are scanned exactly once, and —
+    # the regression this test exists for — there is NO hash-partition
+    # exchange and no sort-aggregate anywhere: the argmin is in-row
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.count("FileScan parquet") == 1
+    # the ONLY exchanges allowed are the k x dim centroid-side preps;
+    # the vector table itself must never be hash-partitioned (the old
+    # bug re-grouped by (vec_id, embedding) after the cross)
+    assert "hashpartitioning(vec_id" not in plan
+    assert "hashpartitioning(embedding" not in plan
+    assert "SortAggregate" not in plan

@@ -41,7 +41,6 @@ CROSS_OK = {
     "conversion_funnel_12h",
     "jaccard_neardup_pairs",
     "lang_text_stats",
-    "lang_id_stopwords",
     "top_terms_per_lang",
     "embedding_centroids",
     "ivf_assignment",
@@ -72,8 +71,9 @@ GLOBAL_WINDOW_OK = {
     "exact_value_percentiles",  # same: interpolation over a tiny grid
     "watermark_late_events",  # prefix-max over the per-micro-batch
     # skeleton: one row per 10-minute batch_id, not per event (X16)
-    "rolling_7d_distinct_users",  # trailing-set window over the DAILY
-    # GRID (one row per day), not over events
+    "rolling_7d_distinct_users",  # trailing-set window over the daily
+    # grid: collect_set pre-aggregates to ONE ROW PER DAY before the
+    # window, so the global frame sees |days| rows, never event volume
 }
 
 

@@ -116,3 +116,29 @@ def test_python_datasource_writer_roundtrip(spark, sf_dir, tmp_path):
         (r["o_orderkey"], r["o_orderstatus"]) for r in src.collect()
     )
     assert got == want
+
+
+def test_python_datasource_writer_overwrite_clears_stale_parts(
+    spark, sf_dir, tmp_path
+):
+    """mode('overwrite') must clear prior part files before the new
+    write — otherwise glob readers mix old and new rows."""
+    import json
+    import os
+
+    from data_engineering_1_spark.io import load_table
+    from data_engineering_1_spark.sources.pydatasource import register
+
+    register(spark)
+    out = str(tmp_path / "jsonl_ow")
+    src = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    src.limit(200).write.format("jsonl_sink").option("path", out).mode(
+        "append"
+    ).save()
+    src.limit(50).write.format("jsonl_sink").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["rows"] == 50
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 50  # no stale rows from the first write

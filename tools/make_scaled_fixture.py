@@ -54,9 +54,20 @@ def scale_table(spark, src_dir, out_dir, name, copies):
         for k in KEYS.get(name, []):
             cur = cur.withColumn(k, F.col(k) + F.lit(c * STRIDE))
         for t in TS_COLS.get(name, []):
-            cur = cur.withColumn(
-                t, (F.col(t) + F.expr(f"INTERVAL {c} DAYS")).cast("timestamp_ntz")
-            )
+            # preserve each column's ORIGINAL type: a DATE that silently
+            # became TIMESTAMP_NTZ would make the 10x sweep test
+            # different plans (implicit casts, different stats types)
+            # than the ones verified at base scale
+            from pyspark.sql import types as T
+
+            dt = dict(df.dtypes)[t]
+            if isinstance(df.schema[t].dataType, T.DateType):
+                cur = cur.withColumn(t, F.date_add(F.col(t), c))
+            else:
+                cur = cur.withColumn(
+                    t,
+                    (F.col(t) + F.expr(f"INTERVAL {c} DAYS")).cast(dt),
+                )
         parts.append(cur)
     out = parts[0]
     for p in parts[1:]:
