@@ -1316,3 +1316,51 @@ def sql_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p UNPIVOT (n FOR event_type IN (`view`, `click`, `purchase`))
         """
     )
+
+
+@declared_query(
+    "winsorize_event_values",
+    oracle="""
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           CASE WHEN e.value < b.p01 THEN b.p01
+                WHEN e.value > b.p99 THEN b.p99
+                ELSE e.value END AS value_w,
+           CAST(CASE WHEN e.value < b.p01 OR e.value > b.p99
+                     THEN 1 ELSE 0 END AS INT) AS clipped
+    FROM events e JOIN bounds b USING (event_type)
+    WHERE e.event_id % 37 = 0
+    """,
+)
+def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization / outlier clipping (X91): the feature-cleaning
+    staple — clamp each value into its group's [p1, p99] band. The
+    per-group bounds are EXACT interpolated percentiles (the X18
+    surface, already proven to interpolate identically to DuckDB's
+    quantile_cont on doubles), computed once per group and broadcast
+    back; the clip itself is an in-row least/greatest. Emitted for a
+    deterministic id slice to bound output volume. Clamping is pure
+    selection/comparison of existing doubles — no float arithmetic to
+    diverge."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.01)").alias("p01"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )
+    e = ev.where(F.col("event_id") % 37 == 0)
+    return e.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99")).alias(
+            "value_w"
+        ),
+        ((F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99")))
+        .cast("int")
+        .alias("clipped"),
+    )
