@@ -48,6 +48,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json files so the least-verified queries stay in front.
 _SAMPLER_PRIORITY = (
     # never officially sampled (new in round 5)
+    "max_concurrent_sessions_daily",
     "winsorize_event_values",
     "sql_pivot_unpivot_roundtrip",
     "sequence_regex_funnel",

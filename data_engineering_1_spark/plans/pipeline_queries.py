@@ -1364,3 +1364,71 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("clipped"),
     )
+
+
+@declared_query(
+    "max_concurrent_sessions_daily",
+    oracle="""
+    WITH iv AS (
+        SELECT user_id, CAST(ts AS DATE) AS event_day,
+               MIN(ts) AS s, MAX(ts) AS e
+        FROM events GROUP BY 1, 2
+    ), pts AS (
+        SELECT event_day, user_id, s AS t, 1 AS delta FROM iv
+        UNION ALL
+        SELECT event_day, user_id, e AS t, -1 AS delta FROM iv
+    ), sweep AS (
+        SELECT event_day,
+               SUM(delta) OVER (PARTITION BY event_day
+                                ORDER BY t, delta DESC, user_id
+                                ROWS UNBOUNDED PRECEDING) AS live
+        FROM pts
+    )
+    SELECT i.event_day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(m.max_live AS BIGINT) AS max_concurrent
+    FROM iv i
+    JOIN (SELECT event_day, MAX(live) AS max_live
+          FROM sweep GROUP BY event_day) m USING (event_day)
+    GROUP BY i.event_day, m.max_live
+    """,
+)
+def max_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency (X92): the classic
+    max-simultaneous-sessions analytic — each user's per-day activity
+    span becomes a (+1 at start, -1 at end) point pair; a running sum
+    over the time-ordered points per day peaks at the maximum
+    concurrency. Tie discipline makes it deterministic AND inclusive:
+    at an identical instant, starts (+1) sort before ends (-1, via
+    delta DESC) and user_id breaks the rest — both engines walk the
+    identical sequence. Everything rides ONE event_day partitioning:
+    the span aggregate, the sweep window, and the final max."""
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        "user_id", F.to_date("ts").alias("event_day")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    pts = iv.select(
+        "event_day",
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("delta")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("delta")),
+            )
+        ).alias("p"),
+    ).select("event_day", "user_id", "p.t", "p.delta")
+    w = (
+        Window.partitionBy("event_day")
+        .orderBy(F.col("t").asc(), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sweep = pts.select("event_day", F.sum("delta").over(w).alias("live"))
+    max_live = sweep.groupBy("event_day").agg(
+        F.max("live").cast("bigint").alias("max_concurrent")
+    )
+    n_sessions = iv.groupBy("event_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return n_sessions.join(max_live, "event_day").select(
+        "event_day", "n_sessions", "max_concurrent"
+    )
