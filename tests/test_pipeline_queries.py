@@ -427,3 +427,36 @@ def test_covariance_upper_triangle_and_diag_positive(q):
         assert 1 <= r["dim_i"] <= r["dim_j"] <= 8
         if r["dim_i"] == r["dim_j"]:
             assert r["cov"] > 0  # variances are positive
+
+
+# ------------------------------------------------------- X91 + X92
+
+def test_winsorize_clamps_into_band(q):
+    rows = q("winsorize_event_values").collect()
+    assert rows
+    for r in rows:
+        if r["clipped"] == 1:
+            assert r["value_w"] != r["value"]
+        else:
+            assert r["value_w"] == r["value"]
+    # clipping must actually fire somewhere on a 1%/99% band
+    assert any(r["clipped"] == 1 for r in rows) or len(rows) < 100
+
+
+def test_sweepline_concurrency_invariants(q, spark, sf_dir):
+    rows = {r["event_day"]: r for r in q("max_concurrent_sessions_daily").collect()}
+    assert rows
+    from data_engineering_1_spark.io import load_table
+
+    users_per_day = {
+        r["event_day"]: r["n"]
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("event_day"))
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for day, r in rows.items():
+        # sessions are per (user, day): count equals distinct users
+        assert r["n_sessions"] == users_per_day[day]
+        # concurrency is bounded by the session count and positive
+        assert 1 <= r["max_concurrent"] <= r["n_sessions"]
