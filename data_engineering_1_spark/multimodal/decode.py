@@ -194,19 +194,28 @@ def _resize_image(content: bytes, target_w: int, target_h: int):
     otherwise the DETERMINISTIC FAKE: an md5-chained byte stream of
     exactly target_w*target_h bytes — stable across processes, so the
     Spark-side plumbing (binary column in/out, batch shapes, hashes)
-    is fully testable without codecs."""
+    is fully testable without codecs.
+
+    Per-row degradation contract: with Pillow installed, a corrupt or
+    non-decodable payload (UnidentifiedImageError, truncated file OSError,
+    etc.) must NOT fail the whole Spark task — it degrades to the fake
+    bytes for that row only, tagged ``decode-error:<ExcName>`` so a
+    pipeline can quarantine those rows (same malformed-record discipline
+    as the PERMISSIVE ingestion modes)."""
+    fake = lambda: bytes(_digest_ints(content, target_w * target_h))  # noqa: E731
+    try:
+        from PIL import Image  # type: ignore
+    except ImportError:
+        return fake(), "fake-md5"
     try:
         import io
-
-        from PIL import Image  # type: ignore
 
         img = Image.open(io.BytesIO(content))
         out = io.BytesIO()
         img.resize((target_w, target_h)).save(out, format="PNG")
         return out.getvalue(), "pillow"
-    except ImportError:
-        n = target_w * target_h
-        return bytes(_digest_ints(content, n)), "fake-md5"
+    except Exception as exc:  # corrupt payload: degrade per-row, never per-task
+        return fake(), f"decode-error:{type(exc).__name__}"
 
 
 def resize_images(

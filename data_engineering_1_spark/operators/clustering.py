@@ -134,12 +134,27 @@ def kmeans_lloyd(
     centroids = init
     for _ in range(n_iter):
         assigned = assign(vectors, centroids, vec_col=vec_col, id_col=id_col)
+        # Order-independent update (ADVICE r4): a plain float avg() is
+        # partial-aggregation-order dependent, so a boundary vector's
+        # label could flip between shuffle partitionings. Each component
+        # is rounded ONCE to DECIMAL(38,20) (deterministic, ~5e-21
+        # absolute — far below the double ulp at embedding magnitudes),
+        # summed EXACTLY in decimal (order-free), and divided once.
+        # decimal(38,20) leaves 18 integer digits: safe to ~1e18 members
+        # per cluster at unit-scale values.
         centroids = (
             assigned.select(
                 "label", F.posexplode(vec_col).alias("pos", "v")
             )
             .groupBy("label", "pos")
-            .agg(F.avg(F.col("v").cast("double")).alias("val"))
+            .agg(
+                (
+                    F.sum(
+                        F.col("v").cast("double").cast("decimal(38,20)")
+                    ).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("val")
+            )
         )
     final = assign(vectors, centroids, vec_col=vec_col, id_col=id_col)
     return final, centroids

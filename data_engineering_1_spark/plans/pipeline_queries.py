@@ -1017,12 +1017,16 @@ def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (X67), declared rows-only: two iterations from
     the deterministic lowest-id seed over the embeddings table,
     emitting (vec_id, label). No DuckDB oracle by design — the
-    centroid averages are float reductions whose cross-engine
-    last-ulp differences could legitimately flip a boundary
-    assignment; the operator is instead pinned by
+    in-row assignment distances are float reductions whose
+    cross-engine last-ulp differences could legitimately flip a
+    boundary assignment; the operator is instead pinned by
     tests/test_clustering.py against an independent numpy Lloyd
     implementation (assignment equality + SSE monotonicity + the
-    no-shuffle assignment plan)."""
+    no-shuffle assignment plan). WITHIN Spark the result is
+    partitioning-independent: the centroid update sums exactly in
+    DECIMAL(38,20) before the single division (ADVICE r4), so the
+    determinism audit's 32-vs-7-partition run covers this query for
+    real, not by fixture luck."""
     from ..operators.clustering import kmeans_lloyd
 
     emb = load_table(spark, sf_dir, "embeddings")

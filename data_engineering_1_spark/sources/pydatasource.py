@@ -123,7 +123,19 @@ class _JsonlWriter(DataSourceWriter):
     serializes its partition to one JSON-lines part file and returns a
     commit message (path, row count); the driver's ``commit`` gets the
     full message list — the two-phase pattern any transactional sink
-    builds on. Files land under ``path`` as ``part-<uuid>.jsonl``."""
+    builds on. Files land under ``path`` as ``part-<uuid>.jsonl``.
+
+    LOCAL-MODE CONTRACT (ADVICE r4): ``write()`` runs on executors and
+    emits executor-local filesystem paths, while ``commit``/``abort``
+    run on the driver and manifest/delete by those same paths — correct
+    only when driver and executors share one filesystem (local mode, or
+    ``path`` on a shared mount / object store via a fuse layer). On a
+    real multi-node cluster, port this by (a) pointing ``path`` at
+    shared storage reachable from every node, or (b) having ``write()``
+    upload to an object store and return the REMOTE key in its commit
+    message; the two-phase structure itself is deployment-agnostic —
+    only the path namespace must be shared. Do not copy this class onto
+    a cluster with node-local ``path`` as-is."""
 
     def __init__(self, options: dict, overwrite: bool):
         self.path = options.get("path")

@@ -213,8 +213,11 @@ class TestResize:
         assert set(out) == {1, 2}  # images only
         for r in out.values():
             assert (r.target_w, r.target_h) == (8, 6)
-            assert len(bytes(r.resized)) == 8 * 6
-            assert r.decoder in ("fake-md5", "pillow")
+            assert r.decoder == "pillow" or r.decoder.startswith(
+                ("fake-md5", "decode-error:")
+            )
+            if r.decoder != "pillow":  # fake legs emit exactly w*h bytes
+                assert len(bytes(r.resized)) == 8 * 6
             assert (
                 hashlib.sha256(bytes(r.resized)).hexdigest() == r.resized_sha256
             )
@@ -224,6 +227,40 @@ class TestResize:
         assert {k: v.resized_sha256 for k, v in again.items()} == {
             k: v.resized_sha256 for k, v in out.items()
         }
+
+    def test_corrupt_payload_degrades_per_row(self, monkeypatch):
+        """ADVICE r4: with Pillow INSTALLED, a corrupt payload must not
+        fail the task — _resize_image degrades to the deterministic fake
+        for that row, tagged decode-error:<ExcName>. Simulated by
+        injecting a stub PIL whose Image.open raises (what
+        UnidentifiedImageError does on garbage bytes)."""
+        import sys
+        import types
+
+        class _Boom(Exception):
+            pass
+
+        stub = types.ModuleType("PIL")
+        stub_img = types.ModuleType("PIL.Image")
+
+        def _open(_):
+            raise _Boom("cannot identify image file")
+
+        stub_img.open = _open
+        stub.Image = stub_img
+        monkeypatch.setitem(sys.modules, "PIL", stub)
+        monkeypatch.setitem(sys.modules, "PIL.Image", stub_img)
+
+        payload = b"\x00not-an-image\xff" * 7
+        data, dec = MM._resize_image(payload, 8, 6)
+        assert dec == "decode-error:_Boom"
+        assert len(data) == 8 * 6
+        # deterministic: same bytes as the no-PIL fake leg (a None
+        # sys.modules entry forces ImportError even if PIL is installed)
+        monkeypatch.setitem(sys.modules, "PIL", None)
+        monkeypatch.delitem(sys.modules, "PIL.Image")
+        data2, dec2 = MM._resize_image(payload, 8, 6)
+        assert dec2 == "fake-md5" and data2 == data
 
 
 def test_udtf_table_argument_partition_by(spark, sf_dir):
