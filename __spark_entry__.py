@@ -42,161 +42,172 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.get_queries()["chunk_docs"](spark, "/root/testdata/sf0.001")
 
 
-# Queries ordered by (number of official CORRECTNESS_r{1,2,3} samples,
-# round of most recent sample): never-sampled first, then once-sampled
-# oldest-first, then twice-sampled. Regenerate each round from the
-# CORRECTNESS_r*.json files so the least-verified queries stay in front.
+# Queries ordered by (number of official CORRECTNESS_r{1..4} samples,
+# round of most recent sample): never-sampled first, then fewest-
+# sampled oldest-first. Every query declared through round 4 now has
+# at least one official green sample; the 8 round-5 additions lead.
+# Regenerate each round from the CORRECTNESS_r*.json files so the
+# least-verified queries stay in front.
 _SAMPLER_PRIORITY = (
-    # never officially sampled (new in round 5)
-    "max_concurrent_sessions_daily",
-    "winsorize_event_values",
-    "sql_pivot_unpivot_roundtrip",
-    "sequence_regex_funnel",
-    "group_by_all_order_priority",
-    "part_affinity_pairs",
-    "revenue_share_within_region",
-    "rolling_7d_distinct_users",
-    "kmeans_assignments",
-    "radius_pairs_customers",
-    "embedding_covariance_8d",
-    "pseudonymize_orders",
-    "k_anonymity_audit",
-    "customer_percentile_ranks",
-    "ohlc_hourly_values",
-    "time_weighted_avg_values",
-    "benchmark_contamination",
-    "readability_scores_docs",
-    "profile_orders_columns",
-    "scd2_user_state_history",
-    "heavy_hitter_tokens",
-    "user_event_paths_top30",
-    "daily_event_anomalies",
-    "snapshot_diff_orders",
-    "pii_redact_docs",
-    # never officially sampled (new in round 4)
-    "orders_right_outer_customer",
-    "nulls_ordering_readings",
-    "ivf_topk_search_cached_vec0",
-    "ivf_knn_join_mod100",
-    "doc_repetition_filter",
-    "recursive_month_spine_orders",
-    "fuzzy_name_pairs_part",
-    # sampled once, in round 1
-    "union_by_name_entities",
-    "ship_lag_by_priority",
-    "region_segment_grid",
-    "nation_extremes_full_outer",
-    "grouping_sets_orders",
-    "order_value_distribution",
-    "scalar_datetime_orders",
-    "scalar_string_part",
-    "scalar_math_conditional",
-    "json_extract_events",
-    "array_ops_documents",
-    "format_context_strings",
-    "cosine_topk_vec0",
-    "knn_join_mod100",
-    "vector_norms",
-    "embedding_neardup_pairs",
-    "embedding_centroids",
-    "ivf_assignment",
-    # sampled once, in round 2
-    "doc_length_percentiles",
-    "tfidf_top_terms",
-    "unpivot_part_metrics",
-    "regex_text_features",
-    "gapfill_daily_big_events",
-    "top_terms_per_lang",
-    "lineitem_stat_moments",
-    "nation_segment_listagg",
-    "embedding_quantize_int8",
+    # never officially sampled (new in round 5, second batch)
+    "pack_training_blocks",
+    "psi_value_drift_events",
+    "priority_segment_chi2",
+    "doc_unigram_xentropy",
+    "weighted_sample_orders",
+    "domain_quota_docs",
+    "priority_price_trend",
+    "pagerank_copurchase",
+    # sampled 1x, most recently round 2
+    "approx_value_quantiles",
     "clicks_before_purchase_1h",
     "customer_7day_spend",
-    "approx_value_quantiles",
     "dedup_clusters_lsh",
-    # sampled once, in round 3
-    "training_corpus_pipeline",
-    "exact_value_percentiles",
-    "user_daily_streaks",
-    "order_price_histogram",
+    "doc_length_percentiles",
+    "embedding_quantize_int8",
+    "gapfill_daily_big_events",
+    "lineitem_stat_moments",
+    "nation_segment_listagg",
+    "regex_text_features",
+    "tfidf_top_terms",
+    "top_terms_per_lang",
+    "unpivot_part_metrics",
+    # sampled 1x, most recently round 3
+    "array_set_ops_documents",
     "bool_bit_aggs_events",
-    "sql_api_revenue_by_nation",
-    "salted_user_totals",
-    "ntile_price_quartiles",
-    "rollup_grouping_id_orders",
-    "lateral_top2_orders",
-    "forward_fill_values",
-    "watermark_late_events",
-    "events_by_segment",
     "conversion_funnel_12h",
-    "retention_cohorts_weekly",
+    "events_by_segment",
+    "exact_value_percentiles",
+    "forward_fill_values",
     "hash_sample_orders",
-    "train_test_split_docs",
-    "stratified_sample_events",
+    "ivf_topk_search_vec0",
+    "lateral_top2_orders",
     "map_explode_events",
     "map_hof_events",
     "nested_json_roundtrip_orders",
-    "try_scalar_ops_orders",
-    "variant_props_events",
-    "array_set_ops_documents",
-    "ivf_topk_search_vec0",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_trade",
+    "ntile_price_quartiles",
+    "order_price_histogram",
     "q10_returned_items",
+    "q11_important_stock",
+    "q13_order_count_distribution",
     "q14_promo_effect",
     "q15_top_supplier",
+    "q16_supplier_part_counts",
     "q17_small_quantity",
     "q18_large_orders",
     "q19_disjunctive_revenue",
-    "q22_idle_rich_customers",
-    "q8_market_share",
-    "q13_order_count_distribution",
-    "q16_supplier_part_counts",
-    "q21_waiting_suppliers",
-    "q2_best_supplier_per_part",
     "q20_promo_volume_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q2_best_supplier_per_part",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_trade",
+    "q8_market_share",
     "q9_product_profit",
-    "q11_important_stock",
-    # sampled twice (rounds 1+2, 2+3, or 1+3)
-    "word_counts_top50",
-    "doc_quality_features",
+    "retention_cohorts_weekly",
+    "rollup_grouping_id_orders",
+    "salted_user_totals",
+    "sql_api_revenue_by_nation",
+    "stratified_sample_events",
+    "train_test_split_docs",
+    "training_corpus_pipeline",
+    "try_scalar_ops_orders",
+    "user_daily_streaks",
+    "variant_props_events",
+    "watermark_late_events",
+    # sampled 1x, most recently round 4
+    "benchmark_contamination",
+    "customer_percentile_ranks",
+    "daily_event_anomalies",
+    "doc_repetition_filter",
+    "embedding_covariance_8d",
+    "fuzzy_name_pairs_part",
+    "group_by_all_order_priority",
+    "heavy_hitter_tokens",
+    "ivf_knn_join_mod100",
+    "ivf_topk_search_cached_vec0",
+    "k_anonymity_audit",
+    "kmeans_assignments",
+    "max_concurrent_sessions_daily",
+    "nulls_ordering_readings",
+    "ohlc_hourly_values",
+    "orders_right_outer_customer",
+    "part_affinity_pairs",
+    "pii_redact_docs",
+    "profile_orders_columns",
+    "pseudonymize_orders",
+    "radius_pairs_customers",
+    "readability_scores_docs",
+    "recursive_month_spine_orders",
+    "revenue_share_within_region",
+    "rolling_7d_distinct_users",
+    "scd2_user_state_history",
+    "sequence_regex_funnel",
+    "snapshot_diff_orders",
+    "sql_pivot_unpivot_roundtrip",
+    "time_weighted_avg_values",
+    "user_event_paths_top30",
+    "winsorize_event_values",
+    # sampled 2x, most recently round 2
+    "approx_distinct_users",
+    "asof_click_before_purchase",
     "chunk_docs",
     "chunk_stats",
-    "doc_clean_project",
-    "source_stem_project",
+    "cube_lineitem_flags",
+    "custkey_set_ops",
+    "customer_balance_ranks",
+    "customer_order_stats",
+    "customers_with_urgent_orders",
+    "customers_without_orders",
     "dedup_docs_exact",
-    "minhash_lsh_pairs",
-    "jaccard_neardup_pairs",
-    "simhash_docs",
-    "simhash_neardup",
-    "events_tumbling_10m",
-    "events_sliding_10m_5m",
-    "sessionize_users",
     "dedup_first_event",
-    "asof_click_before_purchase",
+    "doc_clean_project",
+    "doc_quality_features",
     "event_type_daily_pivot",
-    "approx_distinct_users",
+    "events_sliding_10m_5m",
+    "events_tumbling_10m",
+    "jaccard_neardup_pairs",
+    "minhash_lsh_pairs",
+    "order_gaps",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "customer_order_stats",
-    "customers_without_orders",
-    "customers_with_urgent_orders",
-    "top_orders_per_customer",
-    "customer_balance_ranks",
-    "running_customer_spend",
-    "order_gaps",
     "rollup_order_status",
-    "cube_lineitem_flags",
-    "custkey_set_ops",
-    "lang_text_stats",
-    "lang_id_stopwords",
-    "doc_fingerprints",
-    "binary_column_meta",
-    "token_counts_bpe",
+    "running_customer_spend",
+    "sessionize_users",
+    "simhash_docs",
+    "simhash_neardup",
+    "source_stem_project",
+    "top_orders_per_customer",
+    "word_counts_top50",
+    # sampled 2x, most recently round 3
     "bigram_counts_top30",
+    "binary_column_meta",
+    "doc_fingerprints",
+    "lang_id_stopwords",
+    "lang_text_stats",
     "map_ops_events",
+    "token_counts_bpe",
+    # sampled 2x, most recently round 4
+    "array_ops_documents",
+    "cosine_topk_vec0",
+    "embedding_centroids",
+    "embedding_neardup_pairs",
+    "format_context_strings",
+    "grouping_sets_orders",
+    "ivf_assignment",
+    "json_extract_events",
+    "knn_join_mod100",
+    "nation_extremes_full_outer",
+    "order_value_distribution",
+    "region_segment_grid",
+    "scalar_datetime_orders",
+    "scalar_math_conditional",
+    "scalar_string_part",
+    "ship_lag_by_priority",
+    "union_by_name_entities",
+    "vector_norms",
 )
 
 

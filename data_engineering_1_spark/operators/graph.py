@@ -1,0 +1,99 @@
+"""PageRank over an edge list — the second iterative graph operator
+(X3's connected components handles reachability; this handles
+importance ranking, e.g. scoring documents in a link graph for
+crawl-priority / quality weighting in a web corpus pipeline).
+
+[north-star] scope: the reference has no graph surface; a 100 TB web
+corpus pipeline ranks pages before it filters them.
+
+Per-iteration shape (the one that survives 100 TB):
+
+  contribute:  edges ⋈ ranks on src — the edge table is pre-partitioned
+               on src ONCE and persisted; every iteration only moves the
+               (node, rank) table (|V| rows) into that fixed layout;
+  combine:     groupBy(dst).SUM — map-side combinable, one shuffle of
+               |V| rows per iteration;
+  apply:       rank' = (1-d)/N + d * inflow, a scalar map.
+
+Determinism discipline — FIXED-POINT INTEGER ranks: every rank is a
+BIGINT in units of 1e-15 (``SCALE``). Messages are ``rank DIV outdeg``
+(exact integer division), inflows are exact BIGINT sums (order-
+independent), and the damping step is ``inflow * d_pct DIV 100``. The
+whole trajectory is therefore bit-identical across partitionings,
+engines, and runs — an oracle reproduces it by unrolling the same
+iterations as CTEs with the same integer ops
+(plans/corpus_queries.py:pagerank_copurchase does exactly that). A
+float formulation was tried first and retired: two iterations of
+round(double, 12) produced a genuine half-way rounding divergence
+between Spark's BigDecimal HALF_UP and DuckDB's double rounding (1 of
+30 top ranks off by 1e-12) — integers have no such boundary. The cost
+is standard fixed-point truncation: total mass decays by < |V| ulps
+(1e-15) per iteration, far below any ranking-relevant difference.
+
+Dangling nodes: callers pass a symmetrized edge list (both directions),
+so every node in the graph has outdeg >= 1 and the dangling-mass term
+is identically zero; the operator documents this contract rather than
+silently redistributing mass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SCALE = 10**15  # rank unit: 1e-15 (BIGINT fixed point)
+
+
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = 2,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, rank_fp) after ``n_iter`` synchronous PageRank iterations,
+    ``rank_fp`` a BIGINT in units of 1/SCALE (divide by 1e15 for the
+    probability). ``edges`` must contain every node as a src at least
+    once (pass a symmetrized list for undirected graphs); parallel
+    edges act as weights. ``damping_pct`` is the damping factor in
+    percent (integer, so the damping step stays exact)."""
+    spark = edges.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(parts, "src")
+        .persist()
+    )
+    # outdeg rides the src partitioning of the cache; persist it too —
+    # it's |V| rows and joins into every iteration.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    n_nodes = deg.count()  # materializes both caches
+    base = (100 - damping_pct) * SCALE // (100 * n_nodes)
+
+    ranks = deg.select(
+        F.col("src").alias("node"),
+        F.lit(SCALE // n_nodes).cast("bigint").alias("rank_fp"),
+    )
+    for _ in range(n_iter):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                # exact integer message: rank DIV outdeg
+                F.expr("rank_fp DIV outdeg").alias("c"),
+            )
+        )
+        ranks = contrib.groupBy("node").agg(
+            (
+                F.lit(base)
+                + F.expr(f"SUM(c) * {damping_pct} DIV 100")
+            ).cast("bigint").alias("rank_fp")
+        )
+        # keep the lineage shallow: the rank table is |V| rows — tiny
+        # next to the edges — so an eager localCheckpoint per round is
+        # cheap and prevents plan blow-up over many iterations
+        ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
+    deg.unpersist()
+    return ranks

@@ -1,0 +1,666 @@
+"""Corpus-engineering declared queries (round 5, second batch):
+sequence packing, distribution drift (PSI), cross-tab chi-squared,
+unigram cross-entropy scoring, weighted sampling, per-domain quotas,
+group-wise linear regression, and oracle-paired PageRank.
+
+These close the remaining gaps a 100 TB TRAINING-DATA pipeline has
+around the analytics core: turning a cleaned corpus into fixed-budget
+training blocks, watching feature drift between time slices, scoring
+documents against the corpus language model, capping any one domain's
+share of the corpus, trend-fitting per segment, and ranking nodes of
+the co-occurrence graph.
+
+Scale notes:
+  * ``pack_training_blocks`` assigns docs to fixed-token-budget blocks
+    with the concat-and-chunk rule (block = running-token-offset DIV
+    budget). The running sum is per SHARD — a hash shard is how a real
+    packing job bounds window state, so no global single-partition
+    cumsum exists anywhere; each shard's window is one partition of
+    one shuffle.
+  * ``psi_value_drift_events`` reduces the fact table ONCE to exact
+    (type, period, bucket) counts; everything after runs on a ≤100-row
+    grid. The PSI float sum is over a FIXED 10-term expression (one
+    term per bucket, each a single value — never a float SUM whose
+    order could vary), so the score is bit-stable on any engine.
+  * ``priority_segment_chi2`` emits the per-cell expected counts and
+    chi² contributions from one 25-row crosstab; totals are window
+    sums over those 25 rows (whitelisted global window — the relation
+    is the crosstab aggregate, never the fact table).
+  * ``doc_unigram_xentropy`` joins the exploded token stream to the
+    unigram counts on the token — the one shuffle; high-DF tokens are
+    the classic skew key, which AQE skew-split handles at scale (X75
+    pins that machinery). Per-doc -ln p sums go through the
+    DECIMAL(28,12) cast so partial-aggregation order can't leak.
+  * ``weighted_sample_orders`` is a pure per-row filter + top-k:
+    priority keys are a deterministic function of the row key
+    (Efraimidis–Spirakis via the portable md5 bridge), so the sample
+    is reproducible across engines, runs, AND as the corpus grows —
+    no RNG state, no shuffle, TakeOrderedAndProject for the k.
+  * ``domain_quota_docs`` ranks within host by a hash (not doc_id, so
+    the kept subset is an unbiased per-domain sample) and keeps ≤N —
+    the domain-balancing pass every web corpus runs; one window on the
+    host partitioning.
+  * ``priority_price_trend`` computes least-squares slope/intercept
+    from EXACT sums (BIGINT x, DECIMAL(18,2) y, exact x·y products):
+    one map-side-combinable aggregate over the facts, float math only
+    in the final closed-form division.
+  * ``pagerank_copurchase`` runs operators/graph.py:pagerank over the
+    symmetrized co-purchase multigraph; every iteration's inflow sums
+    exactly in DECIMAL(28,12) and rounds to 12, so the DuckDB oracle
+    can reproduce the trajectory by unrolling the same iterations as
+    CTEs — an ITERATIVE algorithm under the full value-hash gate, not
+    rows-only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.textanalysis import tokens
+from .registry import declared_query
+from .text_queries import _O_TOK
+
+_PACK_BUDGET = 2048  # tokens per training block
+_N_SHARDS = 4
+
+
+def _md5_u32(salt: str, key) -> F.Column:
+    """Portable uniform 32-bit int from md5(salt|key) — Spark half of
+    the bridge used across sampling/dedup (DuckDB twin below)."""
+    h = F.md5(F.concat_ws("|", F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint")
+
+
+def _o_md5_u32(salt: str, key_expr: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}' || '|' || "
+        f"CAST({key_expr} AS VARCHAR)), 1, 8))::BIGINT)"
+    )
+
+
+@declared_query(
+    "pack_training_blocks",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id,
+               ({_o_md5_u32('pack', 'doc_id')} % {_N_SHARDS}) AS shard,
+               len({_O_TOK}) AS n_tok
+        FROM documents
+    ), pos AS (
+        SELECT shard, doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start_tok
+        FROM d
+    )
+    SELECT shard, CAST(start_tok // {_PACK_BUDGET} AS BIGINT) AS block_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS block_tokens,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM pos
+    GROUP BY shard, block_id
+    ORDER BY shard, block_id
+    """,
+)
+def pack_training_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93: concat-and-chunk sequence packing — the step that turns a
+    cleaned corpus into fixed-token-budget training blocks. Docs are
+    hash-sharded (shards pack independently — the scale unit), ordered
+    by doc_id within the shard, and each doc's block is its running
+    token OFFSET div the budget (GPT-style concatenation packing: a
+    doc belongs to the block where it starts). All-integer arithmetic;
+    one shuffle (the shard window), block stats ride the same keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        (_md5_u32("pack", F.col("doc_id")) % _N_SHARDS).alias("shard"),
+        F.size(tokens("text")).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pos = d.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("start_tok"),
+    )
+    return (
+        pos.select(
+            "shard",
+            "doc_id",
+            "n_tok",
+            F.expr(f"start_tok DIV {_PACK_BUDGET}").alias("block_id"),
+        )
+        .groupBy("shard", "block_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("block_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "block_id")
+    )
+
+
+_N_PSI_BUCKETS = 10
+_PSI_TERMS = ", ".join(
+    f"SUM(CASE WHEN bucket = {i} THEN contr END) AS t{i}"
+    for i in range(_N_PSI_BUCKETS)
+)
+_PSI_SUM = " + ".join(f"t{i}" for i in range(_N_PSI_BUCKETS))
+
+
+@declared_query(
+    "psi_value_drift_events",
+    oracle=f"""
+    WITH counts AS (
+        SELECT event_type,
+               LEAST(CAST(FLOOR(value / 50) AS INT), {_N_PSI_BUCKETS - 1})
+                   AS bucket,
+               SUM(CASE WHEN day(ts) <= 15 THEN 1 ELSE 0 END) AS cnt_a,
+               SUM(CASE WHEN day(ts) <= 15 THEN 0 ELSE 1 END) AS cnt_b
+        FROM events
+        GROUP BY 1, 2
+    ), grid AS (
+        SELECT t.event_type, g.bucket,
+               COALESCE(c.cnt_a, 0) AS cnt_a, COALESCE(c.cnt_b, 0) AS cnt_b
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (SELECT unnest(range({_N_PSI_BUCKETS})) AS bucket) g
+        LEFT JOIN counts c
+          ON c.event_type = t.event_type AND c.bucket = g.bucket
+    ), prop AS (
+        SELECT event_type, bucket,
+               CAST(cnt_a + 1 AS DOUBLE)
+                 / CAST(SUM(cnt_a) OVER (PARTITION BY event_type)
+                        + {_N_PSI_BUCKETS} AS DOUBLE) AS p,
+               CAST(cnt_b + 1 AS DOUBLE)
+                 / CAST(SUM(cnt_b) OVER (PARTITION BY event_type)
+                        + {_N_PSI_BUCKETS} AS DOUBLE) AS q
+        FROM grid
+    ), terms AS (
+        SELECT event_type, bucket, (p - q) * ln(p / q) AS contr FROM prop
+    ), pivoted AS (
+        SELECT event_type, {_PSI_TERMS} FROM terms GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(ROUND({_PSI_SUM}, 6) AS DOUBLE) AS psi
+    FROM pivoted
+    ORDER BY event_type
+    """,
+)
+def psi_value_drift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X94: population stability index per event type between the first
+    and second half of the month — the drift monitor a feature/data
+    pipeline runs between corpus versions. The fact table reduces ONCE
+    to exact (type, bucket, period) counts; Laplace-smoothed
+    proportions and the (p-q)·ln(p/q) terms live on the ≤50-row grid.
+    The cross-bucket sum is a FIXED 10-term expression (each term picks
+    the single value of one bucket), never an order-dependent float
+    SUM — so the score hashes identically on any engine/partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    is_a = F.dayofmonth("ts") <= 15
+    counts = ev.groupBy(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 50).cast("int"),
+            F.lit(_N_PSI_BUCKETS - 1),
+        ).alias("bucket"),
+    ).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(is_a, 0).otherwise(1)).alias("cnt_b"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(
+            spark.range(_N_PSI_BUCKETS).select(
+                F.col("id").cast("int").alias("bucket")
+            )
+        )
+    )
+    g = (
+        grid.join(counts, ["event_type", "bucket"], "left")
+        .fillna(0, subset=["cnt_a", "cnt_b"])
+    )
+    wt = Window.partitionBy("event_type")
+    prop = g.select(
+        "event_type",
+        "bucket",
+        (
+            (F.col("cnt_a") + 1).cast("double")
+            / (F.sum("cnt_a").over(wt) + _N_PSI_BUCKETS).cast("double")
+        ).alias("p"),
+        (
+            (F.col("cnt_b") + 1).cast("double")
+            / (F.sum("cnt_b").over(wt) + _N_PSI_BUCKETS).cast("double")
+        ).alias("q"),
+    )
+    terms = prop.select(
+        "event_type",
+        "bucket",
+        ((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))).alias(
+            "contr"
+        ),
+    )
+    pivoted = terms.groupBy("event_type").agg(
+        *[
+            F.sum(F.when(F.col("bucket") == i, F.col("contr"))).alias(f"t{i}")
+            for i in range(_N_PSI_BUCKETS)
+        ]
+    )
+    psi = None
+    for i in range(_N_PSI_BUCKETS):
+        psi = F.col(f"t{i}") if psi is None else psi + F.col(f"t{i}")
+    return pivoted.select(
+        "event_type", F.round(psi, 6).cast("double").alias("psi")
+    ).orderBy("event_type")
+
+
+@declared_query(
+    "priority_segment_chi2",
+    oracle="""
+    WITH cells AS (
+        SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_obs
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ), tot AS (
+        SELECT priority, segment, n_obs,
+               SUM(n_obs) OVER (PARTITION BY priority) AS row_tot,
+               SUM(n_obs) OVER (PARTITION BY segment) AS col_tot,
+               SUM(n_obs) OVER () AS grand
+        FROM cells
+    )
+    SELECT priority, segment, n_obs,
+           CAST(ROUND(CAST(row_tot * col_tot AS DOUBLE)
+                      / CAST(grand AS DOUBLE), 6) AS DOUBLE) AS expected,
+           CAST(ROUND(
+               POW(CAST(n_obs AS DOUBLE)
+                   - CAST(row_tot * col_tot AS DOUBLE) / CAST(grand AS DOUBLE),
+                   2)
+               / (CAST(row_tot * col_tot AS DOUBLE) / CAST(grand AS DOUBLE)),
+               6) AS DOUBLE) AS chi2_term
+    FROM tot
+    ORDER BY priority, segment
+    """,
+)
+def priority_segment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X95: chi-squared contingency analysis of order priority vs
+    customer market segment — the categorical-independence check a
+    pipeline runs to detect sampling bias between corpus slices. ONE
+    aggregate over the joined facts (customer broadcasts) produces the
+    25-cell crosstab; row/column/grand totals are window sums over
+    those 25 rows (the global window is whitelisted: its input is the
+    crosstab, never the facts). Expected counts and chi² terms derive
+    from exact BIGINT totals via identical IEEE expressions — the
+    per-cell outputs avoid any cross-cell float sum entirely."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    )
+    tot = cells.select(
+        "priority",
+        "segment",
+        "n_obs",
+        F.sum("n_obs").over(Window.partitionBy("priority")).alias("row_tot"),
+        F.sum("n_obs").over(Window.partitionBy("segment")).alias("col_tot"),
+        F.sum("n_obs").over(Window.partitionBy()).alias("grand"),
+    )
+    e = (F.col("row_tot") * F.col("col_tot")).cast("double") / F.col(
+        "grand"
+    ).cast("double")
+    return tot.select(
+        "priority",
+        "segment",
+        "n_obs",
+        F.round(e, 6).cast("double").alias("expected"),
+        F.round(
+            F.pow(F.col("n_obs").cast("double") - e, 2) / e, 6
+        ).cast("double").alias("chi2_term"),
+    ).orderBy("priority", "segment")
+
+
+@declared_query(
+    "doc_unigram_xentropy",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({_O_TOK}) AS word FROM documents
+    ), cnt AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS w_cnt FROM tok GROUP BY word
+    ), n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM tok
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok,
+           CAST(ROUND(
+               CAST(SUM(CAST(-ln(CAST(c.w_cnt AS DOUBLE)
+                                 / CAST(n.n_total AS DOUBLE))
+                             AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*),
+               6) AS DOUBLE) AS xent
+    FROM tok t JOIN cnt c USING (word) CROSS JOIN n
+    GROUP BY t.doc_id
+    ORDER BY doc_id
+    """,
+)
+def doc_unigram_xentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X96: per-document cross-entropy against the corpus unigram
+    model — the cheap LM-quality score (gibberish and boilerplate sit
+    at the distribution tails) used to rank/filter training documents.
+    Two passes over the exploded tokens: the unigram counts, then a
+    token-keyed join back (THE shuffle; AQE skew-split covers hot
+    stop-words at scale — X75). N broadcasts as a 1-row aggregate.
+    Each token's -ln p is one IEEE expression, cast ONCE to
+    DECIMAL(28,12) and summed exactly per doc, so partial-aggregation
+    order can't move the hash; final per-token mean rounds to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    cnt = tok.groupBy("word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w_cnt")
+    )
+    n = tok.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    contr = (
+        -F.log(
+            F.col("w_cnt").cast("double") / F.col("n_total").cast("double")
+        )
+    ).cast("decimal(28,12)")
+    return (
+        tok.join(cnt, "word")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tok"),
+            F.round(
+                F.sum(contr).cast("double") / F.count(F.lit(1)), 6
+            ).cast("double").alias("xent"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@declared_query(
+    "weighted_sample_orders",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT o_orderkey, o_totalprice,
+               ROUND(
+                   ln(CAST({_o_md5_u32('ws', 'o_orderkey')} + 1 AS DOUBLE)
+                      / 4294967297.0)
+                   / o_totalprice, 9) AS sample_key
+        FROM orders
+    )
+    SELECT o_orderkey, o_totalprice,
+           CAST(sample_key AS DOUBLE) AS sample_key
+    FROM keyed
+    ORDER BY sample_key DESC, o_orderkey
+    LIMIT 200
+    """,
+)
+def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X97: weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): each row draws a deterministic uniform u from the portable
+    md5 bridge and ranks by ln(u)/w (equivalent to u^(1/w)); the top-k
+    by that key IS a weighted sample — here 200 orders biased toward
+    high o_totalprice. No RNG state, no shuffle (pure per-row math +
+    TakeOrderedAndProject), reproducible across engines/runs/corpus
+    growth, and upsampling-free (each key appears at most once). Keys
+    round to 9 so a last-ulp ln() difference can't flip membership;
+    ties break on the order key."""
+    orders = load_table(spark, sf_dir, "orders")
+    u = (_md5_u32("ws", F.col("o_orderkey")) + 1).cast("double") / F.lit(
+        4294967297.0
+    )
+    key = F.round(F.log(u) / F.col("o_totalprice"), 9)
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_totalprice",
+            key.cast("double").alias("sample_key"),
+        )
+        .orderBy(F.desc("sample_key"), F.asc("o_orderkey"))
+        .limit(200)
+    )
+
+
+_DOMAIN_QUOTA = 20
+
+
+@declared_query(
+    "domain_quota_docs",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source || '.example.com' AS host, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('quota|' || CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rnk
+        FROM documents
+    )
+    SELECT host, doc_id, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked
+    WHERE rnk <= {_DOMAIN_QUOTA}
+    ORDER BY host, rnk
+    """,
+)
+def domain_quota_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X98: per-domain quota enforcement — the domain-balancing pass a
+    web corpus runs so no host dominates training data. The host comes
+    from a real URL via parse_url (the Spark-side surface; URLs are
+    synthesized from the fixture's source column, so the oracle can
+    derive the identical host by concatenation). Rank WITHIN host by a
+    hash of the doc id — an unbiased per-domain sample, not
+    first-N-by-id — and keep ≤ quota. One window on the host
+    partitioning; at corpus scale hosts are numerous so the
+    partitioning is well-spread, and WindowGroupLimit prunes each
+    host's tail before the sort completes."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("doc_id").cast("string"),
+    )
+    d = docs.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"), "doc_id"
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.concat(F.lit("quota|"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select(
+            "host",
+            "doc_id",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+        )
+        .filter(F.col("rnk") <= _DOMAIN_QUOTA)
+        .orderBy("host", "rnk")
+    )
+
+
+@declared_query(
+    "priority_price_trend",
+    oracle="""
+    WITH sums AS (
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(datediff('day', DATE '1995-01-01',
+                            CAST(o_orderdate AS DATE))) AS sx,
+               SUM(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   * datediff('day', DATE '1995-01-01',
+                              CAST(o_orderdate AS DATE))) AS sxx,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sy,
+               SUM(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                   * CAST(o_totalprice AS DECIMAL(18,2))) AS sxy
+        FROM orders
+        GROUP BY 1
+    ), fit AS (
+        SELECT priority, n,
+               CAST(ROUND(
+                   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+                   6) AS DOUBLE) AS slope,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        FROM sums
+    )
+    SELECT priority, n, slope,
+           CAST(ROUND((syd - slope * sxd) / CAST(n AS DOUBLE), 6)
+                AS DOUBLE) AS intercept
+    FROM fit
+    ORDER BY priority
+    """,
+)
+def priority_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X99: group-wise least-squares trend (price vs order date per
+    priority) — regr_slope/regr_intercept semantics WITHOUT the
+    engines' float-merge internals: all five sufficient statistics
+    (n, Σx, Σx², Σy, Σxy) aggregate exactly (BIGINT days,
+    DECIMAL(18,2) money, exact products), then the closed-form slope/
+    intercept is one shared IEEE expression, rounded 6. One map-side-
+    combinable aggregate over the facts — the cheapest possible trend
+    fit at 100 TB. The intercept reuses the ROUNDED slope so both
+    engines feed identical inputs to the final division."""
+    orders = load_table(spark, sf_dir, "orders")
+    x = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    ).cast("bigint")
+    y = F.col("o_totalprice").cast("decimal(18,2)")
+    sums = orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    slope = F.round(
+        (nd * F.col("sxy").cast("double") - F.col("sx").cast("double")
+         * F.col("sy").cast("double"))
+        / (nd * F.col("sxx").cast("double")
+           - F.col("sx").cast("double") * F.col("sx").cast("double")),
+        6,
+    ).cast("double")
+    fit = sums.select("priority", "n", slope.alias("slope"),
+                      F.col("sx").cast("double").alias("sxd"),
+                      F.col("sy").cast("double").alias("syd"))
+    return fit.select(
+        "priority",
+        "n",
+        "slope",
+        F.round(
+            (F.col("syd") - F.col("slope") * F.col("sxd"))
+            / F.col("n").cast("double"),
+            6,
+        ).cast("double").alias("intercept"),
+    ).orderBy("priority")
+
+
+def _o_pr_iter(prev: str) -> str:
+    """One unrolled PageRank iteration as DuckDB SQL — the exact twin
+    of operators/graph.py:pagerank's loop body (BIGINT fixed point in
+    units of 1e-15; all-integer ops, so the match is bit-exact)."""
+    return f"""
+        SELECT e.dst AS node,
+               CAST((100 - 85) * 1000000000000000
+                        // (100 * (SELECT n FROM nn))
+                    + (SUM(p.rank_fp // d.outdeg) * 85) // 100
+                    AS BIGINT) AS rank_fp
+        FROM edges e
+        JOIN {prev} p ON e.src = p.node
+        JOIN deg d ON e.src = d.src
+        GROUP BY e.dst
+    """
+
+
+@declared_query(
+    "pagerank_copurchase",
+    oracle=f"""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    ), deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src
+    ), nn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
+    ), pr0 AS (
+        SELECT src AS node,
+               CAST(1000000000000000 // (SELECT n FROM nn) AS BIGINT)
+                   AS rank_fp
+        FROM deg
+    ), pr1 AS ({_o_pr_iter('pr0')}
+    ), pr2 AS ({_o_pr_iter('pr1')}
+    )
+    SELECT node AS part_key, rank_fp,
+           CAST(CAST(rank_fp AS DOUBLE) / 1e15 AS DOUBLE) AS pagerank
+    FROM pr2
+    ORDER BY rank_fp DESC, part_key
+    LIMIT 30
+    """,
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X100: PageRank over the co-purchase multigraph (parts linked
+    when they share an order; parallel edges = stronger ties, i.e. a
+    weighted walk), top 30 — the node-importance ranking a corpus
+    pipeline runs on its link/citation graph for crawl priority or
+    quality weighting. The iterative operator (operators/graph.py)
+    pre-partitions the edge cache once and moves only the |V|-row rank
+    table per iteration; FIXED-POINT BIGINT ranks (units of 1e-15,
+    integer messages and damping) make the trajectory bit-
+    reproducible, so the oracle UNROLLS the same two iterations as
+    CTEs and the full value hash must match — an iterative graph
+    algorithm under the strict gate, not rows-only. (A float
+    formulation genuinely diverged in the 12th digit between engines;
+    see the operator docstring.)"""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    pr = pagerank(edges, n_iter=2, damping_pct=85)
+    return (
+        pr.select(
+            F.col("node").alias("part_key"),
+            "rank_fp",
+            (F.col("rank_fp").cast("double") / F.lit(1e15))
+            .cast("double")
+            .alias("pagerank"),
+        )
+        .orderBy(F.desc("rank_fp"), F.asc("part_key"))
+        .limit(30)
+    )

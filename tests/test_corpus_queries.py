@@ -1,0 +1,221 @@
+"""Invariant tests for the round-5 corpus-engineering batch
+(X93 packing, X94 PSI, X95 chi2, X96 xentropy, X97 weighted sample,
+X98 domain quota, X99 trend fit, X100 fixed-point PageRank).
+
+The oracle gate proves Spark==DuckDB on the declared outputs; these
+tests pin the ALGORITHMIC claims the hash can't see — conservation
+laws, bias direction, quota ceilings, and an exact fixed-point
+PageRank twin on a hand graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from data_engineering_1_spark.io import load_table
+from data_engineering_1_spark.operators.graph import SCALE, pagerank
+from data_engineering_1_spark.plans import corpus_queries as CQ
+
+
+def test_packing_conserves_docs_and_tokens(spark, sf_dir):
+    """Every doc lands in exactly one block; block token sums re-add to
+    the corpus total (nothing dropped, nothing double-packed)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from data_engineering_1_spark.operators.textanalysis import tokens
+
+    n_docs = docs.count()
+    total_tok = docs.select(
+        F.sum(F.size(tokens("text"))).alias("t")
+    ).first()["t"]
+    blocks = CQ.pack_training_blocks(spark, sf_dir).collect()
+    assert sum(b["n_docs"] for b in blocks) == n_docs
+    assert sum(b["block_tokens"] for b in blocks) == total_tok
+    # block ids are the concat-and-chunk offsets: non-negative, and the
+    # first block of every shard is block 0
+    per_shard_first = {}
+    for b in blocks:
+        assert b["block_id"] >= 0
+        per_shard_first.setdefault(b["shard"], b["block_id"])
+    assert set(per_shard_first.values()) == {0}
+
+
+def test_psi_zero_when_compared_to_itself(spark, sf_dir):
+    """PSI's floor: identical distributions score exactly 0 — pinned by
+    replaying the query machinery with period A == period B (the
+    smoothed p and q become the same expression)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / 50).cast("int"), F.lit(9)).alias(
+            "bucket"
+        ),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wt = F.sum("cnt").over(Window.partitionBy("event_type"))
+    p = (F.col("cnt") + 1).cast("double") / (wt + 10).cast("double")
+    same = counts.select(
+        "event_type", ((p - p) * F.log(p / p)).alias("contr")
+    )
+    tot = same.agg(F.sum(F.abs(F.col("contr"))).alias("s")).first()["s"]
+    assert tot == 0.0
+    # and the real query emits small positive drift for every type
+    rows = CQ.psi_value_drift_events(spark, sf_dir).collect()
+    assert len(rows) == 5
+    assert all(r["psi"] >= 0.0 for r in rows)
+
+
+def test_chi2_totals_and_nonnegative(spark, sf_dir):
+    """Expected counts re-sum to the observed grand total (the defining
+    property of the independence model) and every chi2 term is >= 0."""
+    rows = CQ.priority_segment_chi2(spark, sf_dir).collect()
+    n = sum(r["n_obs"] for r in rows)
+    e = sum(r["expected"] for r in rows)
+    assert abs(e - n) < 1e-3  # expected counts rounded to 6 each
+    assert all(r["chi2_term"] >= 0.0 for r in rows)
+    assert len(rows) == 25
+
+
+def test_xentropy_bounds(spark, sf_dir):
+    """Cross-entropy against the corpus unigram model is bounded below
+    by ln(1) = 0 (impossible: every token has count >= 1 so -ln p > 0
+    unless one token IS the corpus) and above by ln(N)."""
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    from data_engineering_1_spark.operators.textanalysis import tokens
+
+    n_total = docs.select(
+        F.sum(F.size(tokens("text"))).alias("t")
+    ).first()["t"]
+    rows = CQ.doc_unigram_xentropy(spark, sf_dir).collect()
+    assert len(rows) == docs.count()
+    ub = math.log(n_total) + 1e-9
+    assert all(0.0 < r["xent"] <= ub for r in rows)
+
+
+def test_weighted_sample_is_weight_biased(spark, sf_dir):
+    """The A-ES sample must overrepresent heavy rows: the sample's mean
+    o_totalprice exceeds the population mean by a wide, deterministic
+    margin (the whole point of weighted sampling)."""
+    orders = load_table(spark, sf_dir, "orders")
+    pop_mean = orders.agg(F.avg("o_totalprice")).first()[0]
+    sample = CQ.weighted_sample_orders(spark, sf_dir).collect()
+    samp_mean = sum(r["o_totalprice"] for r in sample) / len(sample)
+    assert samp_mean > pop_mean * 1.2
+    # sampling without replacement: keys are unique rows
+    assert len({r["o_orderkey"] for r in sample}) == len(sample)
+
+
+def test_domain_quota_ceiling(spark, sf_dir):
+    """No host exceeds the quota, and hosts with fewer docs than the
+    quota keep everything (the pass balances, never discards whole
+    domains)."""
+    docs = load_table(spark, sf_dir, "documents")
+    have = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept = CQ.domain_quota_docs(spark, sf_dir).collect()
+    per_host = {}
+    for r in kept:
+        per_host[r["host"]] = per_host.get(r["host"], 0) + 1
+    for host, n in per_host.items():
+        src = host.removesuffix(".example.com")
+        assert n == min(have[src], CQ._DOMAIN_QUOTA)
+
+
+def test_trend_fit_matches_numpy(spark, sf_dir):
+    """The exact-sum closed form equals numpy's polyfit to the rounding
+    the query promises (6 decimals)."""
+    import numpy as np
+
+    orders = load_table(spark, sf_dir, "orders").collect()
+    got = {
+        r["priority"]: (r["slope"], r["intercept"])
+        for r in CQ.priority_price_trend(spark, sf_dir).collect()
+    }
+    base = __import__("datetime").date(1995, 1, 1)
+    by_p: dict = {}
+    for r in orders:
+        x = (r["o_orderdate"].date() - base).days
+        by_p.setdefault(r["o_orderpriority"], ([], []))
+        by_p[r["o_orderpriority"]][0].append(x)
+        by_p[r["o_orderpriority"]][1].append(round(r["o_totalprice"], 2))
+    for p, (xs, ys) in by_p.items():
+        slope, intercept = np.polyfit(np.array(xs), np.array(ys), 1)
+        g_slope, g_int = got[p]
+        assert abs(g_slope - slope) < 1e-4, p
+        assert abs(g_int - intercept) < 1e-1, p  # intercept magnifies slope rounding
+
+
+def _fp_pagerank_reference(edges, n_iter=2, d_pct=85):
+    """Pure-Python fixed-point PageRank — the independent twin of
+    operators/graph.py (same integer ops, no Spark)."""
+    from collections import defaultdict
+
+    out = defaultdict(int)
+    for s, _t in edges:
+        out[s] += 1
+    nodes = sorted(out)
+    n = len(nodes)
+    base = (100 - d_pct) * SCALE // (100 * n)
+    rank = {v: SCALE // n for v in nodes}
+    for _ in range(n_iter):
+        inflow = defaultdict(int)
+        for s, t in edges:
+            inflow[t] += rank[s] // out[s]
+        rank = {v: base + inflow[v] * d_pct // 100 for v in inflow}
+    return rank
+
+
+def test_pagerank_exact_on_hand_graph(spark):
+    """Bit-exact equality with the pure-Python fixed-point reference on
+    a small asymmetric multigraph (hub, chain, parallel edges)."""
+    edges = [
+        (1, 2), (2, 1),
+        (1, 3), (3, 1),
+        (2, 3), (3, 2),
+        (3, 4), (4, 3),
+        (3, 4),  # parallel edge: weight 2 on 3->4
+        (4, 3),
+        (4, 5), (5, 4),
+    ]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, n_iter=2, damping_pct=85).collect()
+    }
+    want = _fp_pagerank_reference(edges)
+    assert got == want
+
+
+def test_pagerank_mass_conservation(spark, sf_dir):
+    """Fixed-point truncation may only LOSE mass, and at most ~1 ulp
+    per node per integer division — total rank stays within
+    (SCALE - loss_bound, SCALE]."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+    n_edges = edges.count()
+    n_nodes = edges.select("src").distinct().count()
+    pr = pagerank(edges, n_iter=2, damping_pct=85)
+    total = pr.agg(F.sum("rank_fp")).first()[0]
+    # per iteration: <= 1 ulp lost per EDGE (message truncation) plus
+    # <= 100 per node (the DIV 100 damping step) plus seed truncation
+    loss_bound = 2 * (n_edges + 101 * n_nodes) + n_nodes
+    assert SCALE - loss_bound <= total <= SCALE

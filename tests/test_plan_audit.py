@@ -57,6 +57,10 @@ CROSS_OK = {
     "bigram_counts_top30",
     "token_counts_bpe",
     "doc_quality_features",
+    # X94: 5-type distinct x 10-bucket literal grid (<=50 rows)
+    "psi_value_drift_events",
+    # X96: broadcast 1-row total-token-count aggregate crossed in
+    "doc_unigram_xentropy",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -74,6 +78,8 @@ GLOBAL_WINDOW_OK = {
     "rolling_7d_distinct_users",  # trailing-set window over the daily
     # grid: collect_set pre-aggregates to ONE ROW PER DAY before the
     # window, so the global frame sees |days| rows, never event volume
+    "priority_segment_chi2",  # grand-total window over the 25-row
+    # priority x segment crosstab aggregate, never the fact table
 }
 
 

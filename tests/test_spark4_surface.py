@@ -141,3 +141,107 @@ def test_aqe_skew_join_split_and_coalesce(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_observe_metrics_free_ride(spark, sf_dir):
+    """X101: Observation metrics — pipeline health counters (row count,
+    value sum) collected DURING the action, no second pass over the
+    data. The observed values must equal a direct aggregate, and
+    observing must not perturb the query result."""
+    from pyspark.sql import Observation
+
+    orders = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_metrics")
+    q = (
+        orders.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "price_sum"
+            ),
+            F.count(F.when(F.col("o_totalprice") < 0, 1)).alias(
+                "neg_prices"
+            ),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r["o_orderstatus"]: r["n"] for r in q.collect()}
+    direct = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+            "price_sum"
+        ),
+    ).first()
+    m = obs.get
+    assert m["n_rows"] == direct["n_rows"] == sum(got.values())
+    assert m["price_sum"] == direct["price_sum"]
+    assert m["neg_prices"] == 0  # the data-quality assertion itself
+
+
+def test_transpose_small_aggregate(spark, sf_dir):
+    """X102: DataFrame.transpose (Spark 4) — rows <-> columns over a
+    SMALL aggregate (the contract: the key column's values become the
+    new schema, so the input must be driver-tiny; use it on crosstab-
+    sized relations only, never facts). Values survive the flip."""
+    orders = load_table(spark, sf_dir, "orders")
+    agg = (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    wide = {r["key"]: r for r in agg.transpose("o_orderstatus").collect()}
+    tall = {r["o_orderstatus"]: r for r in agg.collect()}
+    assert set(wide) == {"n", "total"}
+    for status, row in tall.items():
+        assert wide["n"][status] == row["n"]
+        assert wide["total"][status] == row["total"]
+
+
+def test_sql_scalar_udf_is_inlined(spark, sf_dir):
+    """X103a: SQL-body scalar UDF (CREATE FUNCTION ... RETURN expr) —
+    the reuse surface that costs NOTHING at scale: the body inlines
+    into the Catalyst plan (no Python worker, no BatchEvalPython
+    node), so calling it equals writing the expression by hand."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE, d DOUBLE) "
+        "RETURNS DOUBLE RETURN p * (1.0 - d)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("li_udf")
+    via_udf = spark.sql(
+        "SELECT l_orderkey, ROUND(disc_price(l_extendedprice, l_discount), 2)"
+        " AS net FROM li_udf ORDER BY l_orderkey, net LIMIT 100"
+    )
+    direct = spark.sql(
+        "SELECT l_orderkey, ROUND(l_extendedprice * (1.0 - l_discount), 2)"
+        " AS net FROM li_udf ORDER BY l_orderkey, net LIMIT 100"
+    )
+    assert [tuple(r) for r in via_udf.collect()] == [
+        tuple(r) for r in direct.collect()
+    ]
+    plan = via_udf._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # fully inlined: the physical plan carries the expanded expression,
+    # not a function call — and the project stays in whole-stage
+    # codegen (the `*(N)` stage marker in this plan format)
+    assert "disc_price" not in plan
+    assert "(1.0 - l_discount" in plan
+    assert "*(1)" in plan
+
+
+def test_sql_table_udf(spark):
+    """X103b: SQL-body TABLE function (RETURNS TABLE) — a reusable
+    parameterized view; composes in FROM like any relation."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION int_spine(lo INT, hi INT) "
+        "RETURNS TABLE(i INT) RETURN SELECT explode(sequence(lo, hi))"
+    )
+    got = [r["i"] for r in spark.sql(
+        "SELECT i FROM int_spine(3, 7) ORDER BY i"
+    ).collect()]
+    assert got == [3, 4, 5, 6, 7]
