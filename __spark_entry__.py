@@ -50,6 +50,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # least-verified queries stay in front.
 _SAMPLER_PRIORITY = (
     # never officially sampled (new in round 5, second batch)
+    "vocab_coverage_95",
+    "pmi_collocations_top30",
+    "event_type_transitions",
+    "asof_click_after_purchase",
     "pack_training_blocks",
     "psi_value_drift_events",
     "priority_segment_chi2",

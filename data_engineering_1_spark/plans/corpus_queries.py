@@ -45,11 +45,24 @@ Scale notes:
     one map-side-combinable aggregate over the facts, float math only
     in the final closed-form division.
   * ``pagerank_copurchase`` runs operators/graph.py:pagerank over the
-    symmetrized co-purchase multigraph; every iteration's inflow sums
-    exactly in DECIMAL(28,12) and rounds to 12, so the DuckDB oracle
-    can reproduce the trajectory by unrolling the same iterations as
-    CTEs — an ITERATIVE algorithm under the full value-hash gate, not
-    rows-only.
+    symmetrized co-purchase multigraph in BIGINT FIXED POINT (1e-15
+    units): integer messages, exact sums, integer damping — the DuckDB
+    oracle reproduces the trajectory bit-exactly by unrolling the same
+    iterations as CTEs. An ITERATIVE algorithm under the full
+    value-hash gate, not rows-only.
+  * ``vocab_coverage_95`` keeps the smallest count-ranked vocab
+    covering 95% of occurrences; the keep rule is exact integer
+    arithmetic and the one global window runs over the VOCAB relation
+    (Heaps-law sublinear), never the token stream.
+  * ``pmi_collocations_top30`` is two count aggregates + two equi-joins
+    into the small unigram table; PMI stays a division CHAIN so no
+    intermediate product leaves the exact-double range.
+  * ``event_type_transitions`` is one user_id window + a 25-cell count
+    aggregate; probabilities normalize over the tiny matrix.
+  * ``asof_click_after_purchase`` completes the as-of pair with the
+    FORWARD direction via the same merge pattern (one user sort,
+    first-non-null over a forward frame) — never the
+    |purchases|x|clicks| inequality join.
 """
 
 from __future__ import annotations
@@ -663,4 +676,280 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rank_fp"), F.asc("part_key"))
         .limit(30)
+    )
+
+
+@declared_query(
+    "vocab_coverage_95",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest({_O_TOK}) AS word FROM documents) t
+        GROUP BY word
+    ), ranked AS (
+        SELECT word, n,
+               CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT)
+                   AS rank,
+               SUM(n) OVER (ORDER BY n DESC, word
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER () AS total
+        FROM cnt
+    )
+    SELECT word, n, rank,
+           CAST(ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6)
+                AS DOUBLE) AS cum_share
+    FROM ranked
+    WHERE (cum - n) * 20 < total * 19
+    ORDER BY rank
+    """,
+)
+def vocab_coverage_95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X104: tokenizer-style vocabulary truncation — the smallest
+    count-ranked vocab covering 95% of all token occurrences (the rest
+    become <unk>). The keep rule is EXACT integer arithmetic
+    ((cum − n)·20 < total·19, i.e. previous coverage < 95%), so
+    membership can never ride a float boundary; only the reported
+    cum_share is a rounded double. The global window runs over the
+    VOCAB relation — distinct words grow ~ corpus^0.5 (Heaps' law),
+    so at 100 TB this is millions of rows on one task, not the token
+    stream; the token-stream reduction happens in the count aggregate
+    below it (whitelisted with this justification)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    ww = Window.orderBy(F.desc("n"), F.asc("word"))
+    ranked = cnt.select(
+        "word",
+        "n",
+        F.row_number().over(ww).cast("bigint").alias("rank"),
+        F.sum("n").over(ww.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "cum"
+        ),
+        F.sum("n").over(Window.partitionBy()).alias("total"),
+    )
+    return (
+        ranked.filter(
+            (F.col("cum") - F.col("n")) * 20 < F.col("total") * 19
+        )
+        .select(
+            "word",
+            "n",
+            "rank",
+            F.round(
+                F.col("cum").cast("double") / F.col("total").cast("double"),
+                6,
+            ).cast("double").alias("cum_share"),
+        )
+        .orderBy("rank")
+    )
+
+
+_PMI_MIN_COUNT = 5
+
+
+@declared_query(
+    "pmi_collocations_top30",
+    oracle=f"""
+    WITH toks AS (SELECT {_O_TOK} AS t FROM documents),
+    bg AS (
+        SELECT t[i] AS a, t[i+1] AS b
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        WHERE len(t) >= 2
+    ), bgc AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bg GROUP BY a, b
+    ), uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS c_w
+        FROM (SELECT unnest({_O_TOK}) AS word FROM documents) t
+        GROUP BY word
+    ), nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_bg FROM bg),
+    nu AS (
+        SELECT CAST(SUM(c_w) AS BIGINT) AS n_uni FROM uni
+    )
+    SELECT g.a, g.b, g.c_ab,
+           CAST(ROUND(ln(
+               (CAST(g.c_ab AS DOUBLE) / CAST(nb.n_bg AS DOUBLE))
+               / ((CAST(ua.c_w AS DOUBLE) / CAST(nu.n_uni AS DOUBLE))
+                  * (CAST(ub.c_w AS DOUBLE) / CAST(nu.n_uni AS DOUBLE)))
+           ), 6) AS DOUBLE) AS pmi
+    FROM bgc g
+    JOIN uni ua ON g.a = ua.word
+    JOIN uni ub ON g.b = ub.word
+    CROSS JOIN nb CROSS JOIN nu
+    WHERE g.c_ab >= {_PMI_MIN_COUNT}
+    ORDER BY pmi DESC, a, b
+    LIMIT 30
+    """,
+)
+def pmi_collocations_top30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X105: PMI collocation mining — the strongest word pairs
+    (ln P(ab) / (P(a)P(b)) with a count floor), the classic corpus
+    statistic behind phrase detection and tokenizer merge rules. Two
+    count aggregates (bigrams, unigrams) + two equi-joins of the
+    bigram counts to the (small) unigram table; the grand totals
+    broadcast as 1-row aggregates. The PMI is one shared IEEE
+    expression over exact BIGINT counts, kept as a DIVISION CHAIN so
+    no intermediate product can leave the exact-double range; rounded
+    6. Count floor decided on exact integers."""
+    from ..operators.textanalysis import ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    toked = docs.select(tokens("text").alias("__toks"))
+    bg = toked.select(F.explode(ngrams(F.col("__toks"), 2)).alias("bigram"))
+    bgc = (
+        bg.groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+        .select(
+            F.split(F.col("bigram"), " ")[0].alias("a"),
+            F.split(F.col("bigram"), " ")[1].alias("b"),
+            "c_ab",
+        )
+    )
+    uni = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_w"))
+    )
+    nb = bg.agg(F.count(F.lit(1)).cast("bigint").alias("n_bg"))
+    nu = uni.agg(F.sum("c_w").cast("bigint").alias("n_uni"))
+    ua = uni.select(F.col("word").alias("a"), F.col("c_w").alias("ca"))
+    ub = uni.select(F.col("word").alias("b"), F.col("c_w").alias("cb"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") / F.col("n_bg").cast("double"))
+        / (
+            (F.col("ca").cast("double") / F.col("n_uni").cast("double"))
+            * (F.col("cb").cast("double") / F.col("n_uni").cast("double"))
+        )
+    )
+    return (
+        bgc.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "a",
+            "b",
+            "c_ab",
+            F.round(pmi, 6).cast("double").alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "a", "b")
+        .limit(30)
+    )
+
+
+@declared_query(
+    "event_type_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ), cnt AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(ROUND(CAST(n AS DOUBLE)
+                      / CAST(SUM(n) OVER (PARTITION BY from_type)
+                             AS DOUBLE), 6) AS DOUBLE) AS prob
+    FROM cnt
+    ORDER BY from_type, to_type
+    """,
+)
+def event_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X106: first-order Markov transition matrix of event types — the
+    sequence model behind journey analysis and synthetic-session
+    generation. One user_id window (total (ts, event_id) order makes
+    simultaneous events deterministic) feeds a 25-cell count
+    aggregate; row-normalized probabilities derive from exact BIGINT
+    counts via a window over the 25-row matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("from_type")).cast("double"),
+            6,
+        ).cast("double").alias("prob"),
+    ).orderBy("from_type", "to_type")
+
+
+@declared_query(
+    "asof_click_after_purchase",
+    oracle="""
+    SELECT event_id, user_id, ts, click_event_id, click_ts
+    FROM (
+        SELECT p.event_id, p.user_id, p.ts,
+               c.event_id AS click_event_id, c.ts AS click_ts,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.ts ASC, c.event_id ASC) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND c.ts >= p.ts
+    ) t
+    WHERE rn = 1
+    """,
+)
+def asof_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X107: FORWARD as-of join (completes J7's direction pair): for
+    every purchase, the EARLIEST click by the same user at-or-after
+    its timestamp (tie-break: earliest ts, then smallest event_id) —
+    the "next action after conversion" lookup. Same scalable merge
+    pattern as the backward variant (one user_id sort, first-non-null
+    carried over a FORWARD frame), never the |purchases|x|clicks|
+    inequality join. Purchases sort BEFORE clicks at an identical
+    timestamp so a same-instant click is found, mirroring the
+    oracle's c.ts >= p.ts."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.struct(
+            F.col("ts").alias("ts"), F.col("event_id").alias("event_id")
+        ).alias("click_info"),
+        F.lit(0).alias("is_purchase"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None)
+        .cast("struct<ts:timestamp,event_id:bigint>")
+        .alias("click_info"),
+        F.lit(1).alias("is_purchase"),
+    )
+    merged = clicks.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_purchase"), "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    with_next = merged.withColumn(
+        "next_click", F.first("click_info", ignorenulls=True).over(w)
+    )
+    return with_next.filter(F.col("is_purchase") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("next_click.event_id").alias("click_event_id"),
+        F.col("next_click.ts").alias("click_ts"),
     )

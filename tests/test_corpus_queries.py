@@ -219,3 +219,105 @@ def test_pagerank_mass_conservation(spark, sf_dir):
     # <= 100 per node (the DIV 100 damping step) plus seed truncation
     loss_bound = 2 * (n_edges + 101 * n_nodes) + n_nodes
     assert SCALE - loss_bound <= total <= SCALE
+
+
+def test_vocab_coverage_is_minimal(spark, sf_dir):
+    """The kept vocab reaches >= 95% occurrence coverage, and dropping
+    its last (lowest-count) word falls below 95% — minimality, the
+    exact property the integer keep rule encodes."""
+    from data_engineering_1_spark.operators.textanalysis import tokens as tk
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(F.sum(F.size(tk("text")))).first()[0]
+    kept = CQ.vocab_coverage_95(spark, sf_dir).collect()
+    ranks = [r["rank"] for r in kept]
+    assert ranks == list(range(1, len(kept) + 1))
+    covered = sum(r["n"] for r in kept)
+    assert covered * 20 >= total * 19
+    assert (covered - kept[-1]["n"]) * 20 < total * 19
+
+
+def test_pmi_matches_pure_python(spark, sf_dir):
+    """Top-30 PMI collocations equal an independent pure-Python
+    computation from the same exact counts (same division chain)."""
+    import math
+    import re
+    from collections import Counter
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    uni: Counter = Counter()
+    bg: Counter = Counter()
+    n_bg = 0
+    for r in docs:
+        toks = re.split(r"\s+", r["text"].strip().lower())
+        uni.update(toks)
+        for a, b in zip(toks, toks[1:]):
+            bg[(a, b)] += 1
+            n_bg += 1
+    n_uni = sum(uni.values())
+    scored = []
+    for (a, b), c_ab in bg.items():
+        if c_ab < CQ._PMI_MIN_COUNT:
+            continue
+        pmi = math.log(
+            (c_ab / n_bg) / ((uni[a] / n_uni) * (uni[b] / n_uni))
+        )
+        scored.append((round(pmi, 6), a, b, c_ab))
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(a, b, c, p) for p, a, b, c in scored[:30]]
+    got = [
+        (r["a"], r["b"], r["c_ab"], r["pmi"])
+        for r in CQ.pmi_collocations_top30(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_transition_rows_are_stochastic(spark, sf_dir):
+    """Per-from_type probabilities sum to 1 (each rounded to 6, so the
+    row sum is within 5e-6), and transition counts re-sum to the exact
+    total number of consecutive pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    want_pairs = per_user.select(
+        F.sum(F.col("n") - 1).alias("p")
+    ).first()["p"]
+    rows = CQ.event_type_transitions(spark, sf_dir).collect()
+    assert sum(r["n"] for r in rows) == want_pairs
+    by_from: dict = {}
+    for r in rows:
+        by_from.setdefault(r["from_type"], 0.0)
+        by_from[r["from_type"]] += r["prob"]
+    for s in by_from.values():
+        assert abs(s - 1.0) < 5e-6
+
+
+def test_forward_asof_agrees_with_bruteforce(spark, sf_dir):
+    """The merge-pattern forward as-of equals the brute-force
+    per-purchase minimum over all later clicks (driver-side, sf0.001)."""
+    ev = load_table(spark, sf_dir, "events").collect()
+    clicks = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"])
+            for r in ev
+            if r["event_type"] == "click"
+        ),
+    )
+    want = {}
+    for r in ev:
+        if r["event_type"] != "purchase":
+            continue
+        cands = [
+            (ts, eid)
+            for (u, ts, eid) in clicks
+            if u == r["user_id"] and ts >= r["ts"]
+        ]
+        want[r["event_id"]] = min(cands) if cands else None
+    got = {
+        r["event_id"]: (
+            (r["click_ts"], r["click_event_id"])
+            if r["click_event_id"] is not None
+            else None
+        )
+        for r in CQ.asof_click_after_purchase(spark, sf_dir).collect()
+    }
+    assert got == want

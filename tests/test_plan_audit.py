@@ -61,6 +61,8 @@ CROSS_OK = {
     "psi_value_drift_events",
     # X96: broadcast 1-row total-token-count aggregate crossed in
     "doc_unigram_xentropy",
+    # X105: broadcast 1-row bigram/unigram grand totals crossed in
+    "pmi_collocations_top30",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -80,6 +82,9 @@ GLOBAL_WINDOW_OK = {
     # window, so the global frame sees |days| rows, never event volume
     "priority_segment_chi2",  # grand-total window over the 25-row
     # priority x segment crosstab aggregate, never the fact table
+    "vocab_coverage_95",  # rank/cumsum window over the VOCAB relation
+    # (distinct words — Heaps-law sublinear in corpus size), never the
+    # token stream; the stream reduces in the count aggregate below it
 }
 
 
