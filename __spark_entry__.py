@@ -50,6 +50,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # least-verified queries stay in front.
 _SAMPLER_PRIORITY = (
     # never officially sampled (new in round 5, second batch)
+    "incremental_dedup_ingest",
+    "boilerplate_shingles",
+    "segment_balance_nth_values",
     "vocab_coverage_95",
     "pmi_collocations_top30",
     "event_type_transitions",

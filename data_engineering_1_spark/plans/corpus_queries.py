@@ -953,3 +953,180 @@ def asof_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("next_click.event_id").alias("click_event_id"),
         F.col("next_click.ts").alias("click_ts"),
     )
+
+
+_FP_TOKENS = 8
+
+
+@declared_query(
+    "incremental_dedup_ingest",
+    oracle=f"""
+    WITH f AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   list_slice({_O_TOK}, 1, {_FP_TOKENS}), ' ')) AS fp
+        FROM documents
+    ), corpus AS (
+        SELECT DISTINCT fp FROM f WHERE doc_id % 10 != 0
+    )
+    SELECT i.doc_id, i.fp,
+           (c.fp IS NOT NULL) AS is_dup
+    FROM (SELECT * FROM f WHERE doc_id % 10 = 0) i
+    LEFT JOIN corpus c ON i.fp = c.fp
+    ORDER BY doc_id
+    """,
+)
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X108: incremental-ingest dedup — the admission gate a LIVE corpus
+    runs on every new batch: fingerprint the incoming docs (md5 of the
+    first {_FP_TOKENS} tokens — the stored-index discipline; swap in
+    the minhash signature for near-dup admission) and split them
+    against the existing corpus' fingerprint index with ONE equi-join.
+    At scale the corpus side is the persisted index table (X37's
+    build/read pattern), bucketed on fp so the daily admission join is
+    shuffle-free (X24); it is never the corpus text itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(tokens("text"), 1, _FP_TOKENS))
+        ).alias("fp"),
+    )
+    corpus = (
+        f.filter(F.col("doc_id") % 10 != 0).select("fp").distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    incoming = f.filter(F.col("doc_id") % 10 == 0)
+    return (
+        incoming.join(corpus, "fp", "left")
+        .select(
+            "doc_id",
+            "fp",
+            F.col("__hit").isNotNull().alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BP_DF_FRAC = 0.05  # shingle is boilerplate if present in >= 5% of docs
+
+
+@declared_query(
+    "boilerplate_shingles",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_O_TOK} AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1]) AS shingle
+        FROM toks, LATERAL (
+            SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+        WHERE len(t) >= 2
+    ), nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    df AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh
+        GROUP BY shingle
+    )
+    SELECT shingle, df,
+           CAST(ROUND(CAST(df AS DOUBLE) / CAST(nd.n_docs AS DOUBLE), 6)
+                AS DOUBLE) AS df_frac
+    FROM df CROSS JOIN nd
+    WHERE df * 100 >= n_docs * {int(_BP_DF_FRAC * 100)}
+    ORDER BY df DESC, shingle
+    """,
+)
+def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X109: boilerplate/template detection — shingles whose DOCUMENT
+    frequency crosses a corpus-fraction threshold (headers, footers,
+    nav text in a web corpus; the C4 'repeated across documents'
+    cleaning signal, distinct from X44's within-document repetition
+    and X50's unigram heavy hitters). distinct(doc, shingle) →
+    map-side-combinable DF count (one shuffle on the shingle); the doc
+    total broadcasts as a 1-row aggregate; threshold decided on EXACT
+    integers (df·100 ≥ n_docs·5), only the reported fraction rounds."""
+    from ..operators.textanalysis import ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id", tokens("text").alias("__toks")
+        )
+        .select(
+            "doc_id", F.explode(ngrams(F.col("__toks"), 2)).alias("shingle")
+        )
+        .distinct()
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    df = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    return (
+        df.crossJoin(F.broadcast(nd))
+        .filter(
+            F.col("df") * 100 >= F.col("n_docs") * int(_BP_DF_FRAC * 100)
+        )
+        .select(
+            "shingle",
+            "df",
+            F.round(
+                F.col("df").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).cast("double").alias("df_frac"),
+        )
+        .orderBy(F.desc("df"), "shingle")
+    )
+
+
+@declared_query(
+    "segment_balance_nth_values",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_mktsegment AS segment,
+               row_number() OVER w AS rn,
+               first_value(c_acctbal) OVER w AS top_bal,
+               nth_value(c_acctbal, 2) OVER w AS second_bal,
+               nth_value(c_acctbal, 3) OVER w AS third_bal,
+               last_value(c_acctbal) OVER w AS bottom_bal
+        FROM customer
+        WINDOW w AS (PARTITION BY c_mktsegment
+                     ORDER BY c_acctbal DESC, c_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)
+    )
+    SELECT segment, top_bal, second_bal, third_bal, bottom_bal
+    FROM ranked WHERE rn = 1
+    ORDER BY segment
+    """,
+)
+def segment_balance_nth_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X110: nth_value / first_value / last_value over an explicit
+    full-partition frame (completes §2.7 W2's positional-window family
+    beyond lag/lead): per market segment, the 1st/2nd/3rd-highest and
+    lowest account balance in one window pass. The compound
+    (c_acctbal DESC, c_custkey) order makes every position
+    deterministic; all four functions plus the rn selector ride ONE
+    segment partitioning. Balances are selections of existing doubles
+    — no float arithmetic to diverge."""
+    c = load_table(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    ranked = c.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.row_number()
+        .over(
+            Window.partitionBy("c_mktsegment").orderBy(
+                F.desc("c_acctbal"), F.asc("c_custkey")
+            )
+        )
+        .alias("rn"),
+        F.first("c_acctbal").over(w).alias("top_bal"),
+        F.nth_value("c_acctbal", 2).over(w).alias("second_bal"),
+        F.nth_value("c_acctbal", 3).over(w).alias("third_bal"),
+        F.last("c_acctbal").over(w).alias("bottom_bal"),
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select("segment", "top_bal", "second_bal", "third_bal", "bottom_bal")
+        .orderBy("segment")
+    )

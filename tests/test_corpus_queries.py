@@ -321,3 +321,77 @@ def test_forward_asof_agrees_with_bruteforce(spark, sf_dir):
         for r in CQ.asof_click_after_purchase(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_flags_exactly_known_dups(spark, sf_dir):
+    """The admission gate's is_dup equals a brute-force fingerprint
+    membership test, and every incoming doc gets exactly one verdict."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, sf_dir, "documents").collect()
+    fp = {
+        r["doc_id"]: hashlib.md5(
+            " ".join(
+                re.split(r"\s+", r["text"].strip().lower())[: CQ._FP_TOKENS]
+            ).encode()
+        ).hexdigest()
+        for r in docs
+    }
+    corpus = {h for d, h in fp.items() if d % 10 != 0}
+    want = {d: (h in corpus) for d, h in fp.items() if d % 10 == 0}
+    got = {
+        r["doc_id"]: r["is_dup"]
+        for r in CQ.incremental_dedup_ingest(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_boilerplate_threshold_is_exact(spark, sf_dir):
+    """Every emitted shingle's document frequency satisfies the integer
+    threshold; the most frequent NON-emitted shingle does not (the
+    cut is exact, not float-fuzzy)."""
+    from data_engineering_1_spark.operators.textanalysis import ngrams
+    from data_engineering_1_spark.operators.textanalysis import tokens as tk
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    flagged = CQ.boilerplate_shingles(spark, sf_dir).collect()
+    assert flagged, "fixture corpus must produce boilerplate signal"
+    for r in flagged:
+        assert r["df"] * 100 >= n_docs * 5
+    emitted = {r["shingle"] for r in flagged}
+    all_df = (
+        docs.select("doc_id", tk("text").alias("__t"))
+        .select("doc_id", F.explode(ngrams(F.col("__t"), 2)).alias("s"))
+        .distinct()
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .collect()
+    )
+    best_out = max(
+        (r["df"] for r in all_df if r["s"] not in emitted), default=0
+    )
+    assert best_out * 100 < n_docs * 5
+
+
+def test_nth_values_match_driver_sort(spark, sf_dir):
+    """first/2nd/3rd/last balances equal a driver-side sorted lookup."""
+    rows = load_table(spark, sf_dir, "customer").collect()
+    by_seg: dict = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(
+            (-r["c_acctbal"], r["c_custkey"], r["c_acctbal"])
+        )
+    got = {
+        r["segment"]: r
+        for r in CQ.segment_balance_nth_values(spark, sf_dir).collect()
+    }
+    for seg, vals in by_seg.items():
+        vals.sort()
+        bals = [v[2] for v in vals]
+        g = got[seg]
+        assert g["top_bal"] == bals[0]
+        assert g["second_bal"] == (bals[1] if len(bals) > 1 else None)
+        assert g["third_bal"] == (bals[2] if len(bals) > 2 else None)
+        assert g["bottom_bal"] == bals[-1]

@@ -63,6 +63,8 @@ CROSS_OK = {
     "doc_unigram_xentropy",
     # X105: broadcast 1-row bigram/unigram grand totals crossed in
     "pmi_collocations_top30",
+    # X109: broadcast 1-row doc-count aggregate crossed into the DF table
+    "boilerplate_shingles",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
