@@ -42,66 +42,16 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.get_queries()["chunk_docs"](spark, "/root/testdata/sf0.001")
 
 
-# Queries ordered by (number of official CORRECTNESS_r{1..4} samples,
-# round of most recent sample): never-sampled first, then fewest-
-# sampled oldest-first. Every query declared through round 4 now has
-# at least one official green sample; the 8 round-5 additions lead.
-# Regenerate each round from the CORRECTNESS_r*.json files so the
-# least-verified queries stay in front.
+# Queries ordered by (number of official CORRECTNESS_r{1..5} samples,
+# round of most recent sample): the round-6 X97 signed-zero fix leads
+# for re-verification, then fewest-sampled oldest-first. Every declared
+# query has at least one official sample; 1x-sampled singletons come
+# before 2x rows. Regenerated each round from CORRECTNESS_r*.json so
+# the least-verified queries stay in front.
 _SAMPLER_PRIORITY = (
-    # never officially sampled (new in round 5, second batch)
-    "incremental_dedup_ingest",
-    "boilerplate_shingles",
-    "segment_balance_nth_values",
-    "vocab_coverage_95",
-    "pmi_collocations_top30",
-    "event_type_transitions",
-    "asof_click_after_purchase",
-    "pack_training_blocks",
-    "psi_value_drift_events",
-    "priority_segment_chi2",
-    "doc_unigram_xentropy",
+    # fix verification first: X97 signed-zero repair (red in r5)
     "weighted_sample_orders",
-    "domain_quota_docs",
-    "priority_price_trend",
-    "pagerank_copurchase",
-    # sampled 1x, most recently round 2
-    "approx_value_quantiles",
-    "clicks_before_purchase_1h",
-    "customer_7day_spend",
-    "dedup_clusters_lsh",
-    "doc_length_percentiles",
-    "embedding_quantize_int8",
-    "gapfill_daily_big_events",
-    "lineitem_stat_moments",
-    "nation_segment_listagg",
-    "regex_text_features",
-    "tfidf_top_terms",
-    "top_terms_per_lang",
-    "unpivot_part_metrics",
     # sampled 1x, most recently round 3
-    "array_set_ops_documents",
-    "bool_bit_aggs_events",
-    "conversion_funnel_12h",
-    "events_by_segment",
-    "exact_value_percentiles",
-    "forward_fill_values",
-    "hash_sample_orders",
-    "ivf_topk_search_vec0",
-    "lateral_top2_orders",
-    "map_explode_events",
-    "map_hof_events",
-    "nested_json_roundtrip_orders",
-    "ntile_price_quartiles",
-    "order_price_histogram",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q13_order_count_distribution",
-    "q14_promo_effect",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_quantity",
-    "q18_large_orders",
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",
     "q21_waiting_suppliers",
@@ -156,6 +106,21 @@ _SAMPLER_PRIORITY = (
     "time_weighted_avg_values",
     "user_event_paths_top30",
     "winsorize_event_values",
+    # sampled 1x, most recently round 5
+    "asof_click_after_purchase",
+    "boilerplate_shingles",
+    "doc_unigram_xentropy",
+    "domain_quota_docs",
+    "event_type_transitions",
+    "incremental_dedup_ingest",
+    "pack_training_blocks",
+    "pagerank_copurchase",
+    "pmi_collocations_top30",
+    "priority_price_trend",
+    "priority_segment_chi2",
+    "psi_value_drift_events",
+    "segment_balance_nth_values",
+    "vocab_coverage_95",
     # sampled 2x, most recently round 2
     "approx_distinct_users",
     "asof_click_before_purchase",
@@ -215,6 +180,42 @@ _SAMPLER_PRIORITY = (
     "ship_lag_by_priority",
     "union_by_name_entities",
     "vector_norms",
+    # sampled 2x, most recently round 5
+    "approx_value_quantiles",
+    "array_set_ops_documents",
+    "bool_bit_aggs_events",
+    "clicks_before_purchase_1h",
+    "conversion_funnel_12h",
+    "customer_7day_spend",
+    "dedup_clusters_lsh",
+    "doc_length_percentiles",
+    "embedding_quantize_int8",
+    "events_by_segment",
+    "exact_value_percentiles",
+    "forward_fill_values",
+    "gapfill_daily_big_events",
+    "hash_sample_orders",
+    "ivf_topk_search_vec0",
+    "lateral_top2_orders",
+    "lineitem_stat_moments",
+    "map_explode_events",
+    "map_hof_events",
+    "nation_segment_listagg",
+    "nested_json_roundtrip_orders",
+    "ntile_price_quartiles",
+    "order_price_histogram",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q13_order_count_distribution",
+    "q14_promo_effect",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_quantity",
+    "q18_large_orders",
+    "regex_text_features",
+    "tfidf_top_terms",
+    "top_terms_per_lang",
+    "unpivot_part_metrics",
 )
 
 

@@ -214,7 +214,12 @@ def _resize_image(content: bytes, target_w: int, target_h: int):
         out = io.BytesIO()
         img.resize((target_w, target_h)).save(out, format="PNG")
         return out.getvalue(), "pillow"
-    except Exception as exc:  # corrupt payload: degrade per-row, never per-task
+    except (OSError, ValueError) as exc:
+        # Payload-shaped failures only (UnidentifiedImageError and
+        # truncated-file errors are OSError subclasses;
+        # DecompressionBombError is a ValueError subclass): degrade
+        # per-row, never per-task. Programming errors (TypeError etc.)
+        # propagate — they are bugs, not bad data (ADVICE r5).
         return fake(), f"decode-error:{type(exc).__name__}"
 
 

@@ -141,19 +141,46 @@ def kmeans_lloyd(
         # absolute — far below the double ulp at embedding magnitudes),
         # summed EXACTLY in decimal (order-free), and divided once.
         # decimal(38,20) leaves 18 integer digits: safe to ~1e18 members
-        # per cluster at unit-scale values.
+        # per cluster at unit-scale values. The non-ANSI double->decimal
+        # cast returns NULL on overflow (|v| >= ~1e18) and F.sum skips
+        # NULLs — which would silently DROP a rogue component from the
+        # mean (ADVICE r5). Count those nulls and raise_error instead,
+        # so an out-of-range vector fails the job loudly.
+        dec = F.col("v").cast("double").cast("decimal(38,20)")
         centroids = (
             assigned.select(
                 "label", F.posexplode(vec_col).alias("pos", "v")
             )
             .groupBy("label", "pos")
             .agg(
-                (
-                    F.sum(
-                        F.col("v").cast("double").cast("decimal(38,20)")
-                    ).cast("double")
-                    / F.count(F.lit(1))
-                ).alias("val")
+                F.sum(dec).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(
+                    F.when(
+                        dec.isNull() & F.col("v").isNotNull(), 1
+                    ).otherwise(0)
+                ).alias("_overflow"),
+            )
+            .select(
+                "label",
+                "pos",
+                F.when(
+                    F.col("_overflow") > 0,
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "kmeans: component overflows "
+                                "decimal(38,20) (|v| >= ~1e18) in "
+                                "cluster "
+                            ),
+                            F.col("label").cast("string"),
+                        )
+                    ).cast("double"),
+                )
+                .otherwise(
+                    F.col("_s").cast("double") / F.col("_n")
+                )
+                .alias("val"),
             )
         )
     final = assign(vectors, centroids, vec_col=vec_col, id_col=id_col)

@@ -33,7 +33,14 @@ is standard fixed-point truncation: total mass decays by < |V| ulps
 Dangling nodes: callers pass a symmetrized edge list (both directions),
 so every node in the graph has outdeg >= 1 and the dangling-mass term
 is identically zero; the operator documents this contract rather than
-silently redistributing mass.
+silently redistributing mass. Source-only nodes (out-edges but no
+in-edges — possible on a DIRECTED edge list) are handled explicitly:
+each iteration LEFT-joins the inflow sums onto the full node set, so a
+node with zero inflow keeps rank (1-d)/N and keeps contributing along
+its out-edges in later iterations instead of silently vanishing after
+the first groupBy(dst) (ADVICE r5). On a symmetrized graph every node
+has inflow, so the left join degenerates to the old inner join and the
+unrolled-CTE oracle is unchanged.
 """
 
 from __future__ import annotations
@@ -54,9 +61,12 @@ def pagerank(
     """(node, rank_fp) after ``n_iter`` synchronous PageRank iterations,
     ``rank_fp`` a BIGINT in units of 1/SCALE (divide by 1e15 for the
     probability). ``edges`` must contain every node as a src at least
-    once (pass a symmetrized list for undirected graphs); parallel
-    edges act as weights. ``damping_pct`` is the damping factor in
-    percent (integer, so the damping step stays exact)."""
+    once (pass a symmetrized list for undirected graphs; a node that
+    only ever appears as dst is a dangling node and violates the
+    zero-dangling-mass contract). Nodes with no IN-edges are fine:
+    they hold rank (1-d)/N and keep contributing. Parallel edges act
+    as weights. ``damping_pct`` is the damping factor in percent
+    (integer, so the damping step stays exact)."""
     spark = edges.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     e = (
@@ -84,11 +94,24 @@ def pagerank(
                 F.expr("rank_fp DIV outdeg").alias("c"),
             )
         )
-        ranks = contrib.groupBy("node").agg(
-            (
-                F.lit(base)
-                + F.expr(f"SUM(c) * {damping_pct} DIV 100")
-            ).cast("bigint").alias("rank_fp")
+        inflow = contrib.groupBy("node").agg(
+            F.sum("c").cast("bigint").alias("inflow")
+        )
+        # LEFT join onto the full node set (deg holds every node, per
+        # the src contract): a src-only node has no inflow row, keeps
+        # rank (1-d)/N, and still feeds its out-edges next iteration.
+        ranks = (
+            deg.select(F.col("src").alias("node"))
+            .join(inflow, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"coalesce(inflow, 0L) * {damping_pct} DIV 100"
+                    )
+                ).cast("bigint").alias("rank_fp"),
+            )
         )
         # keep the lineage shallow: the rank table is |V| rows — tiny
         # next to the edges — so an eager localCheckpoint per round is

@@ -413,7 +413,7 @@ def doc_unigram_xentropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders
     )
     SELECT o_orderkey, o_totalprice,
-           CAST(sample_key AS DOUBLE) AS sample_key
+           CAST(sample_key + 0.0 AS DOUBLE) AS sample_key
     FROM keyed
     ORDER BY sample_key DESC, o_orderkey
     LIMIT 200
@@ -428,12 +428,16 @@ def weighted_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject), reproducible across engines/runs/corpus
     growth, and upsampling-free (each key appears at most once). Keys
     round to 9 so a last-ulp ln() difference can't flip membership;
-    ties break on the order key."""
+    ties break on the order key. The rounded key is canonicalized with
+    `+ 0.0` on BOTH engines: rounding a tiny negative value can mint a
+    signed zero, and Spark's BigDecimal round emits +0.0 where DuckDB's
+    ROUND keeps -0.0 (the r5 one-row hash mismatch); IEEE `-0.0 + 0.0`
+    is `+0.0`, so the addition makes the emitted key engine-stable."""
     orders = load_table(spark, sf_dir, "orders")
     u = (_md5_u32("ws", F.col("o_orderkey")) + 1).cast("double") / F.lit(
         4294967297.0
     )
-    key = F.round(F.log(u) / F.col("o_totalprice"), 9)
+    key = F.round(F.log(u) / F.col("o_totalprice"), 9) + F.lit(0.0)
     return (
         orders.select(
             "o_orderkey",

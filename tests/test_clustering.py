@@ -66,6 +66,25 @@ def test_kmeans_sse_monotone(spark, sf_dir):
         assert cur <= prev + 1e-9  # Lloyd never increases SSE
 
 
+def test_kmeans_overflow_component_fails_loudly(spark):
+    """ADVICE r5: the non-ANSI double->decimal(38,20) cast NULLs on
+    overflow (|v| >= ~1e18) and F.sum would silently skip it, skewing
+    the centroid. The update step must instead raise on any overflowed
+    component. Under ANSI mode (the Spark 4 default, what the test
+    session runs) the cast itself throws NUMERIC_VALUE_OUT_OF_RANGE —
+    equally loud; the raise_error guard covers non-ANSI sessions."""
+    import pytest
+
+    rows = [(i, [float(i), 1.0]) for i in range(6)]
+    rows.append((6, [1e19, 1.0]))  # overflows decimal(38,20)
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    with pytest.raises(
+        Exception, match="overflows decimal|NUMERIC_VALUE_OUT_OF_RANGE"
+    ):
+        a, _ = kmeans_lloyd(df, k=2, n_iter=1)
+        a.collect()
+
+
 def test_kmeans_assignment_never_shuffles_vectors(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     _, cent = kmeans_lloyd(emb, k=K, n_iter=1)

@@ -166,7 +166,10 @@ def _fp_pagerank_reference(edges, n_iter=2, d_pct=85):
         inflow = defaultdict(int)
         for s, t in edges:
             inflow[t] += rank[s] // out[s]
-        rank = {v: base + inflow[v] * d_pct // 100 for v in inflow}
+        # full node set, not just inflow keys: a src-only node keeps
+        # rank (1-d)/N and keeps contributing (mirrors graph.py's
+        # left join onto the node set)
+        rank = {v: base + inflow.get(v, 0) * d_pct // 100 for v in nodes}
     return rank
 
 
@@ -189,6 +192,26 @@ def test_pagerank_exact_on_hand_graph(spark):
     }
     want = _fp_pagerank_reference(edges)
     assert got == want
+
+
+def test_pagerank_directed_src_only_node_persists(spark):
+    """ADVICE r5: on a DIRECTED edge list a node with out-edges but no
+    in-edges must not vanish after the first iteration — it holds rank
+    (1-d)/N and its outgoing contributions keep flowing. Node 1 here is
+    src-only; bit-exact against the pure-Python twin."""
+    edges = [(1, 2), (2, 3), (3, 2)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["node"]: r["rank_fp"]
+        for r in pagerank(df, n_iter=3, damping_pct=85).collect()
+    }
+    want = _fp_pagerank_reference(edges, n_iter=3)
+    assert got == want
+    base = (100 - 85) * SCALE // (100 * 3)
+    assert got[1] == base  # src-only node: exactly the teleport mass
+    # and node 2 still receives node 1's contribution in EVERY
+    # iteration: strictly more than a 2<->3-only graph would give it
+    assert got[2] > got[3]
 
 
 def test_pagerank_mass_conservation(spark, sf_dir):
