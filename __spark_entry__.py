@@ -51,6 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _SAMPLER_PRIORITY = (
     # fix verification first: X97 signed-zero repair (red in r5)
     "weighted_sample_orders",
+    # never officially sampled (new in round 6: X111-X116 mining batch)
+    "hard_negative_mining",
+    "int8_rerank_topk",
+    "bpe_first_merges",
+    "url_canonical_dedup",
+    "repeated_substring_spans",
+    "mixture_temperature_alloc",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -57,6 +57,7 @@ def load_all() -> None:
         corpus_queries,
         dedup_queries,
         events_queries,
+        mining_queries,
         pipeline_queries,
         relational_queries,
         sampling_queries,

@@ -754,3 +754,48 @@ def purchase_click_left_outer_stream(
         F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
         F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
     )
+
+
+def purchase_click_full_outer_stream(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """X66 stream-stream FULL OUTER interval join: BOTH sides null-emit
+    on watermark expiry. A matched (purchase, click) pair emits
+    immediately; an unmatched purchase emits once with a NULL click when
+    the watermark clears p_ts (no earlier click can still arrive, since
+    c_ts <= p_ts); an unmatched click emits once with a NULL purchase
+    when the watermark clears c_ts + ``within`` (its join window's end —
+    a matching purchase must satisfy p_ts <= c_ts + within).
+
+    Same eviction discipline as the inner/left variants: watermarks on
+    both inputs plus a two-sided event-time bound in the condition, so
+    each side's state is droppable the moment its window provably
+    closed. ``user_id`` is coalesced across sides because either side
+    can be the null one. Batch twin: a plain FULL OUTER theta join."""
+    p = _with_watermark(purchases, watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = _with_watermark(clicks, watermark).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    return p.join(
+        c,
+        F.expr(
+            f"p_user = c_user AND c_ts <= p_ts "
+            f"AND c_ts >= p_ts - INTERVAL {within}"
+        ),
+        "fullOuter",
+    ).select(
+        F.coalesce("p_user", "c_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        F.col("p_ts").cast("timestamp_ntz").alias("p_ts"),
+        F.col("c_ts").cast("timestamp_ntz").alias("c_ts"),
+    )

@@ -65,6 +65,13 @@ CROSS_OK = {
     "pmi_collocations_top30",
     # X109: broadcast 1-row doc-count aggregate crossed into the DF table
     "boilerplate_shingles",
+    # X111: broadcast anchor table (|emb|/200 rows) crossed into vectors
+    "hard_negative_mining",
+    # X112: broadcast 1-row query-vector/code table crossed into vectors
+    "int8_rerank_topk",
+    # X116: broadcast 1-row weight-total and leftover aggregates crossed
+    # into the |sources|-row allocation table
+    "mixture_temperature_alloc",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -87,6 +94,13 @@ GLOBAL_WINDOW_OK = {
     "vocab_coverage_95",  # rank/cumsum window over the VOCAB relation
     # (distinct words — Heaps-law sublinear in corpus size), never the
     # token stream; the stream reduces in the count aggregate below it
+    "int8_rerank_topk",  # final rerank window over the CONSTANT
+    # 100-row candidate set (coarse stage already TakeOrdered-pruned)
+    "bpe_first_merges",  # merge_rank over the distinct 2-char-pair
+    # relation (bounded by |alphabet|^2, a few thousand rows), never
+    # the vocab or the token stream — both reduce in aggregates below
+    "mixture_temperature_alloc",  # largest-remainder rank over the
+    # |sources|-row allocation table
 }
 
 

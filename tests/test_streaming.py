@@ -926,6 +926,88 @@ def test_stream_stream_left_outer_null_on_watermark(spark, tmp_path):
     assert len(out) == 3  # one row per purchase, no duplicates
 
 
+def test_stream_stream_full_outer_null_emits_both_sides(spark, tmp_path):
+    """X66 FULL OUTER: matched pairs emit immediately; an unmatched
+    PURCHASE null-emits once the watermark clears p_ts; an unmatched
+    CLICK null-emits once the watermark clears c_ts + 1h (its window
+    end). Same 3-batch mtime-ordered schedule as the LEFT OUTER pin:
+      batch 0: user 1 purchase+click (match); user 2 purchase with no
+               click; user 3 click with no purchase; watermark pushers
+               on both sides at t0+4h (users 98/99) — themselves
+               unmatched, so they too must null-emit once expired.
+      batch 1: t0+8h rows on BOTH sides -> global watermark t0+6h
+               clears every batch-0 AND pusher window.
+      batch 2: flush batch so expired state is emitted.
+    Expected exactly 5 rows: (p1,c11) matched; p2, p5 null-click;
+    c12, c6 null-purchase; batch-1 rows still unexpired -> absent."""
+    from datetime import datetime, timedelta
+
+    src_dir = tmp_path / "fo_events"
+    src_dir.mkdir()
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    f1 = src_dir / "b1.parquet"
+    _write_events_file(
+        f1,
+        [
+            (11, t0 + timedelta(minutes=20), 1, "click"),
+            (1, t0 + timedelta(minutes=30), 1, "purchase"),
+            (2, t0 + timedelta(minutes=40), 2, "purchase"),
+            (12, t0 + timedelta(minutes=50), 3, "click"),
+            (5, t0 + timedelta(hours=4), 99, "purchase"),
+            (6, t0 + timedelta(hours=4), 98, "click"),
+        ],
+    )
+    f2 = src_dir / "b2.parquet"
+    _write_events_file(
+        f2,
+        [
+            (7, t0 + timedelta(hours=8), 97, "click"),
+            (9, t0 + timedelta(hours=8), 95, "purchase"),
+        ],
+    )
+    f3 = src_dir / "b3.parquet"
+    _write_events_file(f3, [(8, t0 + timedelta(hours=8), 96, "click")])
+    os.utime(f1, (1_000_000_000, 1_000_000_000))
+    os.utime(f2, (1_000_000_100, 1_000_000_100))
+    os.utime(f3, (1_000_000_200, 1_000_000_200))
+
+    def stream():
+        return sp.events_file_stream(
+            spark,
+            str(src_dir),
+            max_files_per_trigger=1,
+            path_glob="*.parquet",
+        )
+
+    out = _drain(
+        sp.purchase_click_full_outer_stream(
+            stream().filter(F.col("event_type") == "click"),
+            stream().filter(F.col("event_type") == "purchase"),
+        ),
+        "t_fo_join",
+        tmp_path,
+        mode="append",
+    ).toPandas()
+
+    def _i(v):
+        return None if pd.isna(v) else int(v)
+
+    pairs = {
+        (_i(r.purchase_id), _i(r.click_id)) for r in out.itertuples()
+    }
+    assert (1, 11) in pairs  # matched pair, emitted on arrival
+    assert (2, None) in pairs  # purchase with no click: null-padded
+    assert (5, None) in pairs  # purchase-side pusher, unmatched
+    assert (None, 12) in pairs  # click with no purchase: null-padded
+    assert (None, 6) in pairs  # click-side pusher, unmatched
+    # batch-1 rows (95/97) are unexpired at drain end: must not emit
+    assert not any(p in (9,) or c in (7, 8) for p, c in pairs)
+    assert len(out) == 5  # exactly one row per logical outcome
+    # user_id is coalesced across sides: never null
+    assert out["user_id"].notna().all()
+
+
 def test_dedup_within_watermark_ttl_reemits_after_expiry(spark, tmp_path):
     """ST5 state-TTL semantics: dropDuplicatesWithinWatermark keeps a
     key's fingerprint only until the watermark passes its expiry — a

@@ -12,7 +12,27 @@ skew.
 Timestamps also shift per copy (+c days) so time-series queries see a
 longer, denser history instead of 10 identical overlapping days.
 
-Usage: python tools/make_scaled_fixture.py [src_sf_dir] [out_dir] [copies]
+CONSTANT-DUPLICATE-DENSITY mode (4th arg ``perturb``): plain stacking
+makes every copied document/embedding an EXACT duplicate of copy 0, so
+the near-dup pair-emitters (minhash/simhash/jaccard/embedding-cosine)
+legitimately emit O(copies^2) extra pairs — output-bound, but it hides
+whether the OPERATOR scales linearly at constant duplicate density. In
+perturb mode copy c > 0:
+  * documents.text goes through a per-copy alphabet rotation
+    (``translate``): a bijection on tokens, so WITHIN-copy Jaccard /
+    shingle structure (and hence the base fixture's planted near-dup
+    rate) is preserved exactly, while CROSS-copy token sets become
+    disjoint — no cross-copy candidate pairs, duplicate density stays
+    at the base rate;
+  * embeddings.embedding goes through a per-copy SIGNED PERMUTATION
+    (circular shift + hash-driven sign flips): orthogonal, so
+    within-copy distances/norms are bit-preserved, while cross-copy
+    cosine decorrelates below any near-dup threshold.
+Radius pairs are NOT perturbed: their coordinates already differ per
+copy (md5 of the offset key), and their pair growth is areal point
+density (n^2 r^2 / A in a fixed plane) — physics, not duplication.
+
+Usage: python tools/make_scaled_fixture.py [src_sf_dir] [out_dir] [copies] [perturb]
 """
 
 from __future__ import annotations
@@ -46,11 +66,42 @@ KEYS = {
 TS_COLS = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate"]}
 
 
-def scale_table(spark, src_dir, out_dir, name, copies):
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _perturb_copy(cur, name, c):
+    """Copy-c decorrelation (no-op for copy 0 and non-dup tables)."""
+    if c == 0:
+        return cur
+    if name == "documents":
+        rot = c % 25 + 1  # never identity for c > 0
+        src = _ALPHA + _ALPHA.upper()
+        dst = (
+            _ALPHA[rot:] + _ALPHA[:rot]
+            + _ALPHA.upper()[rot:] + _ALPHA.upper()[:rot]
+        )
+        cur = cur.withColumn("text", F.translate(F.col("text"), src, dst))
+    elif name == "embeddings":
+        cur = cur.withColumn(
+            "embedding",
+            F.expr(
+                f"transform(sequence(0, size(embedding) - 1), i -> "
+                f"element_at(embedding, "
+                f"(i + {c}) % size(embedding) + 1) * "
+                f"CASE WHEN pmod(hash(i, {c}), 2) = 0 "
+                f"THEN CAST(1.0 AS FLOAT) ELSE CAST(-1.0 AS FLOAT) END)"
+            ),
+        )
+    return cur
+
+
+def scale_table(spark, src_dir, out_dir, name, copies, perturb=False):
     df = spark.read.parquet(os.path.join(src_dir, f"{name}.parquet"))
     parts = []
     for c in range(copies):
         cur = df
+        if perturb:
+            cur = _perturb_copy(cur, name, c)
         for k in KEYS.get(name, []):
             cur = cur.withColumn(k, F.col(k) + F.lit(c * STRIDE))
         for t in TS_COLS.get(name, []):
@@ -93,10 +144,11 @@ def main():
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1_synth"
     copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    perturb = len(sys.argv) > 4 and sys.argv[4] == "perturb"
     spark = get_spark("make_scaled_fixture")
     os.makedirs(out, exist_ok=True)
     for t in TABLES:
-        scale_table(spark, src, out, t, copies)
+        scale_table(spark, src, out, t, copies, perturb=perturb)
         print(f"{t}: done")
     print(out)
 
