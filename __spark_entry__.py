@@ -58,6 +58,10 @@ _SAMPLER_PRIORITY = (
     "url_canonical_dedup",
     "repeated_substring_spans",
     "mixture_temperature_alloc",
+    "linear_interpolate_daily",
+    "ensemble_neardup_vote",
+    "lsh_index_admission",
+    "curriculum_stages",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

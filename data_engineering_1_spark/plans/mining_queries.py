@@ -537,3 +537,380 @@ def mixture_temperature_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- X117: grouped time-series linear interpolation ------------------
+
+_OBS_MOD = 3  # a (type, day) cell is OBSERVED iff md5-mask % 3 == 0
+
+
+@declared_query(
+    "linear_interpolate_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS raw_val
+        FROM events GROUP BY 1, 2
+    ), span AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+        FROM events
+    ), grid AS (
+        SELECT t.event_type, CAST(g.day AS DATE) AS day
+        FROM (SELECT DISTINCT event_type FROM events) t
+        CROSS JOIN (
+            SELECT unnest(generate_series(
+                (SELECT d0 FROM span), (SELECT d1 FROM span),
+                INTERVAL 1 DAY)) AS day) g
+    ), masked AS (
+        SELECT g.event_type, g.day,
+               CASE WHEN ('0x' || substr(md5('obs|' || g.event_type || '|'
+                        || strftime(g.day, '%Y-%m-%d')), 1, 8))::BIGINT
+                        % {_OBS_MOD} = 0
+                    THEN d.raw_val END AS obs_val
+        FROM grid g LEFT JOIN daily d
+          ON d.event_type = g.event_type AND d.day = g.day
+    ), nbrs AS (
+        SELECT event_type, day, obs_val,
+               last_value(obs_val IGNORE NULLS) OVER w_prev AS pv,
+               last_value(CASE WHEN obs_val IS NOT NULL THEN day END
+                          IGNORE NULLS) OVER w_prev AS pd,
+               first_value(obs_val IGNORE NULLS) OVER w_next AS nv,
+               first_value(CASE WHEN obs_val IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER w_next AS nd
+        FROM masked
+        WINDOW w_prev AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, day,
+           CAST(ROUND(CASE WHEN obs_val IS NOT NULL THEN obs_val
+                ELSE pv + (nv - pv) * (day - pd) / (nd - pd) END, 6)
+                AS DOUBLE) AS val,
+           CASE WHEN obs_val IS NOT NULL THEN 'observed'
+                ELSE 'interp' END AS src
+    FROM nbrs
+    WHERE obs_val IS NOT NULL OR (pv IS NOT NULL AND nv IS NOT NULL)
+    ORDER BY event_type, day
+    """,
+)
+def linear_interpolate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X117: grouped time-series LINEAR interpolation — the resample
+    step a metrics/feature pipeline runs on gappy daily series: known
+    points anchor; each missing day gets pv + (nv-pv) * elapsed/gap. This
+    completes the gap-fill family: X5 forward-fills (step function),
+    X32 is IGNORE NULLS carry — this one reconstructs the straight
+    line between neighbors, and edge days with only one neighbor are
+    dropped (no extrapolation).
+
+    Observation gaps are synthesized deterministically (md5 mask over
+    (type, day), ~1/3 observed) so the op exercises real interpolation
+    at every SF; the daily values themselves are exact decimal sums.
+    Scale shape: the heavy pass is ONE map-side-combinable daily
+    aggregate over the event stream; the interpolation windows run on
+    the (types x days) grid — time-dimension-sized, thousands of rows
+    per series regardless of event volume. Determinism: both engines
+    interpolate the same doubles (decimal-staged sums, integer day
+    gaps), ROUND(.., 6) on the way out."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("raw_val")
+    )
+    span = events.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    grid = (
+        events.select("event_type").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "event_type",
+            F.explode(F.sequence("d0", "d1")).alias("day"),
+        )
+    )
+    mask = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.lit("obs"),
+                        F.col("event_type"),
+                        F.date_format("day", "yyyy-MM-dd"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _OBS_MOD
+        == 0
+    )
+    masked = (
+        grid.join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.when(mask, F.col("raw_val")).alias("obs_val"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("obs_val").isNotNull(), F.col("day"))
+    nbrs = masked.select(
+        "event_type",
+        "day",
+        "obs_val",
+        F.last("obs_val", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("pd"),
+        F.first("obs_val", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("nd"),
+    )
+    lerp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        "day", "pd"
+    ) / F.datediff("nd", "pd")
+    return (
+        nbrs.filter(
+            F.col("obs_val").isNotNull()
+            | (F.col("pv").isNotNull() & F.col("nv").isNotNull())
+        )
+        .select(
+            "event_type",
+            "day",
+            F.round(
+                F.when(F.col("obs_val").isNotNull(), F.col("obs_val"))
+                .otherwise(lerp),
+                6,
+            ).alias("val"),
+            F.when(F.col("obs_val").isNotNull(), F.lit("observed"))
+            .otherwise(F.lit("interp"))
+            .alias("src"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+# ---- X118: ensemble near-dup vote ------------------------------------
+
+
+def _ensemble_oracle() -> str:
+    from .dedup_queries import _O_SIGNATURES, _O_SIMHASH
+
+    return f"""
+    WITH {_O_SIGNATURES},
+    mh AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.minhash = b.minhash
+        WHERE a.doc_id < b.doc_id
+    ),
+    {_O_SIMHASH},
+    sbanded AS (
+        SELECT doc_id, simhash, band,
+               (simhash >> (band * 8)) & 255 AS val
+        FROM sfp, LATERAL (
+            SELECT unnest(generate_series(0, 3)) AS band) b
+    ), shp AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sbanded a JOIN sbanded b
+          ON a.band = b.band AND a.val = b.val
+        WHERE a.doc_id < b.doc_id
+          AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    ), unioned AS (
+        SELECT doc_a, doc_b, 'minhash' AS method FROM mh
+        UNION ALL
+        SELECT doc_a, doc_b, 'simhash' AS method FROM shp
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS INTEGER) AS n_methods,
+           string_agg(method, ',' ORDER BY method) AS methods
+    FROM unioned
+    GROUP BY doc_a, doc_b
+    ORDER BY doc_a, doc_b
+    """
+
+
+@declared_query("ensemble_neardup_vote", oracle=_ensemble_oracle())
+def ensemble_neardup_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X118: ensemble near-dup governance — the union of two
+    independent detectors (MinHash-LSH candidates, token-level; SimHash
+    hamming<=3, bit-level) voted per pair: ``n_methods = 2`` is the
+    high-precision kill set, ``1`` the review queue. Real corpus
+    pipelines run exactly this vote because each family has disjoint
+    blind spots (LSH misses short docs, SimHash misses reorderings).
+
+    Scale: both emitters are the already-audited sub-quadratic banded
+    shapes; the vote itself is one groupBy on the pair key (combinable
+    count + sorted string_agg of a <=2-element set). No new quadratic
+    surface."""
+    from ..operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        simhash,
+        simhash_neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = lsh_candidate_pairs(minhash_signatures(docs)).select(
+        "doc_a", "doc_b", F.lit("minhash").alias("method")
+    )
+    sh = simhash_neardup_pairs(simhash(docs), max_hamming=3).select(
+        "doc_a", "doc_b", F.lit("simhash").alias("method")
+    )
+    return (
+        mh.unionByName(sh)
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_methods"),
+            F.array_join(F.array_sort(F.collect_list("method")), ",")
+            .alias("methods"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---- X119: incremental LSH index admission ---------------------------
+
+_NEW_MOD = 10  # docs with doc_id % 10 == 0 play the incoming batch
+
+
+def _lsh_admission_oracle() -> str:
+    from .dedup_queries import _O_SIGNATURES
+
+    return f"""
+    WITH {_O_SIGNATURES}
+    SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+           CAST(COUNT(*) AS INTEGER) AS n_shared_bands
+    FROM sig a JOIN sig b
+      ON a.band = b.band AND a.minhash = b.minhash
+    WHERE a.doc_id % {_NEW_MOD} = 0 AND b.doc_id % {_NEW_MOD} <> 0
+    GROUP BY a.doc_id, b.doc_id
+    ORDER BY new_doc, corpus_doc
+    """
+
+
+@declared_query("lsh_index_admission", oracle=_lsh_admission_oracle())
+def lsh_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X119: incremental LSH-index admission — the near-dup twin of
+    X108's exact-fingerprint gate: an incoming batch (doc_id % 10 = 0
+    plays the role) is minhash-banded and equi-joined against the
+    CORPUS's banded signature index; each (new, corpus) candidate
+    carries how many bands matched (2+ shared bands ~ higher Jaccard
+    floor — the admission policy knob).
+
+    The live-corpus discipline (X24/X37): at scale the corpus side IS
+    the persisted, (band, minhash)-bucketed signature table — corpus
+    text is never re-read and never reshuffled; only the new batch is
+    signed per ingest, and the join lands on the index's bucketing.
+    Here both sides come from one fixture scan (the signature stage is
+    shared), split by the batch predicate after signing — same values
+    the stored index would hold, since the banded minhash is
+    deterministic."""
+    from ..operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs)
+    new = sig.filter(F.col("doc_id") % _NEW_MOD == 0).select(
+        F.col("doc_id").alias("new_doc"),
+        "band",
+        "minhash",
+    )
+    corpus = sig.filter(F.col("doc_id") % _NEW_MOD != 0).select(
+        F.col("doc_id").alias("corpus_doc"),
+        "band",
+        "minhash",
+    )
+    return (
+        new.join(corpus, ["band", "minhash"])
+        .groupBy("new_doc", "corpus_doc")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_shared_bands"))
+        .orderBy("new_doc", "corpus_doc")
+    )
+
+
+# ---- X120: curriculum stages by exact token-count quartiles ----------
+
+
+@declared_query(
+    "curriculum_stages",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(len({_O_TOK}) AS BIGINT) AS n_tok
+        FROM documents
+    ), bounds AS (
+        SELECT quantile_cont(n_tok, 0.25) AS q1,
+               quantile_cont(n_tok, 0.50) AS q2,
+               quantile_cont(n_tok, 0.75) AS q3
+        FROM toks
+    ), staged AS (
+        SELECT doc_id, n_tok,
+               1 + CAST(n_tok > (SELECT q1 FROM bounds) AS INTEGER)
+                 + CAST(n_tok > (SELECT q2 FROM bounds) AS INTEGER)
+                 + CAST(n_tok > (SELECT q3 FROM bounds) AS INTEGER)
+                   AS stage
+        FROM toks
+    )
+    SELECT CAST(stage AS INTEGER) AS stage,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+           CAST(MAX(n_tok) AS BIGINT) AS max_tok
+    FROM staged
+    GROUP BY stage
+    ORDER BY stage
+    """,
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X120: curriculum-learning stage assignment — docs bucketed into 4
+    difficulty stages by token count, with stage boundaries at the EXACT
+    interpolated quartiles.
+
+    Deliberately NOT an NTILE over the corpus: a global ntile window
+    funnels the whole fact table through one task. Instead the quartile
+    boundaries come from ONE aggregate (percentile — interpolation
+    already proven engine-identical in X18), broadcast back as a 1-row
+    table, and the stage is a per-row comparison count — fully
+    distributed, no global sort, and semantically better than ntile
+    (equal-VALUE docs always share a stage; ntile splits ties by
+    position). One shuffle for the boundary aggregate, one for the
+    per-stage rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(tokens("text")).cast("bigint").alias("n_tok")
+    )
+    bounds = toks.agg(
+        F.expr("percentile(n_tok, 0.25)").alias("q1"),
+        F.expr("percentile(n_tok, 0.50)").alias("q2"),
+        F.expr("percentile(n_tok, 0.75)").alias("q3"),
+    )
+    staged = toks.crossJoin(F.broadcast(bounds)).select(
+        "n_tok",
+        (
+            F.lit(1)
+            + (F.col("n_tok") > F.col("q1")).cast("int")
+            + (F.col("n_tok") > F.col("q2")).cast("int")
+            + (F.col("n_tok") > F.col("q3")).cast("int")
+        ).cast("int").alias("stage"),
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_tok").cast("bigint").alias("min_tok"),
+            F.max("n_tok").cast("bigint").alias("max_tok"),
+        )
+        .orderBy("stage")
+    )

@@ -163,3 +163,98 @@ def test_mixture_alloc_sums_to_budget_and_orders_by_size(spark, sf_dir):
     tot = sum(w.values())
     for r in out.itertuples():
         assert abs(r.share - w[r.source] * 100_000 / tot) < 1e-3
+
+
+def test_linear_interpolation_matches_pure_python(spark, sf_dir):
+    import hashlib
+    from datetime import timedelta
+
+    out = _q("linear_interpolate_daily", spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    daily = ev.groupby(["event_type", "day"])["value"].sum()
+    d0, d1 = ev["day"].min(), ev["day"].max()
+    days = [d0 + timedelta(days=i) for i in range((d1 - d0).days + 1)]
+
+    def observed(t, d):
+        h = hashlib.md5(f"obs|{t}|{d.isoformat()}".encode()).hexdigest()
+        return int(h[:8], 16) % 3 == 0
+
+    want = {}
+    for t in sorted(ev["event_type"].unique()):
+        series = [
+            (d, float(daily.get((t, d), 0.0)))
+            if (t, d) in daily and observed(t, d) else (d, None)
+            for d in days
+        ]
+        known = [(i, v) for i, (_, v) in enumerate(series) if v is not None]
+        for i, (d, v) in enumerate(series):
+            if v is not None:
+                want[(t, d)] = (round(v, 6), "observed")
+                continue
+            prev = [(j, kv) for j, kv in known if j < i]
+            nxt = [(j, kv) for j, kv in known if j > i]
+            if prev and nxt:
+                (jp, vp), (jn, vn) = prev[-1], nxt[0]
+                want[(t, d)] = (
+                    round(vp + (vn - vp) * (i - jp) / (jn - jp), 6),
+                    "interp",
+                )
+    got = {
+        (r.event_type, r.day): (r.val, r.src) for r in out.itertuples()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1], (k, got[k], want[k])
+        assert abs(got[k][0] - want[k][0]) < 1e-6, (k, got[k], want[k])
+
+
+def test_ensemble_vote_is_union_of_declared_detectors(spark, sf_dir):
+    out = _q("ensemble_neardup_vote", spark, sf_dir)
+    mh = _q("minhash_lsh_pairs", spark, sf_dir)
+    sh = _q("simhash_neardup", spark, sf_dir)
+    mh_pairs = {(int(a), int(b)) for a, b in zip(mh.doc_a, mh.doc_b)}
+    sh_pairs = {(int(a), int(b)) for a, b in zip(sh.doc_a, sh.doc_b)}
+    want = {}
+    for p in mh_pairs | sh_pairs:
+        ms = sorted(
+            (["minhash"] if p in mh_pairs else [])
+            + (["simhash"] if p in sh_pairs else [])
+        )
+        want[p] = (len(ms), ",".join(ms))
+    got = {
+        (int(r.doc_a), int(r.doc_b)): (int(r.n_methods), r.methods)
+        for r in out.itertuples()
+    }
+    assert got == want
+
+
+def test_lsh_admission_is_new_by_corpus_subset_of_candidates(spark, sf_dir):
+    out = _q("lsh_index_admission", spark, sf_dir)
+    assert (out["new_doc"] % 10 == 0).all()
+    assert (out["corpus_doc"] % 10 != 0).all()
+    assert out["n_shared_bands"].between(1, 4).all()
+    # every admission pair is an LSH candidate pair (unordered match)
+    mh = _q("minhash_lsh_pairs", spark, sf_dir)
+    cand = {(int(a), int(b)) for a, b in zip(mh.doc_a, mh.doc_b)}
+    for r in out.itertuples():
+        p = tuple(sorted((int(r.new_doc), int(r.corpus_doc))))
+        assert p in cand, p
+
+
+def test_curriculum_stages_partition_docs_by_exact_quartiles(spark, sf_dir):
+    out = _q("curriculum_stages", spark, sf_dir).sort_values("stage")
+    docs = _docs(spark, sf_dir)
+    ntok = docs["text"].map(lambda t: len(str(t).strip().lower().split()))
+    assert int(out["n_docs"].sum()) == len(docs)
+    qs = np.percentile(ntok, [25, 50, 75], method="linear")
+    stages = 1 + sum((ntok.to_numpy()[:, None] > qs).T)
+    want = pd.Series(stages).value_counts().sort_index()
+    got = dict(zip(out["stage"], out["n_docs"]))
+    assert {int(k): int(v) for k, v in want.items()} == {
+        int(k): int(v) for k, v in got.items()
+    }
+    # value-contiguous stages: ranges never overlap
+    rows = list(out.itertuples())
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_tok <= b.min_tok

@@ -72,6 +72,12 @@ CROSS_OK = {
     # X116: broadcast 1-row weight-total and leftover aggregates crossed
     # into the |sources|-row allocation table
     "mixture_temperature_alloc",
+    # X117: broadcast 1-row (min,max)-day span crossed into the distinct
+    # event-type table to build the bounded (types x days) grid
+    "linear_interpolate_daily",
+    # X120: broadcast 1-row quartile-boundary aggregate crossed into the
+    # per-doc token counts (the no-global-window stage assignment)
+    "curriculum_stages",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
