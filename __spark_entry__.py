@@ -62,6 +62,10 @@ _SAMPLER_PRIORITY = (
     "ensemble_neardup_vote",
     "lsh_index_admission",
     "curriculum_stages",
+    "ewma_halflife_daily",
+    "stratified_exact_split",
+    "bigram_xentropy_docs",
+    "prefix_filter_jaccard_join",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -58,6 +58,7 @@ def load_all() -> None:
         dedup_queries,
         events_queries,
         mining_queries,
+        mlprep_queries,
         pipeline_queries,
         relational_queries,
         sampling_queries,

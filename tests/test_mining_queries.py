@@ -258,3 +258,98 @@ def test_curriculum_stages_partition_docs_by_exact_quartiles(spark, sf_dir):
     rows = list(out.itertuples())
     for a, b in zip(rows, rows[1:]):
         assert a.max_tok <= b.min_tok
+
+
+def test_ewma_matches_sequential_recursion(spark, sf_dir):
+    out = _q("ewma_halflife_daily", spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["day"] = pd.to_datetime(ev["ts"]).dt.date
+    daily = (
+        ev.groupby(["event_type", "day"])["value"].sum().round(6)
+    )
+    got = {
+        (r.event_type, r.day): (r.val, r.ewma) for r in out.itertuples()
+    }
+    for t in ev["event_type"].unique():
+        days = sorted(d for (tt, d) in daily.index if tt == t)
+        vals = [float(daily[(t, d)]) for d in days]
+        acc_hist = []
+        for i, v in enumerate(vals):
+            lo = max(0, i - 50)
+            frame = vals[lo:i + 1]
+            acc = frame[0]
+            for x in frame[1:]:
+                acc = acc * 0.5 + x * 0.5
+            acc_hist.append(acc)
+            gv, ge = got[(t, days[i])]
+            assert abs(gv - round(vals[i], 6)) < 1e-5
+            assert abs(ge - acc) < 1e-5, (t, days[i], ge, acc)
+
+
+def test_stratified_split_sums_and_ratios(spark, sf_dir):
+    out = _q("stratified_exact_split", spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    per_lang = docs.groupby("lang").size()
+    for lang, n in per_lang.items():
+        rows = {r.split: int(r.n_docs)
+                for r in out[out.lang == lang].itertuples()}
+        assert set(rows) == {"train", "val", "test"}
+        assert sum(rows.values()) == n  # exact conservation
+        # train gets within 1 of 80%; val/test within 1 of 10%
+        assert abs(rows["train"] - 0.8 * n) <= 1
+        assert abs(rows["val"] - 0.1 * n) <= 1
+        assert abs(rows["test"] - 0.1 * n) <= 1
+        assert rows["train"] >= rows["val"] >= 0
+
+
+def test_bigram_xentropy_matches_pure_python(spark, sf_dir):
+    out = _q("bigram_xentropy_docs", spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    toks = {
+        int(r.doc_id): str(r.text).strip().lower().split()
+        for r in docs.itertuples()
+    }
+    c12, c1 = collections.Counter(), collections.Counter()
+    vocab = set()
+    for t in toks.values():
+        vocab.update(t)
+        for a, b in zip(t, t[1:]):
+            c12[(a, b)] += 1
+            c1[a] += 1
+    V = len(vocab)
+    for r in out.itertuples():
+        t = toks[int(r.doc_id)]
+        bgs = list(zip(t, t[1:]))
+        assert int(r.n_bigrams) == len(bgs)
+        want = sum(
+            -math.log((c12[bg] + 1) / (c1[bg[0]] + V)) for bg in bgs
+        ) / len(bgs)
+        assert abs(r.xent - want) < 1e-5, (r.doc_id, r.xent, want)
+
+
+def test_prefix_filter_join_is_exact_no_false_negatives(spark, sf_dir):
+    """The completeness theorem: brute-force ALL pairs in Python and
+    assert the operator found EXACTLY the Jaccard >= 0.8 set — the
+    property that separates prefix filtering from the LSH family."""
+    out = _q("prefix_filter_jaccard_join", spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    sets = {
+        int(r.doc_id): set(str(r.text).strip().lower().split())
+        for r in docs.itertuples()
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = round(inter / (len(sets[a]) + len(sets[b]) - inter), 6)
+            if j >= 0.8:
+                want[(a, b)] = j
+    got = {
+        (int(r.doc_a), int(r.doc_b)): r.jaccard for r in out.itertuples()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9

@@ -78,6 +78,12 @@ CROSS_OK = {
     # X120: broadcast 1-row quartile-boundary aggregate crossed into the
     # per-doc token counts (the no-global-window stage assignment)
     "curriculum_stages",
+    # X123: broadcast 3-row (train/val/test) literal table crossed into
+    # the |strata|-row counts
+    "stratified_exact_split",
+    # X124: broadcast 1-row vocab-size aggregate crossed into the
+    # bigram-count join (the X96 shape, one order up)
+    "bigram_xentropy_docs",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):

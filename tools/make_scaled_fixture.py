@@ -74,11 +74,19 @@ def _perturb_copy(cur, name, c):
     if c == 0:
         return cur
     if name == "documents":
-        rot = c % 25 + 1  # never identity for c > 0
+        # affine cipher i -> (a*i + b) mod 26: a coprime to 26, never the
+        # identity for c > 0. A plain rotation has only 25 distinct maps,
+        # so copies 25+ would repeat earlier copies' text VERBATIM and
+        # mint exact cross-copy duplicates (caught in the r6 30x probe);
+        # the affine family gives 312 distinct bijections.
+        _AS = [3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25, 1]
+        a = _AS[c % 12]
+        b = c // 12 + (1 if a == 1 else 0)  # never (a=1, b=0) = identity
+        perm = [(a * i + b) % 26 for i in range(26)]
         src = _ALPHA + _ALPHA.upper()
         dst = (
-            _ALPHA[rot:] + _ALPHA[:rot]
-            + _ALPHA.upper()[rot:] + _ALPHA.upper()[:rot]
+            "".join(_ALPHA[p] for p in perm)
+            + "".join(_ALPHA.upper()[p] for p in perm)
         )
         cur = cur.withColumn("text", F.translate(F.col("text"), src, dst))
     elif name == "embeddings":
