@@ -66,6 +66,11 @@ _SAMPLER_PRIORITY = (
     "stratified_exact_split",
     "bigram_xentropy_docs",
     "prefix_filter_jaccard_join",
+    "rrf_fusion_topk",
+    "mad_outlier_events",
+    "nucleus_vocab_per_lang",
+    "weighted_median_price",
+    "ab_proportion_ztest",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

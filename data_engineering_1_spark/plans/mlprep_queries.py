@@ -414,3 +414,406 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---- X127: reciprocal-rank fusion ------------------------------------
+
+_RRF_K = 60
+_RRF_LIST = 100
+_RRF_OUT = 20
+
+
+def _rrf_oracle() -> str:
+    from ..functions.vector import o_cosine
+    from .mining_queries import _CODE
+
+    return f"""
+    WITH q AS (
+        SELECT embedding AS qvec,
+               list_transform(embedding,
+                   x -> CAST({_CODE.format(x='x')} AS BIGINT)) AS qcode
+        FROM embeddings WHERE vec_id = 0
+    ), exact_l AS (
+        SELECT vec_id, CAST(row_number() OVER (
+                   ORDER BY ROUND({o_cosine('embedding', 'qvec')}, 6) DESC,
+                            vec_id) AS BIGINT) AS rank_e
+        FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        QUALIFY rank_e <= {_RRF_LIST}
+    ), coarse_l AS (
+        SELECT vec_id, CAST(row_number() OVER (
+                   ORDER BY list_sum(list_transform(
+                       generate_series(1, len(embedding)),
+                       i -> CAST({_CODE.format(x='embedding[i]')} AS BIGINT)
+                            * qcode[i])) DESC, vec_id) AS BIGINT) AS rank_c
+        FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+        QUALIFY rank_c <= {_RRF_LIST}
+    )
+    SELECT vec_id, rank_e, rank_c,
+           CAST(ROUND(COALESCE(1.0 / ({_RRF_K} + rank_e), 0)
+                    + COALESCE(1.0 / ({_RRF_K} + rank_c), 0), 6)
+                AS DOUBLE) AS rrf
+    FROM exact_l FULL OUTER JOIN coarse_l USING (vec_id)
+    ORDER BY rrf DESC, vec_id
+    LIMIT {_RRF_OUT}
+    """
+
+
+@declared_query("rrf_fusion_topk", oracle=_rrf_oracle())
+def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X127: reciprocal-rank fusion of two retrieval lists for query
+    vec 0 — the exact-cosine top-100 and the int8-coarse top-100
+    (X112's stage 1) — scored 1/(60+rank) per list, missing-from-list
+    contributing zero: the standard hybrid-retrieval combiner (the same
+    shape fuses BM25 + dense lists in production RAG).
+
+    Scale shape: each list is a TakeOrdered top-100 (per-partition
+    heap); the rank windows then run over 100 rows each, the fusion is
+    a full outer join of two 100-row tables, and the final top-20 is a
+    TakeOrdered again. Ranks are integers, 1/(60+r) is computed on
+    identical doubles, and the two-term sum is order-fixed — fully
+    engine-stable."""
+    from ..functions.vector import vec_dot, vec_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    icode = F.transform(
+        "embedding",
+        lambda x: F.floor(
+            F.greatest(F.lit(-4.0), F.least(F.lit(4.0), x.cast("double")))
+            * 31.75
+        ).cast("bigint"),
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qvec"), icode.alias("qcode")
+    )
+    base = emb.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(q))
+    exact_scored = base.select(
+        "vec_id",
+        F.round(
+            vec_dot("embedding", "qvec")
+            / (vec_norm("embedding") * vec_norm("qvec")),
+            6,
+        ).alias("s"),
+    ).orderBy(F.desc("s"), F.asc("vec_id")).limit(_RRF_LIST)
+    coarse_scored = base.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(icode, F.col("qcode"), lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("s"),
+    ).orderBy(F.desc("s"), F.asc("vec_id")).limit(_RRF_LIST)
+    w = Window.orderBy(F.desc("s"), F.asc("vec_id"))
+    exact_l = exact_scored.select(
+        "vec_id", F.row_number().over(w).cast("bigint").alias("rank_e")
+    )
+    coarse_l = coarse_scored.select(
+        "vec_id", F.row_number().over(w).cast("bigint").alias("rank_c")
+    )
+    rrf = F.round(
+        F.coalesce(1.0 / (_RRF_K + F.col("rank_e")), F.lit(0.0))
+        + F.coalesce(1.0 / (_RRF_K + F.col("rank_c")), F.lit(0.0)),
+        6,
+    )
+    return (
+        exact_l.join(coarse_l, "vec_id", "full_outer")
+        .select("vec_id", "rank_e", "rank_c", rrf.alias("rrf"))
+        .orderBy(F.desc("rrf"), F.asc("vec_id"))
+        .limit(_RRF_OUT)
+    )
+
+
+# ---- X128: MAD robust outliers ---------------------------------------
+
+
+@declared_query(
+    "mad_outlier_events",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY event_type
+    ), absdev AS (
+        SELECT e.event_id, e.event_type, e.value, m.med,
+               abs(e.value - m.med) AS ad
+        FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+        SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        FROM absdev GROUP BY event_type
+    )
+    SELECT a.event_id, a.event_type,
+           CAST(ROUND(a.value, 6) AS DOUBLE) AS value,
+           CAST(ROUND(0.6745 * (a.value - a.med) / m.mad, 6) AS DOUBLE)
+               AS robust_z
+    FROM absdev a JOIN mad m USING (event_type)
+    WHERE m.mad <> 0
+    ORDER BY abs(ROUND(0.6745 * (a.value - a.med) / m.mad, 6)) DESC,
+             a.event_id
+    LIMIT 30
+    """,
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X128: robust outlier detection via median absolute deviation —
+    the X52 z-score pipeline's robust twin: mean/stddev move with the
+    outliers they hunt, median/MAD do not (50% breakdown point). Both
+    medians are EXACT interpolated percentiles per group (the X18
+    surface, engine-identical on identical doubles); robust_z =
+    0.6745 (v - med)/MAD, top-30 by magnitude with id tie-break
+    through TakeOrderedAndProject.
+
+    Scale: two grouped exact-median aggregates over the event stream
+    (each one shuffle on event_type) with the per-type medians
+    joined back broadcast-size; no window over the fact table."""
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    absdev = events.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("ad"),
+    )
+    mad = absdev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    rz = F.round(
+        0.6745 * (F.col("value") - F.col("med")) / F.col("mad"), 6
+    )
+    return (
+        absdev.join(F.broadcast(mad), "event_type")
+        .filter(F.col("mad") != 0)
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            rz.alias("robust_z"),
+        )
+        .orderBy(F.abs(F.col("robust_z")).desc(), F.asc("event_id"))
+        .limit(30)
+    )
+
+
+# ---- X129: per-language nucleus vocabulary ---------------------------
+
+
+@declared_query(
+    "nucleus_vocab_per_lang",
+    oracle=f"""
+    WITH cnt AS (
+        SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT lang, unnest({_O_TOK}) AS word FROM documents) t
+        GROUP BY lang, word
+    ), ranked AS (
+        SELECT lang, word, n,
+               SUM(n) OVER (PARTITION BY lang ORDER BY n DESC, word
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(n) OVER (PARTITION BY lang) AS total
+        FROM cnt
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(SUM(n) AS BIGINT) AS kept_occ,
+           CAST(MAX(total) AS BIGINT) AS total_occ,
+           CAST(ROUND(CAST(SUM(n) AS DOUBLE) / MAX(total), 6) AS DOUBLE)
+               AS coverage
+    FROM ranked
+    WHERE (cum - n) * 10 < total * 9
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def nucleus_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X129: per-language nucleus (top-p) vocabulary — X104's global
+    95% cutoff, partitioned: for EACH language, the smallest
+    count-ranked vocab covering 90% of that language's token
+    occurrences (per-language tokenizer budgets for a multilingual
+    corpus). The keep rule is the same exact integer arithmetic
+    ((cum − n)·10 < total·9) so membership can never ride a float
+    boundary; only the reported coverage is a rounded double. The
+    windows are PARTITIONED by lang over the per-language vocab
+    relation (Heaps-bounded), unlike X104's whitelisted global one."""
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("lang", F.explode(tokens("text")).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w_cum = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("n"), F.asc("word"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("lang")
+    ranked = cnt.select(
+        "lang",
+        "word",
+        "n",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(w_tot).alias("total"),
+    )
+    return (
+        ranked.filter(
+            (F.col("cum") - F.col("n")) * 10 < F.col("total") * 9
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.sum("n").cast("bigint").alias("kept_occ"),
+            F.max("total").cast("bigint").alias("total_occ"),
+            F.round(
+                F.sum("n").cast("double") / F.max("total"), 6
+            ).alias("coverage"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---- X130: grouped weighted median -----------------------------------
+
+
+@declared_query(
+    "weighted_median_price",
+    oracle="""
+    WITH per_price AS (
+        SELECT l_returnflag AS flag,
+               CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS w
+        FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+        SELECT flag, price, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY price
+                            ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(w) OVER (PARTITION BY flag) AS total
+        FROM per_price
+    )
+    SELECT flag,
+           CAST(MIN(price) AS DOUBLE) AS wmedian,
+           CAST(MAX(total) AS DOUBLE) AS total_weight
+    FROM cum
+    WHERE 2 * cw >= total
+    GROUP BY flag
+    ORDER BY flag
+    """,
+)
+def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X130: grouped WEIGHTED median — the order statistic percentile()
+    cannot express: the smallest price p per return flag such that
+    lineitems priced <= p carry at least half the total quantity
+    (lower weighted median). Weights and the crossing rule are exact
+    decimals (2·cum >= total — no float boundary), and grouping by
+    price BEFORE the cumulative window makes tie order irrelevant: the
+    cumulative weight is per distinct price, so the crossing price is
+    unique by construction. One shuffle for the per-price pre-aggregate
+    (combinable), a flag-partitioned window over distinct prices, and a
+    per-flag argmin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_price = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    ).agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("w"))
+    w_cum = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy("flag")
+    cum = per_price.select(
+        "flag",
+        "price",
+        F.sum("w").over(w_cum).alias("cw"),
+        F.sum("w").over(w_tot).alias("total"),
+    )
+    return (
+        cum.filter(2 * F.col("cw") >= F.col("total"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").cast("double").alias("wmedian"),
+            F.max("total").cast("double").alias("total_weight"),
+        )
+        .orderBy("flag")
+    )
+
+
+# ---- X131: A/B two-proportion z-test ---------------------------------
+
+
+@declared_query(
+    "ab_proportion_ztest",
+    oracle="""
+    WITH assigned AS (
+        SELECT event_type, user_id % 2 AS variant,
+               CASE WHEN value >= 5.0 THEN 1 ELSE 0 END AS success
+        FROM events
+    ), agg AS (
+        SELECT event_type,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN variant = 0 THEN success ELSE 0 END)
+                    AS BIGINT) AS s0,
+               CAST(SUM(CASE WHEN variant = 1 THEN success ELSE 0 END)
+                    AS BIGINT) AS s1
+        FROM assigned GROUP BY event_type
+    )
+    SELECT event_type, n0, n1, s0, s1,
+           CAST(ROUND(
+               (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+               / sqrt((CAST(s0 + s1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(s0 + s1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1)), 6) + 0.0 AS DOUBLE) AS z,
+           abs(ROUND(
+               (CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+               / sqrt((CAST(s0 + s1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(s0 + s1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1)), 6)) > 1.96 AS significant
+    FROM agg
+    ORDER BY event_type
+    """,
+)
+def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X131: A/B experiment readout — pooled two-proportion z-test per
+    event type (variant = user_id parity, success = value >= 5): the
+    statistical-significance gate an experimentation pipeline computes
+    over event logs. All counts are exact BIGINTs, the z statistic is
+    closed-form arithmetic + one IEEE-exact sqrt on identical doubles,
+    and the significance flag compares the ROUNDED z so the boolean
+    can never ride a last-ulp boundary. One map-side-combinable
+    aggregate over the stream; |event_type| result rows."""
+    events = load_table(spark, sf_dir, "events")
+    assigned = events.select(
+        "event_type",
+        (F.col("user_id") % 2).alias("variant"),
+        F.when(F.col("value") >= 5.0, 1).otherwise(0).alias("success"),
+    )
+    agg = assigned.groupBy("event_type").agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint").alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, F.col("success")).otherwise(0))
+        .cast("bigint").alias("s0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("success")).otherwise(0))
+        .cast("bigint").alias("s1"),
+    )
+    p0 = F.col("s0").cast("double") / F.col("n0")
+    p1 = F.col("s1").cast("double") / F.col("n1")
+    pp = (F.col("s0") + F.col("s1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    )
+    # + 0.0 canonicalizes a rounded-to-zero z's sign (the fleet-wide
+    # signed-zero contract; see tests/test_negative_zero.py)
+    z = F.round(
+        (p1 - p0)
+        / F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+        6,
+    ) + F.lit(0.0)
+    return agg.select(
+        "event_type",
+        "n0",
+        "n1",
+        "s0",
+        "s1",
+        z.alias("z"),
+        (F.abs(z) > 1.96).alias("significant"),
+    ).orderBy("event_type")

@@ -353,3 +353,112 @@ def test_prefix_filter_join_is_exact_no_false_negatives(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
+
+def test_rrf_fusion_matches_pure_python(spark, sf_dir):
+    out = _q("rrf_fusion_topk", spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    vecs = {int(r.vec_id): np.array(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+    q = vecs[0]
+
+    def code(v):
+        return np.floor(np.clip(v, -4.0, 4.0) * 31.75).astype(np.int64)
+
+    qc = code(q)
+    others = [vid for vid in vecs if vid != 0]
+    exact = sorted(
+        ((round(float(np.dot(vecs[v], q)
+                      / (np.linalg.norm(vecs[v]) * np.linalg.norm(q))), 6),
+          v) for v in others),
+        key=lambda t: (-t[0], t[1]),
+    )[:100]
+    coarse = sorted(
+        ((int(np.dot(code(vecs[v]), qc)), v) for v in others),
+        key=lambda t: (-t[0], t[1]),
+    )[:100]
+    re = {v: i + 1 for i, (_, v) in enumerate(exact)}
+    rc = {v: i + 1 for i, (_, v) in enumerate(coarse)}
+    fused = sorted(
+        ((round((1 / (60 + re[v]) if v in re else 0)
+                + (1 / (60 + rc[v]) if v in rc else 0), 6), v)
+         for v in set(re) | set(rc)),
+        key=lambda t: (-t[0], t[1]),
+    )[:20]
+    got = [(r.rrf, int(r.vec_id)) for r in out.itertuples()]
+    assert got == fused
+
+
+def test_mad_outliers_match_numpy(spark, sf_dir):
+    out = _q("mad_outlier_events", spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    rows = []
+    for t, grp in ev.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        med = np.percentile(v, 50, method="linear")
+        mad = np.percentile(np.abs(v - med), 50, method="linear")
+        if mad == 0:
+            continue
+        for eid, val in zip(grp["event_id"], v):
+            rows.append((round(0.6745 * (val - med) / mad, 6), int(eid)))
+    want = sorted(rows, key=lambda r: (-abs(r[0]), r[1]))[:30]
+    got = [(r.robust_z, int(r.event_id)) for r in out.itertuples()]
+    assert got == want
+
+
+def test_nucleus_vocab_covers_at_least_90pct_minimally(spark, sf_dir):
+    out = _q("nucleus_vocab_per_lang", spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    for r in out.itertuples():
+        toks = collections.Counter()
+        for t in docs[docs.lang == r.lang]["text"]:
+            toks.update(str(t).strip().lower().split())
+        total = sum(toks.values())
+        ranked = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))
+        cum, kept = 0, 0
+        for w, n in ranked:
+            if cum * 10 < total * 9:
+                cum += n
+                kept += 1
+            else:
+                break
+        assert int(r.n_kept) == kept
+        assert int(r.kept_occ) == cum
+        assert int(r.total_occ) == total
+        assert cum * 10 >= total * 9  # coverage reached
+        # minimality: dropping the last kept word falls below 90%
+        if kept:
+            assert (cum - ranked[kept - 1][1]) * 10 < total * 9
+
+
+def test_weighted_median_crossing_property(spark, sf_dir):
+    out = _q("weighted_median_price", spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    for r in out.itertuples():
+        grp = li[li.l_returnflag == r.flag]
+        w_le = grp[grp.l_extendedprice.round(2) <= r.wmedian][
+            "l_quantity"].sum()
+        w_lt = grp[grp.l_extendedprice.round(2) < r.wmedian][
+            "l_quantity"].sum()
+        total = grp["l_quantity"].sum()
+        assert 2 * w_le >= total - 1e-6  # crossing reached at wmedian
+        assert 2 * w_lt < total + 1e-6  # ...and not before it
+        assert abs(total - r.total_weight) < 1e-4
+
+
+def test_ab_ztest_matches_scipy_style_formula(spark, sf_dir):
+    out = _q("ab_proportion_ztest", spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    for r in out.itertuples():
+        grp = ev[ev.event_type == r.event_type]
+        v = (grp["user_id"] % 2).to_numpy()
+        s = (grp["value"] >= 5.0).to_numpy().astype(int)
+        n0, n1 = int((v == 0).sum()), int((v == 1).sum())
+        s0, s1 = int(s[v == 0].sum()), int(s[v == 1].sum())
+        assert (int(r.n0), int(r.n1), int(r.s0), int(r.s1)) == (
+            n0, n1, s0, s1)
+        pp = (s0 + s1) / (n0 + n1)
+        z = (s1 / n1 - s0 / n0) / math.sqrt(
+            pp * (1 - pp) * (1 / n0 + 1 / n1))
+        assert abs(r.z - round(z, 6)) < 1e-9
+        assert bool(r.significant) == (abs(round(z, 6)) > 1.96)

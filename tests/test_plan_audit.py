@@ -84,6 +84,8 @@ CROSS_OK = {
     # X124: broadcast 1-row vocab-size aggregate crossed into the
     # bigram-count join (the X96 shape, one order up)
     "bigram_xentropy_docs",
+    # X127: broadcast 1-row query-vector/code table crossed into vectors
+    "rrf_fusion_topk",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -113,6 +115,8 @@ GLOBAL_WINDOW_OK = {
     # the vocab or the token stream — both reduce in aggregates below
     "mixture_temperature_alloc",  # largest-remainder rank over the
     # |sources|-row allocation table
+    "rrf_fusion_topk",  # rank windows over the two TakeOrdered-pruned
+    # 100-row retrieval lists, never the vector table
 }
 
 

@@ -229,15 +229,19 @@ class TestResize:
         }
 
     def test_corrupt_payload_degrades_per_row(self, monkeypatch):
-        """ADVICE r4: with Pillow INSTALLED, a corrupt payload must not
-        fail the task — _resize_image degrades to the deterministic fake
-        for that row, tagged decode-error:<ExcName>. Simulated by
-        injecting a stub PIL whose Image.open raises (what
-        UnidentifiedImageError does on garbage bytes)."""
+        """ADVICE r4 + r5: with Pillow INSTALLED, a corrupt payload must
+        not fail the task — _resize_image degrades to the deterministic
+        fake for that row, tagged decode-error:<ExcName> — but ONLY for
+        payload-shaped failures (OSError/ValueError, the
+        UnidentifiedImageError / DecompressionBombError families);
+        programming errors (TypeError etc.) must PROPAGATE (r5: they are
+        bugs, not bad data). Simulated with a stub PIL."""
         import sys
         import types
 
-        class _Boom(Exception):
+        import pytest
+
+        class _Boom(OSError):  # what UnidentifiedImageError subclasses
             pass
 
         stub = types.ModuleType("PIL")
@@ -255,6 +259,15 @@ class TestResize:
         data, dec = MM._resize_image(payload, 8, 6)
         assert dec == "decode-error:_Boom"
         assert len(data) == 8 * 6
+
+        # the r5 half: an unexpected exception type is NOT masked
+        def _open_bug(_):
+            raise TypeError("bad argument wiring")
+
+        stub_img.open = _open_bug
+        with pytest.raises(TypeError):
+            MM._resize_image(payload, 8, 6)
+        stub_img.open = _open  # restore for the fake-leg check below
         # deterministic: same bytes as the no-PIL fake leg (a None
         # sys.modules entry forces ImportError even if PIL is installed)
         monkeypatch.setitem(sys.modules, "PIL", None)
