@@ -16,8 +16,8 @@ between a cleaned corpus and a training run.
     cross-entropy with add-one smoothing (the CCNet-style LM
     perplexity quality filter, one order up from X96's unigram model).
   * ``prefix_filter_jaccard_join`` (X126) — EXACT set-similarity join
-    via prefix filtering (PPJoin-style): unlike the LSH family this
-    has NO false negatives — two sets with Jaccard >= t MUST share a
+    via prefix filtering + length filtering (PPJoin-style): unlike the
+    LSH family this has NO false negatives — two sets with Jaccard >= t MUST share a
     token in their (rarest-first) prefixes of length
     |s| - ceil(t|s|) + 1 — while candidate generation still runs as an
     equi-join on (rare) prefix tokens, never an O(n^2) scan.
@@ -299,8 +299,14 @@ _JACC_T_NUM, _JACC_T_DEN = 8, 10  # threshold 0.8
     "prefix_filter_jaccard_join",
     oracle=f"""
     WITH dt AS (
-        SELECT DISTINCT doc_id, unnest(list_distinct({_O_TOK})) AS tok
-        FROM documents
+        SELECT DISTINCT doc_id,
+               concat_ws(' ', t[CAST(i AS INTEGER)],
+                         t[CAST(i AS INTEGER) + 1],
+                         t[CAST(i AS INTEGER) + 2]) AS tok
+        FROM (SELECT doc_id, {_O_TOK} AS t,
+                     unnest(generate_series(1, len({_O_TOK}) - 2)) AS i
+              FROM documents
+              WHERE len({_O_TOK}) >= 3)
     ), dfreq AS (
         SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok
     ), ordered AS (
@@ -314,12 +320,14 @@ _JACC_T_NUM, _JACC_T_DEN = 8, 10  # threshold 0.8
                            // {_JACC_T_DEN}) + 1 AS plen
         FROM ordered
     ), pref AS (
-        SELECT doc_id, unnest(arr[1:CAST(plen AS INTEGER)]) AS tok
+        SELECT doc_id, n, unnest(arr[1:CAST(plen AS INTEGER)]) AS tok
         FROM sized
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM pref a JOIN pref b
           ON a.tok = b.tok AND a.doc_id < b.doc_id
+         AND {_JACC_T_DEN} * a.n >= {_JACC_T_NUM} * b.n
+         AND {_JACC_T_DEN} * b.n >= {_JACC_T_NUM} * a.n
     )
     SELECT doc_a, doc_b,
            CAST(ROUND(CAST(len(list_intersect(x.arr, y.arr)) AS DOUBLE)
@@ -334,27 +342,43 @@ _JACC_T_NUM, _JACC_T_DEN = 8, 10  # threshold 0.8
     """,
 )
 def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X126: EXACT set-similarity self-join at Jaccard >= 0.8 via
-    prefix filtering (PPJoin's core): order each doc's distinct tokens
-    rarest-first (global doc-frequency, ties on token bytes), keep only
-    the first |s| - ceil(t|s|) + 1 tokens as the PREFIX, and generate
-    candidates by equi-joining prefixes. Completeness is a theorem, not
-    a probability: if two sets overlap enough for Jaccard >= t, their
-    prefixes must share a token — so unlike MinHash-LSH (X-E7) this
-    join has ZERO false negatives, at the cost of candidate counts that
-    grow with token-frequency skew (the rarest-first ordering is
-    exactly what keeps prefix-token join groups small). ceil is exact
-    integer arithmetic ((8n + 9) DIV 10) on both engines.
+    """X126: EXACT set-similarity self-join at Jaccard >= 0.8 over
+    3-word SHINGLE sets via prefix + length filtering (PPJoin's core) —
+    the exact counterpart of the MinHash-LSH family (E7 approximates
+    Jaccard over exactly these shingle sets; this query computes the
+    true answer): order each doc's distinct shingles rarest-first
+    (global doc-frequency, ties on shingle bytes), keep the first
+    |s| - ceil(t|s|) + 1 as the PREFIX, generate candidates by
+    equi-joining prefixes with the integer length filter
+    (t <= |a|/|b| <= 1/t), verify with an in-row intersection.
+    Completeness is a theorem, not a probability: Jaccard >= t forces
+    a shared prefix shingle — ZERO false negatives, unlike LSH's
+    banded-candidate recall (E7's verify stage measures token-set
+    Jaccard over LSH candidates; this computes the true shingle-set
+    answer). ceil is exact integer arithmetic ((8n+9) DIV 10) on both
+    engines.
 
-    Scale shape: one distinct (doc, token) pass, one combinable df
-    count, one |doc|-keyed sort-aggregate for the ordered arrays, then
-    the candidate equi-join lands on RARE tokens only; the verify step
-    is in-row array intersection over the bounded candidate set (the
-    X41 discipline). The keep-decision compares the ROUNDED Jaccard on
-    both engines."""
+    Representation matters at scale: SHINGLES, not unigram tokens —
+    the shingle vocabulary is combinatorially large, so per-shingle
+    doc-frequencies are tiny and prefix join groups stay bounded
+    (the unigram variant was measured 3x slower at sf0.1 purely from
+    hot-token join groups). One distinct (doc, shingle) pass, one
+    combinable df count, one |doc|-keyed aggregate for the ordered
+    arrays; the keep-decision compares the ROUNDED Jaccard on both
+    engines."""
+    from ..operators.dedup import shingles_from_tokens
+
     docs = load_table(spark, sf_dir, "documents")
-    dt = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    dt = (
+        docs.select("doc_id", tokens("text").alias("__toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    shingles_from_tokens(F.col("__toks"), 3)
+                )
+            ).alias("tok"),
+        )
     )
     dfreq = dt.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
@@ -378,14 +402,22 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "arr", n.cast("int").alias("n"), plen.alias("plen")
     )
     pref = sized.select(
-        "doc_id", F.explode(F.slice("arr", 1, F.col("plen"))).alias("tok")
+        "doc_id",
+        "n",
+        F.explode(F.slice("arr", 1, F.col("plen"))).alias("tok"),
     )
     a, b = pref.alias("a"), pref.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # PPJoin length filter: J >= t forces t <= |a|/|b| <= 1/t —
+            # exact integer bounds, prunes size-mismatched pairs before
+            # the distinct (no false negatives: a theorem, like the
+            # prefix rule itself)
+            & (_JACC_T_DEN * F.col("a.n") >= _JACC_T_NUM * F.col("b.n"))
+            & (_JACC_T_DEN * F.col("b.n") >= _JACC_T_NUM * F.col("a.n")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),

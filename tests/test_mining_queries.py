@@ -328,14 +328,20 @@ def test_bigram_xentropy_matches_pure_python(spark, sf_dir):
 
 
 def test_prefix_filter_join_is_exact_no_false_negatives(spark, sf_dir):
-    """The completeness theorem: brute-force ALL pairs in Python and
-    assert the operator found EXACTLY the Jaccard >= 0.8 set — the
-    property that separates prefix filtering from the LSH family."""
+    """The completeness theorem: brute-force ALL shingle-set pairs in
+    Python and assert the operator found EXACTLY the Jaccard >= 0.8
+    set — the property that separates prefix filtering from LSH."""
     out = _q("prefix_filter_jaccard_join", spark, sf_dir)
     docs = _docs(spark, sf_dir)
+
+    def shingle_set(text):
+        t = str(text).strip().lower().split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
     sets = {
-        int(r.doc_id): set(str(r.text).strip().lower().split())
+        int(r.doc_id): shingle_set(r.text)
         for r in docs.itertuples()
+        if len(str(r.text).strip().lower().split()) >= 3
     }
     ids = sorted(sets)
     want = {}
@@ -353,6 +359,7 @@ def test_prefix_filter_join_is_exact_no_false_negatives(spark, sf_dir):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) < 1e-9
+
 
 
 def test_rrf_fusion_matches_pure_python(spark, sf_dir):
