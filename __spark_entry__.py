@@ -71,6 +71,9 @@ _SAMPLER_PRIORITY = (
     "nucleus_vocab_per_lang",
     "weighted_median_price",
     "ab_proportion_ztest",
+    "triangle_count_copurchase",
+    "interevent_gap_stats",
+    "column_entropy_orders",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

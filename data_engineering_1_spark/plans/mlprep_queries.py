@@ -849,3 +849,266 @@ def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z"),
         (F.abs(z) > 1.96).alias("significant"),
     ).orderBy("event_type")
+
+
+# ---- X132: triangle counting with degree orientation ------------------
+
+
+@declared_query(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), und AS (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS node FROM und
+              UNION ALL SELECT v AS node FROM und)
+        GROUP BY node
+    ), oriented AS (
+        SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
+                   AS src,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END
+                   AS dst,
+               CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN dv.d ELSE du.d END
+                   AS ddeg
+        FROM und e
+        JOIN deg du ON du.node = e.u
+        JOIN deg dv ON dv.node = e.v
+    ), tri AS (
+        SELECT w.src AS x, w.a AS y, w.b AS z
+        FROM (
+            SELECT o1.src, o1.dst AS a, o2.dst AS b
+            FROM oriented o1 JOIN oriented o2
+              ON o1.src = o2.src
+             AND (o1.ddeg, o1.dst) < (o2.ddeg, o2.dst)
+        ) w
+        JOIN oriented o3 ON o3.src = w.a AND o3.dst = w.b
+    )
+    SELECT node AS part_key,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM (SELECT x AS node FROM tri
+          UNION ALL SELECT y AS node FROM tri
+          UNION ALL SELECT z AS node FROM tri)
+    GROUP BY node
+    ORDER BY n_triangles DESC, part_key
+    LIMIT 30
+    """,
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X132: per-node triangle counts over the co-purchase graph (top
+    30) — the clustering/community-density signal (a part in many
+    triangles sits inside a dense substitute/bundle cluster; on a web
+    graph the same count feeds spam detection).
+
+    The scale story is the DEGREE ORIENTATION (the classic
+    Schank-Wagner / "rage against the wedges" trick): orient every
+    undirected edge from its (degree, id)-smaller endpoint to the
+    larger, so wedge enumeration fans out only over OUT-edges — every
+    node's out-degree is bounded by O(sqrt(m)) regardless of how hot
+    the hottest node is, and each triangle is generated exactly once
+    (no /6 dedup). The wedge join and the closing-edge join are both
+    plain equi-joins; everything is exact integers. At 100 TB the
+    oriented adjacency is the persisted artifact and the wedge join is
+    the only super-linear term — bounded by arboricity, not by the max
+    degree."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    e = (
+        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
+    )
+    u_first = (F.struct("du", "u") < F.struct("dv", "v"))
+    oriented = e.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.src") == F.col("o2.src"))
+        & (
+            F.struct(F.col("o1.ddeg"), F.col("o1.dst"))
+            < F.struct(F.col("o2.ddeg"), F.col("o2.dst"))
+        ),
+    ).select(
+        F.col("o1.src").alias("x"),
+        F.col("o1.dst").alias("y"),
+        F.col("o2.dst").alias("z"),
+    )
+    o3 = oriented.alias("o3")
+    tri = wedges.join(
+        o3,
+        (F.col("o3.src") == F.col("y")) & (F.col("o3.dst") == F.col("z")),
+    ).select("x", "y", "z")
+    per_node = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        per_node.select(
+            F.col("node").alias("part_key"), "n_triangles"
+        )
+        .orderBy(F.desc("n_triangles"), F.asc("part_key"))
+        .limit(30)
+    )
+
+
+# ---- X133: inter-event gap statistics ---------------------------------
+
+
+@declared_query(
+    "interevent_gap_stats",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ), gaps AS (SELECT event_type, gap_us FROM seq WHERE gap_us IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1e6, 6)
+                AS DOUBLE) AS mean_gap_s,
+           CAST(ROUND(quantile_cont(gap_us, 0.5) / 1e6, 6) AS DOUBLE)
+               AS median_gap_s,
+           CAST(ROUND(quantile_cont(gap_us, 0.9) / 1e6, 6) AS DOUBLE)
+               AS p90_gap_s
+    FROM gaps
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X133: inter-event time distribution per event type — the
+    activity-cadence profile (bot detection, session-gap calibration,
+    watermark sizing all start from this table): per (user, type)
+    sequence, the gap to the previous event; per type, gap count,
+    mean, median and p90 in seconds.
+
+    Gaps are EXACT integer microseconds (epoch_us on both engines) from
+    one lag window partitioned by (user_id, event_type) — high-
+    cardinality, well-spread, never a global sort. Mean divides the
+    exact BIGINT sum; median/p90 are exact interpolated percentiles
+    over integers (the X18-proven surface); everything rounds to 6 on
+    the way out."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    # ts is TIMESTAMP_NTZ; the session tz is pinned UTC so the cast is
+    # deterministic, and gaps are differences so any offset cancels
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        events.select(
+            "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.round(
+                F.sum("gap_us").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("mean_gap_s"),
+            F.round(F.expr("percentile(gap_us, 0.5)") / 1e6, 6)
+            .alias("median_gap_s"),
+            F.round(F.expr("percentile(gap_us, 0.9)") / 1e6, 6)
+            .alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---- X134: categorical column entropy ---------------------------------
+
+
+@declared_query(
+    "column_entropy_orders",
+    oracle="""
+    WITH vals AS (
+        SELECT 'o_orderstatus' AS col_name,
+               CAST(o_orderstatus AS VARCHAR) AS val FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority' AS col_name,
+               CAST(o_orderpriority AS VARCHAR) AS val FROM orders
+    ), cnt AS (
+        SELECT col_name, val, CAST(COUNT(*) AS BIGINT) AS c
+        FROM vals GROUP BY col_name, val
+    ), tot AS (
+        SELECT col_name, SUM(c) AS n FROM cnt GROUP BY col_name
+    )
+    SELECT c.col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(MAX(t.n) AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(SUM(CAST(
+                -(CAST(c.c AS DOUBLE) / t.n)
+                 * ln(CAST(c.c AS DOUBLE) / t.n) AS DECIMAL(28,12)))
+                AS DOUBLE), 6) AS DOUBLE) AS entropy
+    FROM cnt c JOIN tot t USING (col_name)
+    GROUP BY c.col_name
+    ORDER BY c.col_name
+    """,
+)
+def column_entropy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X134: Shannon entropy of categorical columns — the column-
+    profiling signal X48 doesn't compute: near-zero entropy flags
+    constant/degenerate columns, maximal entropy flags key-like ones;
+    data-quality monitors track its drift release-over-release.
+
+    One stack pass (col_name, value) -> combinable counts -> per-column
+    -p·ln p terms staged to DECIMAL(28,12) so the category sum is
+    order-free (the X96 discipline); categories per column are bounded
+    so everything after the count aggregate is tiny."""
+    orders = load_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        F.expr(
+            "stack(2, 'o_orderstatus', CAST(o_orderstatus AS STRING), "
+            "'o_orderpriority', CAST(o_orderpriority AS STRING)) "
+            "AS (col_name, val)"
+        )
+    )
+    cnt = vals.groupBy("col_name", "val").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    tot = cnt.groupBy("col_name").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    term = (-p * F.log(p)).cast("decimal(28,12)")
+    return (
+        cnt.join(tot, "col_name")
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy"),
+        )
+        .orderBy("col_name")
+    )

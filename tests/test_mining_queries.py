@@ -469,3 +469,70 @@ def test_ab_ztest_matches_scipy_style_formula(spark, sf_dir):
             pp * (1 - pp) * (1 / n0 + 1 / n1))
         assert abs(r.z - round(z, 6)) < 1e-9
         assert bool(r.significant) == (abs(round(z, 6)) > 1.96)
+
+
+def test_triangle_counts_match_pure_python(spark, sf_dir):
+    out = _q("triangle_count_copurchase", spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    adj = collections.defaultdict(set)
+    for ok_, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(int(p) for p in grp["l_partkey"]))
+        for i, u in enumerate(parts):
+            for v in parts[i + 1:]:
+                adj[u].add(v)
+                adj[v].add(u)
+    tri = collections.Counter()
+    nodes = sorted(adj)
+    for u in nodes:
+        for v in adj[u]:
+            if v <= u:
+                continue
+            common = adj[u] & adj[v]
+            for w in common:
+                if w > v:  # each triangle once: u < v < w
+                    tri[u] += 1
+                    tri[v] += 1
+                    tri[w] += 1
+    want = sorted(
+        ((n, c) for n, c in tri.items()), key=lambda t: (-t[1], t[0])
+    )[:30]
+    got = [(int(r.part_key), int(r.n_triangles)) for r in out.itertuples()]
+    assert got == want
+
+
+def test_interevent_gaps_match_pandas(spark, sf_dir):
+    out = _q("interevent_gap_stats", spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev = ev.sort_values(["user_id", "event_type", "ts", "event_id"])
+    ev["us"] = pd.to_datetime(ev["ts"]).astype("int64") // 1000
+    gaps = collections.defaultdict(list)
+    for (_, t), grp in ev.groupby(["user_id", "event_type"]):
+        us = grp["us"].to_numpy()
+        gaps[t].extend((us[1:] - us[:-1]).tolist())
+    for r in out.itertuples():
+        g = np.array(sorted(gaps[r.event_type]), dtype=np.float64)
+        assert int(r.n_gaps) == len(g)
+        assert abs(r.mean_gap_s - round(g.mean() / 1e6, 6)) < 1e-5
+        assert abs(
+            r.median_gap_s
+            - round(np.percentile(g, 50, method="linear") / 1e6, 6)
+        ) < 1e-5
+        assert abs(
+            r.p90_gap_s
+            - round(np.percentile(g, 90, method="linear") / 1e6, 6)
+        ) < 1e-5
+
+
+def test_column_entropy_matches_scipy_formula(spark, sf_dir):
+    out = _q("column_entropy_orders", spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").toPandas()
+    for r in out.itertuples():
+        counts = orders[r.col_name].astype(str).value_counts()
+        n = counts.sum()
+        p = counts / n
+        want = float(-(p * np.log(p)).sum())
+        assert int(r.n_distinct) == len(counts)
+        assert int(r.n_rows) == n
+        assert abs(r.entropy - want) < 1e-5
+        # bounds: 0 <= H <= ln(k)
+        assert -1e-9 <= r.entropy <= math.log(len(counts)) + 1e-9
