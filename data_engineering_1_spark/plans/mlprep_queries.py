@@ -8,14 +8,14 @@ between a cleaned corpus and a training run.
     window): powers of two are exact in binary floating point, and the
     51-row frame truncates only mass below 2^-50 — invisible at the
     round-6 emission.
-  * ``stratified_exact_split`` (X123) — per-stratum 80/10/10
+  * ``stratified_exact_split`` (X122) — per-stratum 80/10/10
     train/val/test allocation with largest-remainder rounding in PURE
     INTEGER arithmetic: every stratum's splits sum exactly to its doc
     count, no floats anywhere.
-  * ``bigram_xentropy_docs`` (X124) — per-doc bigram language-model
+  * ``bigram_xentropy_docs`` (X123) — per-doc bigram language-model
     cross-entropy with add-one smoothing (the CCNet-style LM
     perplexity quality filter, one order up from X96's unigram model).
-  * ``prefix_filter_jaccard_join`` (X126) — EXACT set-similarity join
+  * ``prefix_filter_jaccard_join`` (X124) — EXACT set-similarity join
     via prefix filtering + length filtering (PPJoin-style): unlike the
     LSH family this has NO false negatives — two sets with Jaccard >= t MUST share a
     token in their (rarest-first) prefixes of length
@@ -112,7 +112,7 @@ def ewma_halflife_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
-# ---- X123: stratified exact split ------------------------------------
+# ---- X122: stratified exact split ------------------------------------
 
 
 @declared_query(
@@ -146,7 +146,7 @@ def ewma_halflife_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X123: per-stratum EXACT 80/10/10 train/val/test allocation —
+    """X122: per-stratum EXACT 80/10/10 train/val/test allocation —
     the split-size contract an ML pipeline must honor before assigning
     rows (X4's deterministic hash split assigns ~80% in expectation;
     this computes the exact integer quota per stratum). Largest-
@@ -200,7 +200,7 @@ def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- X124: bigram LM cross-entropy -----------------------------------
+# ---- X123: bigram LM cross-entropy -----------------------------------
 
 
 @declared_query(
@@ -237,7 +237,7 @@ def stratified_exact_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def bigram_xentropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X124: per-doc bigram language-model cross-entropy with add-one
+    """X123: per-doc bigram language-model cross-entropy with add-one
     smoothing — the LM-perplexity quality filter (CCNet-style) one
     order above X96's unigram model: p(w2|w1) = (c(w1,w2)+1)/(c(w1)+V),
     xent = -mean ln p. Low = fluent/templated, high = noisy — the
@@ -290,7 +290,7 @@ def bigram_xentropy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- X126: exact set-similarity join via prefix filtering ------------
+# ---- X124: exact set-similarity join via prefix filtering ------------
 
 _JACC_T_NUM, _JACC_T_DEN = 8, 10  # threshold 0.8
 
@@ -342,7 +342,7 @@ _JACC_T_NUM, _JACC_T_DEN = 8, 10  # threshold 0.8
     """,
 )
 def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X126: EXACT set-similarity self-join at Jaccard >= 0.8 over
+    """X124: EXACT set-similarity self-join at Jaccard >= 0.8 over
     3-word SHINGLE sets via prefix + length filtering (PPJoin's core) —
     the exact counterpart of the MinHash-LSH family (E7 approximates
     Jaccard over exactly these shingle sets; this query computes the
@@ -448,7 +448,7 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- X127: reciprocal-rank fusion ------------------------------------
+# ---- X125: reciprocal-rank fusion ------------------------------------
 
 _RRF_K = 60
 _RRF_LIST = 100
@@ -492,7 +492,7 @@ def _rrf_oracle() -> str:
 
 @declared_query("rrf_fusion_topk", oracle=_rrf_oracle())
 def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X127: reciprocal-rank fusion of two retrieval lists for query
+    """X125: reciprocal-rank fusion of two retrieval lists for query
     vec 0 — the exact-cosine top-100 and the int8-coarse top-100
     (X112's stage 1) — scored 1/(60+rank) per list, missing-from-list
     contributing zero: the standard hybrid-retrieval combiner (the same
@@ -554,7 +554,7 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- X128: MAD robust outliers ---------------------------------------
+# ---- X126: MAD robust outliers ---------------------------------------
 
 
 @declared_query(
@@ -583,7 +583,7 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X128: robust outlier detection via median absolute deviation —
+    """X126: robust outlier detection via median absolute deviation —
     the X52 z-score pipeline's robust twin: mean/stddev move with the
     outliers they hunt, median/MAD do not (50% breakdown point). Both
     medians are EXACT interpolated percentiles per group (the X18
@@ -625,7 +625,7 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- X129: per-language nucleus vocabulary ---------------------------
+# ---- X127: per-language nucleus vocabulary ---------------------------
 
 
 @declared_query(
@@ -655,7 +655,7 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def nucleus_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X129: per-language nucleus (top-p) vocabulary — X104's global
+    """X127: per-language nucleus (top-p) vocabulary — X104's global
     95% cutoff, partitioned: for EACH language, the smallest
     count-ranked vocab covering 90% of that language's token
     occurrences (per-language tokenizer budgets for a multilingual
@@ -700,7 +700,7 @@ def nucleus_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- X130: grouped weighted median -----------------------------------
+# ---- X128: grouped weighted median -----------------------------------
 
 
 @declared_query(
@@ -728,7 +728,7 @@ def nucleus_vocab_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X130: grouped WEIGHTED median — the order statistic percentile()
+    """X128: grouped WEIGHTED median — the order statistic percentile()
     cannot express: the smallest price p per return flag such that
     lineitems priced <= p carry at least half the total quantity
     (lower weighted median). Weights and the crossing rule are exact
@@ -766,7 +766,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- X131: A/B two-proportion z-test ---------------------------------
+# ---- X129: A/B two-proportion z-test ---------------------------------
 
 
 @declared_query(
@@ -804,7 +804,7 @@ def weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X131: A/B experiment readout — pooled two-proportion z-test per
+    """X129: A/B experiment readout — pooled two-proportion z-test per
     event type (variant = user_id parity, success = value >= 5): the
     statistical-significance gate an experimentation pipeline computes
     over event logs. All counts are exact BIGINTs, the z statistic is
@@ -851,7 +851,7 @@ def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
-# ---- X132: triangle counting with degree orientation ------------------
+# ---- X130: triangle counting with degree orientation ------------------
 
 
 @declared_query(
@@ -899,7 +899,7 @@ def ab_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X132: per-node triangle counts over the co-purchase graph (top
+    """X130: per-node triangle counts over the co-purchase graph (top
     30) — the clustering/community-density signal (a part in many
     triangles sits inside a dense substitute/bundle cluster; on a web
     graph the same count feeds spam detection).
@@ -980,7 +980,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- X133: inter-event gap statistics ---------------------------------
+# ---- X131: inter-event gap statistics ---------------------------------
 
 
 @declared_query(
@@ -1007,7 +1007,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X133: inter-event time distribution per event type — the
+    """X131: inter-event time distribution per event type — the
     activity-cadence profile (bot detection, session-gap calibration,
     watermark sizing all start from this table): per (user, type)
     sequence, the gap to the previous event; per type, gap count,
@@ -1048,7 +1048,7 @@ def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- X134: categorical column entropy ---------------------------------
+# ---- X132: categorical column entropy ---------------------------------
 
 
 @declared_query(
@@ -1079,7 +1079,7 @@ def interevent_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def column_entropy_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X134: Shannon entropy of categorical columns — the column-
+    """X132: Shannon entropy of categorical columns — the column-
     profiling signal X48 doesn't compute: near-zero entropy flags
     constant/degenerate columns, maximal entropy flags key-like ones;
     data-quality monitors track its drift release-over-release.

@@ -78,13 +78,13 @@ CROSS_OK = {
     # X120: broadcast 1-row quartile-boundary aggregate crossed into the
     # per-doc token counts (the no-global-window stage assignment)
     "curriculum_stages",
-    # X123: broadcast 3-row (train/val/test) literal table crossed into
+    # X122: broadcast 3-row (train/val/test) literal table crossed into
     # the |strata|-row counts
     "stratified_exact_split",
-    # X124: broadcast 1-row vocab-size aggregate crossed into the
+    # X123: broadcast 1-row vocab-size aggregate crossed into the
     # bigram-count join (the X96 shape, one order up)
     "bigram_xentropy_docs",
-    # X127: broadcast 1-row query-vector/code table crossed into vectors
+    # X125: broadcast 1-row query-vector/code table crossed into vectors
     "rrf_fusion_topk",
 }
 
