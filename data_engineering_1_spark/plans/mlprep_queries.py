@@ -907,14 +907,27 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale story is the DEGREE ORIENTATION (the classic
     Schank-Wagner / "rage against the wedges" trick): orient every
     undirected edge from its (degree, id)-smaller endpoint to the
-    larger, so wedge enumeration fans out only over OUT-edges — every
-    node's out-degree is bounded by O(sqrt(m)) regardless of how hot
-    the hottest node is, and each triangle is generated exactly once
-    (no /6 dedup). The wedge join and the closing-edge join are both
-    plain equi-joins; everything is exact integers. At 100 TB the
-    oriented adjacency is the persisted artifact and the wedge join is
-    the only super-linear term — bounded by arboricity, not by the max
-    degree."""
+    larger, so triangle enumeration fans out only over OUT-edges —
+    every node's out-degree is bounded by O(sqrt(m)) regardless of how
+    hot the hottest node is, and each triangle is generated exactly
+    once (no /6 dedup): for each oriented edge (u,v), the closing
+    nodes are N+(u) ∩ N+(v), and a triangle's unique 2-out-edge source
+    guarantees single emission. Everything is exact integers. At
+    100 TB the oriented adjacency is the persisted artifact; work is
+    bounded by arboricity, not by the max degree.
+
+    Plan hygiene (measured at sf0.1, 1.2M edges): the naive
+    wedge-materializing formulation shuffles 41M wedge rows (8.4 s
+    even with the adjacency checkpointed); this edge-intersection
+    formulation ships each out-neighborhood as ONE sorted array
+    (max 97 elements under the orientation bound) and intersects
+    per edge — output-bound at 3x|triangles| rows. Degrees and
+    per-node counts use a single ``explode`` pass, NOT ``unionAll``
+    of the same subtree (self-union recomputes the branch's whole
+    lineage: the first cut compiled to 90 parquet scans / 229
+    exchanges, 12.6 s). ``oriented`` is materialized once via
+    ``localCheckpoint`` (the "persisted adjacency" of the scale
+    story, same discipline as ``operators/graph.py``)."""
     li = load_table(spark, sf_dir, "lineitem")
     items = li.select("l_orderkey", "l_partkey").distinct()
     a, b = items.alias("a"), items.alias("b")
@@ -931,8 +944,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = (
-        und.select(F.col("u").alias("node"))
-        .unionAll(und.select(F.col("v").alias("node")))
+        und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
@@ -944,30 +956,28 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oriented = e.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+    ).localCheckpoint()
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
-    wedges = o1.join(
-        o2,
-        (F.col("o1.src") == F.col("o2.src"))
-        & (
-            F.struct(F.col("o1.ddeg"), F.col("o1.dst"))
-            < F.struct(F.col("o2.ddeg"), F.col("o2.dst"))
-        ),
-    ).select(
-        F.col("o1.src").alias("x"),
-        F.col("o1.dst").alias("y"),
-        F.col("o2.dst").alias("z"),
+    tri = (
+        oriented.select("src", "dst")
+        .join(
+            adj.select(F.col("src").alias("s_"), F.col("nbrs").alias("src_nbrs")),
+            F.col("src") == F.col("s_"),
+        )
+        .join(
+            adj.select(F.col("src").alias("d_"), F.col("nbrs").alias("dst_nbrs")),
+            F.col("dst") == F.col("d_"),
+        )
+        .select(
+            F.col("src").alias("x"),
+            F.col("dst").alias("y"),
+            F.explode(F.array_intersect("src_nbrs", "dst_nbrs")).alias("z"),
+        )
     )
-    o3 = oriented.alias("o3")
-    tri = wedges.join(
-        o3,
-        (F.col("o3.src") == F.col("y")) & (F.col("o3.dst") == F.col("z")),
-    ).select("x", "y", "z")
     per_node = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     )
