@@ -74,6 +74,13 @@ _SAMPLER_PRIORITY = (
     "triangle_count_copurchase",
     "interevent_gap_stats",
     "column_entropy_orders",
+    # never officially sampled (new in round 6: X133-X138 quality batch)
+    "gopher_rules_gate",
+    "ks_two_sample_values",
+    "gini_spend_by_region",
+    "equidepth_price_histogram",
+    "rolling_corr_click_view",
+    "cusum_changepoint_daily",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

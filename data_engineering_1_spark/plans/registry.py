@@ -60,6 +60,7 @@ def load_all() -> None:
         mining_queries,
         mlprep_queries,
         pipeline_queries,
+        quality_queries,
         relational_queries,
         sampling_queries,
         scalar_queries,

@@ -86,6 +86,9 @@ CROSS_OK = {
     "bigram_xentropy_docs",
     # X125: broadcast 1-row query-vector/code table crossed into vectors
     "rrf_fusion_topk",
+    # X136: broadcast 1-row decile-boundary aggregate crossed into
+    # orders (the X120 no-global-sort bucket assignment)
+    "equidepth_price_histogram",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -117,6 +120,13 @@ GLOBAL_WINDOW_OK = {
     # |sources|-row allocation table
     "rrf_fusion_topk",  # rank windows over the two TakeOrdered-pruned
     # 100-row retrieval lists, never the vector table
+    "ks_two_sample_values",  # cumulative/sup windows over the BOUNDED
+    # cents-domain relation (value range is schema-fixed, so distinct
+    # cents is O(domain)); event volume reduces in the per-cent
+    # aggregate below the window
+    "rolling_corr_click_view",  # trailing frame over the daily grid:
+    # events reduce to ONE ROW PER DAY before the window, so the
+    # global frame sees |days| rows, never event volume
 }
 
 
