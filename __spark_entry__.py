@@ -81,6 +81,12 @@ _SAMPLER_PRIORITY = (
     "equidepth_price_histogram",
     "rolling_corr_click_view",
     "cusum_changepoint_daily",
+    # never officially sampled (new in round 6: X139-X143 cohort batch)
+    "rfm_segmentation",
+    "kaplan_meier_signup_purchase",
+    "quantile_normalize_doclen",
+    "js_divergence_lang_pairs",
+    "dynamic_gap_sessions",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

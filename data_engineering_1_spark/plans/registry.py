@@ -54,6 +54,7 @@ def load_all() -> None:
     from . import (  # noqa: F401
         breadth_queries,
         chunking_queries,
+        cohort_queries,
         corpus_queries,
         dedup_queries,
         events_queries,

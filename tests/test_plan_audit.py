@@ -89,6 +89,18 @@ CROSS_OK = {
     # X136: broadcast 1-row decile-boundary aggregate crossed into
     # orders (the X120 no-global-sort bucket assignment)
     "equidepth_price_histogram",
+    # X139: broadcast 1-row ref-date + quartile-boundary aggregates
+    # crossed into the customer aggregate
+    "rfm_segmentation",
+    # X140: broadcast 1-row study-end aggregate crossed into the
+    # per-user duration relation
+    "kaplan_meier_signup_purchase",
+    # X141: broadcast 1-row 101-point pooled percentile grid crossed
+    # into the doc relation
+    "quantile_normalize_doclen",
+    # X142: vocab x 5-langs grid (vocab is Heaps-law bounded; the
+    # langs side broadcasts)
+    "js_divergence_lang_pairs",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -127,6 +139,9 @@ GLOBAL_WINDOW_OK = {
     "rolling_corr_click_view",  # trailing frame over the daily grid:
     # events reduce to ONE ROW PER DAY before the window, so the
     # global frame sees |days| rows, never event volume
+    "kaplan_meier_signup_purchase",  # at-risk/survival-fold windows
+    # over the bounded duration-DAY grid; users reduce in the
+    # per-duration aggregate below
 }
 
 
