@@ -87,6 +87,12 @@ _SAMPLER_PRIORITY = (
     "quantile_normalize_doclen",
     "js_divergence_lang_pairs",
     "dynamic_gap_sessions",
+    # never officially sampled (new in round 6: X144-X148 profiling batch)
+    "join_key_skew_audit",
+    "zipf_rank_frequency",
+    "vocab_growth_heaps",
+    "markov_entropy_rate",
+    "lead_lag_xcorr",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -61,6 +61,7 @@ def load_all() -> None:
         mining_queries,
         mlprep_queries,
         pipeline_queries,
+        profiling_queries,
         quality_queries,
         relational_queries,
         sampling_queries,

@@ -101,6 +101,14 @@ CROSS_OK = {
     # X142: vocab x 5-langs grid (vocab is Heaps-law bounded; the
     # langs side broadcasts)
     "js_divergence_lang_pairs",
+    # X146: broadcast 1-row (min_id, max_id) aggregate crossed into
+    # the first-occurrence/doc relations for integer bucketing
+    "vocab_growth_heaps",
+    # X147: broadcast 1-row grand-total aggregate crossed into the
+    # 25-cell transition matrix
+    "markov_entropy_rate",
+    # X148: broadcast 15-row lag grid crossed into the daily series
+    "lead_lag_xcorr",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -142,6 +150,12 @@ GLOBAL_WINDOW_OK = {
     "kaplan_meier_signup_purchase",  # at-risk/survival-fold windows
     # over the bounded duration-DAY grid; users reduce in the
     # per-duration aggregate below
+    "zipf_rank_frequency",  # rank window over the VOCAB relation
+    # (Heaps-law sublinear); the token stream reduces below it
+    "vocab_growth_heaps",  # cumulative window over the 100-row
+    # corpus-prefix bucket grid
+    "lead_lag_xcorr",  # best-lag max window over the 15-row lag
+    # relation
 }
 
 
