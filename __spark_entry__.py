@@ -93,6 +93,13 @@ _SAMPLER_PRIORITY = (
     "vocab_growth_heaps",
     "markov_entropy_rate",
     "lead_lag_xcorr",
+    # never officially sampled (new in round 6: X149-X154 analytics batch)
+    "bm25_topk_docs",
+    "attribution_u_shaped",
+    "expectation_suite_orders",
+    "dedup_survivor_quality",
+    "seasonal_dow_forecast",
+    "itemset3_orders",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

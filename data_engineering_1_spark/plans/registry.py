@@ -52,6 +52,7 @@ def load_all() -> None:
     if _LOADED:
         return
     from . import (  # noqa: F401
+        analytics_queries,
         breadth_queries,
         chunking_queries,
         cohort_queries,

@@ -1,0 +1,264 @@
+"""Round-6 retrieval/analytics/governance batch (X149-X154) vs
+independent pure-Python references — same discipline as
+test_profiling_queries.py."""
+
+from __future__ import annotations
+
+import collections
+import itertools
+import math
+import re
+
+import pandas as pd
+
+from data_engineering_1_spark.io import load_table
+from data_engineering_1_spark.plans import registry
+from data_engineering_1_spark.plans.analytics_queries import _BM25_TERMS
+
+
+def _q(name, spark, sf_dir):
+    return registry.get_queries()[name](spark, sf_dir).toPandas()
+
+
+# ---- X149 bm25_topk_docs ---------------------------------------------
+
+
+def test_bm25_matches_pure_python(spark, sf_dir):
+    out = _q("bm25_topk_docs", spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    toks = {
+        r.doc_id: r.text.strip().lower().split()
+        for r in docs.itertuples()
+    }
+    dl = {d: len(t) for d, t in toks.items()}
+    a, n = sum(dl.values()), len(dl)
+    avgdl = a / n
+    tf = {
+        d: collections.Counter(w for w in t if w in _BM25_TERMS)
+        for d, t in toks.items()
+    }
+    df = collections.Counter(
+        term for c in tf.values() for term in c
+    )
+    k1, b = 1.2, 0.75
+    scores = {}
+    for d, c in tf.items():
+        if not c:
+            continue
+        s = 0.0
+        for term, f in c.items():
+            idf = round(math.log(1 + (n - df[term] + 0.5) / (df[term] + 0.5)), 9)
+            sat = f * (k1 + 1) / (f + k1 * (1 - b + b * dl[d] / avgdl))
+            s += round(idf * sat, 9)
+        scores[d] = (len(c), round(s, 6))
+    want = sorted(
+        scores.items(), key=lambda kv: (-kv[1][1], kv[0])
+    )[:20]
+    assert len(out) == 20
+    for row, (d, (nt, s)) in zip(out.itertuples(), want):
+        assert int(row.doc_id) == d
+        assert int(row.n_terms) == nt
+        assert math.isclose(row.bm25, s, abs_tol=2e-6), d
+    # the rare term 'dup' dominates: every top doc matches >= 1 term
+    assert (out["n_terms"] >= 1).all()
+
+
+# ---- X150 attribution_u_shaped ---------------------------------------
+
+
+def test_attribution_conserves_cents_and_matches_python(spark, sf_dir):
+    out = _q("attribution_u_shaped", spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    p = ev[ev.event_type == "purchase"].copy()
+    p["cents"] = (p.value * 100).round().astype("int64")
+    p = p[p.cents > 0]
+    c = ev[ev.event_type == "click"]
+    want = {}
+    for pr in p.itertuples():
+        win = c[
+            (c.user_id == pr.user_id)
+            & (c.ts > pr.ts - pd.Timedelta(hours=24))
+            & (c.ts < pr.ts)
+        ].sort_values(["ts", "event_id"])
+        k = len(win)
+        if k == 0:
+            continue
+        rows = []
+        for pos, cl in enumerate(win.itertuples(), start=1):
+            if k <= 2:
+                num, den = 1, k
+            elif pos in (1, k):
+                num, den = 2 * (k - 2), 5 * (k - 2)
+            else:
+                num, den = 1, 5 * (k - 2)
+            alloc, rem = divmod(pr.cents * num, den)
+            rows.append([cl.event_id, pos, k, alloc, rem])
+        leftover = pr.cents - sum(r[3] for r in rows)
+        for rr, r in enumerate(
+            sorted(rows, key=lambda r: (-r[4], r[1])), start=1
+        ):
+            if rr <= leftover:
+                r[3] += 1
+        for r in rows:
+            want[(pr.event_id, r[0])] = (r[1], r[2], r[3])
+    assert len(out) == len(want)
+    for row in out.itertuples():
+        pos, k, cents = want[(row.p_id, row.c_id)]
+        assert (int(row.pos), int(row.k), int(row.attributed_cents)) == (
+            pos, k, cents,
+        ), (row.p_id, row.c_id)
+    # conservation: every purchase's allocation sums exactly to its cents
+    got = out.groupby("p_id")["attributed_cents"].sum()
+    cents_by_id = p.set_index("event_id")["cents"]
+    for pid, s in got.items():
+        assert int(s) == int(cents_by_id[pid]), pid
+
+
+# ---- X151 expectation_suite_orders -----------------------------------
+
+
+def test_expectation_suite_matches_pandas(spark, sf_dir):
+    out = _q("expectation_suite_orders", spark, sf_dir).set_index("check_name")
+    o = load_table(spark, sf_dir, "orders").toPandas()
+    n = len(o)
+    counts = {
+        "completeness_custkey": o.o_custkey.notna().sum(),
+        "uniqueness_orderkey": o.o_orderkey.nunique(),
+        "set_membership_status": o.o_orderstatus.isin(["O", "F", "P"]).sum(),
+        "positive_totalprice": (o.o_totalprice > 0).sum(),
+        "date_range_orderdate": (
+            (o.o_orderdate >= pd.Timestamp("1995-01-01"))
+            & (o.o_orderdate < pd.Timestamp("2002-01-01"))
+        ).sum(),
+        "pattern_orderpriority": o.o_orderpriority.map(
+            lambda s: bool(re.match(r"^[1-5]-[A-Z ]+$", s))
+        ).sum(),
+    }
+    assert sorted(out.index) == sorted(counts)
+    for name, cnt in counts.items():
+        row = out.loc[name]
+        assert math.isclose(row.metric, round(cnt / n, 6), abs_tol=1e-9)
+        assert row.threshold == 1.0
+        assert bool(row.passed) == (cnt == n), name
+    # the fixture's orderkey is a key and custkey is complete
+    assert bool(out.loc["uniqueness_orderkey"].passed)
+
+
+# ---- X152 dedup_survivor_quality -------------------------------------
+
+
+def test_dedup_survivor_is_longest_member(spark, sf_dir):
+    out = _q("dedup_survivor_quality", spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    nchars = docs.set_index("doc_id")["n_chars"]
+    # independent cluster recompute: brute-force Jaccard >= 0.8 over
+    # 3-shingle sets restricted to the LSH candidate universe is heavy;
+    # instead pin the POLICY invariants the query adds on top of the
+    # (already oracle-verified) cluster layer:
+    assert len(out) >= 1
+    for row in out.itertuples():
+        assert int(row.cluster_size) >= 2  # components come from pairs
+        assert int(row.survivor_chars) == int(nchars[row.survivor_doc])
+        assert int(row.chars_dropped) >= 0
+    # survivor char count is the component max: cross-check via the
+    # shared operators the query composes (same construction path the
+    # oracle verifies end-to-end at parity time).
+    from data_engineering_1_spark.operators.components import (
+        connected_components,
+    )
+    from data_engineering_1_spark.plans.dedup_queries import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from pyspark.sql import functions as F
+
+    sdocs = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        sdocs,
+        lsh_candidate_pairs(minhash_signatures(sdocs)),
+        max_token_df_frac=0.5,
+    ).filter(F.col("jaccard") >= 0.8)
+    comp = connected_components(
+        pairs, src="doc_a", dst="doc_b", node_out="doc_id"
+    ).toPandas()
+    comp["n_chars"] = comp.doc_id.map(nchars)
+    for cid, g in comp.groupby("component"):
+        row = out[out.component == cid].iloc[0]
+        best = g.sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        ).iloc[0]
+        assert int(row.survivor_doc) == int(best.doc_id)
+        assert int(row.cluster_size) == len(g)
+        assert int(row.chars_dropped) == int(
+            g.n_chars.sum() - best.n_chars
+        )
+
+
+# ---- X153 seasonal_dow_forecast --------------------------------------
+
+
+def test_seasonal_dow_matches_pandas(spark, sf_dir):
+    out = _q("seasonal_dow_forecast", spark, sf_dir).set_index("dow")
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    clicks = ev[ev.event_type == "click"].copy()
+    clicks["d"] = clicks.ts.dt.normalize()
+    daily = clicks.groupby("d").size()
+    # (epoch_days + 4) % 7, 0 = Sunday — the engine-neutral convention
+    dow = ((daily.index - pd.Timestamp("1970-01-01")).days + 4) % 7
+    per = pd.DataFrame({"dow": dow, "cnt": daily.values})
+    agg = per.groupby("dow")["cnt"].agg(["count", "sum"])
+    tot_days, tot_clicks = int(agg["count"].sum()), int(agg["sum"].sum())
+    for d, row in agg.iterrows():
+        got = out.loc[d]
+        assert int(got.n_days) == row["count"]
+        assert int(got.clicks) == row["sum"]
+        want_idx = round(
+            (row["sum"] * tot_days) / (row["count"] * tot_clicks), 6
+        )
+        assert math.isclose(got.dow_index, want_idx, abs_tol=1e-9)
+    # seasonal-naive backtest: |cnt_d - cnt_{d-7}| grouped by dow of d
+    prev = daily.reindex(daily.index - pd.Timedelta(days=7))
+    mask = prev.notna().values
+    ae = (daily.values[mask] - prev.values[mask]).__abs__()
+    bt = pd.DataFrame(
+        {
+            "dow": dow[mask],
+            "ae": ae.astype("int64"),
+            "actual": daily.values[mask],
+        }
+    ).groupby("dow").agg(abs_err=("ae", "sum"), actual=("actual", "sum"))
+    for d in out.index:
+        got = out.loc[d]
+        if d in bt.index:
+            want = round(bt.loc[d].abs_err / bt.loc[d].actual, 6)
+            assert math.isclose(got.wape_naive7, want, abs_tol=1e-9), d
+        else:
+            assert pd.isna(got.wape_naive7)
+    # the index averages to ~1 across dows weighted by day counts
+    wavg = (out.dow_index * out.n_days).sum() / out.n_days.sum()
+    assert 0.9 < wavg < 1.1
+
+
+# ---- X154 itemset3_orders --------------------------------------------
+
+
+def test_itemset3_matches_pure_python(spark, sf_dir):
+    out = _q("itemset3_orders", spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").toPandas()
+    baskets = li.groupby("l_orderkey")["l_partkey"].apply(
+        lambda s: sorted(set(s))
+    )
+    support = collections.Counter()
+    for items in baskets:
+        for tri in itertools.combinations(items, 3):
+            support[tri] += 1
+    want = sorted(
+        support.items(), key=lambda kv: (-kv[1], kv[0])
+    )[:20]
+    assert len(out) == min(20, len(want))
+    for row, ((p1, p2, p3), s) in zip(out.itertuples(), want):
+        assert (int(row.p1), int(row.p2), int(row.p3)) == (p1, p2, p3)
+        assert int(row.support) == s
+    # triples are strictly ordered within each row
+    assert ((out.p1 < out.p2) & (out.p2 < out.p3)).all()

@@ -109,6 +109,9 @@ CROSS_OK = {
     "markov_entropy_rate",
     # X148: broadcast 15-row lag grid crossed into the daily series
     "lead_lag_xcorr",
+    # X149: broadcast 1-row corpus-total aggregate crossed into the
+    # per-(doc,term) tf relation and the |terms|-row idf table
+    "bm25_topk_docs",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -156,6 +159,9 @@ GLOBAL_WINDOW_OK = {
     # corpus-prefix bucket grid
     "lead_lag_xcorr",  # best-lag max window over the 15-row lag
     # relation
+    "seasonal_dow_forecast",  # grand-total window over the 7-row
+    # day-of-week relation; events reduce to one row per day, then to
+    # 7 rows, before the window
 }
 
 
