@@ -100,6 +100,13 @@ _SAMPLER_PRIORITY = (
     "dedup_survivor_quality",
     "seasonal_dow_forecast",
     "itemset3_orders",
+    # never officially sampled (new in round 6: X155-X160 experiment batch)
+    "surrogate_keys_dense",
+    "rater_agreement_kappa",
+    "poisson_bootstrap_ci",
+    "jackknife_ratio_variance",
+    "cuped_adjusted_lift",
+    "length_bucket_batches",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

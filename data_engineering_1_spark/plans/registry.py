@@ -59,6 +59,7 @@ def load_all() -> None:
         corpus_queries,
         dedup_queries,
         events_queries,
+        experiment_queries,
         mining_queries,
         mlprep_queries,
         pipeline_queries,

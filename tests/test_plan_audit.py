@@ -112,6 +112,15 @@ CROSS_OK = {
     # X149: broadcast 1-row corpus-total aggregate crossed into the
     # per-(doc,term) tf relation and the |terms|-row idf table
     "bm25_topk_docs",
+    # X157: two 1-row aggregates (point estimate, bootstrap CI) meet in
+    # a broadcast cross
+    "poisson_bootstrap_ci",
+    # X158: broadcast 1-row totals crossed into the 50-row group
+    # relation for the leave-one-out thetas
+    "jackknife_ratio_variance",
+    # X159: broadcast 1-row (theta, xbar) aggregate crossed into the
+    # per-user relation for the CUPED adjustment
+    "cuped_adjusted_lift",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -162,6 +171,9 @@ GLOBAL_WINDOW_OK = {
     "seasonal_dow_forecast",  # grand-total window over the 7-row
     # day-of-week relation; events reduce to one row per day, then to
     # 7 rows, before the window
+    "surrogate_keys_dense",  # the two-phase rank's offset cumsum runs
+    # over the n/4096-row SHARD-COUNT relation (operators/ranks.py) —
+    # deliberately tiny; data rows only ever see a partitioned window
 }
 
 
