@@ -107,6 +107,13 @@ _SAMPLER_PRIORITY = (
     "jackknife_ratio_variance",
     "cuped_adjusted_lift",
     "length_bucket_batches",
+    # never officially sampled (new in round 6: X161-X166 series batch)
+    "khop_copurchase_reach",
+    "degree_assortativity_copurchase",
+    "stl_decompose_daily",
+    "theil_sen_daily_trend",
+    "acf_ljung_box_daily",
+    "partition_layout_advisor",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

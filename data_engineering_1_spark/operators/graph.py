@@ -120,3 +120,50 @@ def pagerank(
     e.unpersist()
     deg.unpersist()
     return ranks
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """(node, hop) = minimum hop distance from the seed set, for every
+    node within ``max_hops`` — synchronous frontier BFS, the third
+    iterative graph operator (CC = reachability classes, PageRank =
+    importance, this = distance). ``seeds`` has one column ``node``;
+    ``edges`` is a directed list (pass a symmetrized list for
+    undirected semantics). Unreached nodes are absent, seeds are hop 0.
+
+    Per-iteration shape: the edge table is pre-partitioned on src ONCE
+    and persisted; each round joins only the current distance table
+    (<= |V| rows) into that fixed layout, then min-combines — one |V|-row
+    shuffle per hop, map-side combinable. min() over BIGINT hops is
+    order-independent, so the result is bit-reproducible and a SQL
+    oracle reproduces it by unrolling the same rounds as CTEs."""
+    spark = edges.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(parts, "src")
+        .persist()
+    )
+    e.count()
+    dist = seeds.select(
+        F.col(node).alias("node"), F.lit(0).cast("bigint").alias("hop")
+    ).distinct()
+    for _ in range(max_hops):
+        nxt = e.join(dist.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"),
+            (F.col("hop") + 1).cast("bigint").alias("hop"),
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("hop").cast("bigint").alias("hop"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return dist

@@ -68,6 +68,7 @@ def load_all() -> None:
         relational_queries,
         sampling_queries,
         scalar_queries,
+        series_queries,
         similarity_queries,
         text_queries,
         tpch_queries,

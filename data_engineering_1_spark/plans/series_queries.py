@@ -1,0 +1,689 @@
+"""Graph-distance / time-series-decomposition declared queries (round 6,
+tenth batch — [north-star] scope): the remaining graph primitive
+(distance), a graph-topology statistic, the classical seasonal
+decomposition / robust-trend / autocorrelation triad over the daily
+event series, and the partition-layout advisor that turns X144's skew
+numbers into a layout decision.
+
+  * ``khop_copurchase_reach`` (X161) — minimum-hop BFS from a seed part
+    set over the co-purchase graph, 3 synchronous frontier rounds
+    (operators/graph.py::bfs_hops); the oracle unrolls the SAME rounds
+    as CTEs and the per-hop (count, node-checksum) hash must match — the
+    third iterative graph algorithm under the strict gate (after X3's
+    connected components and X100's PageRank).
+  * ``degree_assortativity_copurchase`` (X162) — Pearson correlation of
+    endpoint degrees across edges (do hubs link hubs?); exact
+    DECIMAL(38,0) power sums over BIGINT degrees, one sqrt at the end.
+  * ``stl_decompose_daily`` (X163) — STL-lite: centered 7-day moving
+    trend, day-of-week seasonal of the detrended series, residual —
+    every component an EXACT integer rational (numerators carried as
+    BIGINTs, ONE division each at emission).
+  * ``theil_sen_daily_trend`` (X164) — the robust median-of-pairwise-
+    slopes trend vs the OLS slope from exact power sums.
+  * ``acf_ljung_box_daily`` (X165) — autocorrelation at lags 1..10 from
+    exact centered BIGINT products (c_t = n·x_t − Σx, so every
+    numerator/denominator is an exact integer), plus the cumulative
+    Ljung-Box Q with a literal chi-square critical ladder; significance
+    flagged on the ROUNDED statistic.
+  * ``partition_layout_advisor`` (X166) — for each candidate partition
+    key of the orders table: partition count, row skew, and a
+    rule-ladder verdict (too many / skewed / too thin / ok) — the
+    decision layer on top of X144's raw skew audit.
+
+Determinism: BFS hops and assortativity/ACF sums are exact integers end
+to end; STL components are exact rationals divided once; Theil-Sen
+slopes are round-9 staged before the percentile; Ljung-Box terms stage
+to DECIMAL(28,12) before the ordered cumulative sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import declared_query
+
+# co-purchase symmetrized edge list (the X100 graph), shared CTE text
+_O_EDGES = """
+    items AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ), edges AS (
+        SELECT u AS src, v AS dst FROM pairs
+        UNION ALL
+        SELECT v AS src, u AS dst FROM pairs
+    )
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+    )
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
+                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
+
+
+# ---- X161: k-hop BFS reach -------------------------------------------
+
+
+def _o_bfs_round(prev: str) -> str:
+    """One unrolled BFS round — the exact twin of
+    operators/graph.py:bfs_hops' loop body (min over BIGINT hops)."""
+    return f"""
+        SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM (
+            SELECT node, hop FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, p.hop + 1 AS hop
+            FROM edges e JOIN {prev} p ON e.src = p.node
+        ) t GROUP BY node
+    """
+
+
+@declared_query(
+    "khop_copurchase_reach",
+    oracle=f"""
+    WITH {_O_EDGES},
+    nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+    ), d0 AS (
+        SELECT node, CAST(0 AS BIGINT) AS hop FROM nodes
+        WHERE node % 100 = 0
+    ), d1 AS ({_o_bfs_round('d0')}
+    ), d2 AS ({_o_bfs_round('d1')}
+    ), d3 AS ({_o_bfs_round('d2')}
+    )
+    SELECT hop,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(SUM(node) AS BIGINT) AS node_checksum
+    FROM d3 GROUP BY hop ORDER BY hop
+    """,
+)
+def khop_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X161: minimum-hop distance from the seed parts (part_key % 100
+    = 0, ~1% of nodes) over the symmetrized co-purchase graph, three
+    synchronous BFS rounds — the 'blast radius' primitive (recall
+    expansion from seed items, contamination spread, affected-entity
+    closure). Per-hop node count + node-id checksum pin the ENTIRE
+    assignment, and the oracle unrolls the identical rounds as CTEs —
+    min() over BIGINT hops is order-independent, so the match is exact.
+
+    Scale (operators/graph.py::bfs_hops): edges are pre-partitioned on
+    src ONCE and persisted; each round shuffles only the <= |V|-row
+    distance table; the frontier join is equi, map-side combinable.
+    Hop count bounds work: k rounds = k |V|-row shuffles, never an
+    all-pairs closure."""
+    from ..operators.graph import bfs_hops
+
+    edges = _copurchase_edges(spark, sf_dir)
+    seeds = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .where(F.col("node") % 100 == 0)
+    )
+    dist = bfs_hops(edges, seeds, max_hops=3)
+    return (
+        dist.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("node").cast("bigint").alias("node_checksum"),
+        )
+        .orderBy("hop")
+    )
+
+
+# ---- X162: degree assortativity --------------------------------------
+
+
+@declared_query(
+    "degree_assortativity_copurchase",
+    oracle=f"""
+    WITH {_O_EDGES},
+    deg AS (
+        SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+        FROM edges GROUP BY src
+    ), ed AS (
+        SELECT CAST(da.d AS DECIMAL(38,0)) AS x,
+               CAST(db.d AS DECIMAL(38,0)) AS y
+        FROM edges e
+        JOIN deg da ON e.src = da.node
+        JOIN deg db ON e.dst = db.node
+    ), s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m,
+               CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+               CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+               CAST(SUM(x * y) AS DECIMAL(38,0)) AS sxy,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+        FROM ed
+    )
+    SELECT m AS n_directed_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+           CAST(ROUND((m * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / sqrt((m * CAST(sxx AS DOUBLE)
+                              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                             * (m * CAST(syy AS DOUBLE)
+                                - CAST(sy AS DOUBLE)
+                                  * CAST(sy AS DOUBLE))), 6)
+                AS DOUBLE) AS assortativity
+    FROM s
+    """,
+)
+def degree_assortativity_copurchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """X162: degree assortativity of the co-purchase graph — the Pearson
+    correlation of endpoint degrees over the (symmetrized) edge list.
+    Positive = hubs link hubs (assortative); negative = hubs link
+    leaves (dissortative, the typical retail/web shape). The topology
+    statistic that predicts how the graph responds to hub removal and
+    how LSH-style blocking will skew.
+
+    Exactness: degrees are exact BIGINTs; all five power sums
+    accumulate in DECIMAL(38,0) (order-free); the correlation is
+    computed ONCE in double on identical exact operands, rounded 6.
+    Scale: two equi-joins of edges to the |V|-row degree table (both
+    shuffle on a node key), one combinable aggregate — no window, no
+    fan-out beyond |E|."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    ed = (
+        edges.join(deg.withColumnRenamed("node", "src"), "src")
+        .withColumnRenamed("d", "dx")
+        .join(
+            deg.withColumnRenamed("node", "dst").withColumnRenamed(
+                "d", "dy"
+            ),
+            "dst",
+        )
+        .select(
+            F.col("dx").cast("decimal(38,0)").alias("x"),
+            F.col("dy").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    s = ed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    md = F.col("m").cast("double")
+    return s.crossJoin(F.broadcast(n_nodes)).select(
+        F.col("m").alias("n_directed_edges"),
+        "n_nodes",
+        F.round(
+            (
+                md * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / F.sqrt(
+                (
+                    md * F.col("sxx").cast("double")
+                    - F.col("sx").cast("double")
+                    * F.col("sx").cast("double")
+                )
+                * (
+                    md * F.col("syy").cast("double")
+                    - F.col("sy").cast("double")
+                    * F.col("sy").cast("double")
+                )
+            ),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+# ---- X163: STL-lite seasonal decomposition ---------------------------
+
+
+@declared_query(
+    "stl_decompose_daily",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), ma AS (
+        SELECT d, cnt,
+               CAST(SUM(cnt) OVER w AS BIGINT) AS sum7,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n7
+        FROM daily
+        WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                     AND 3 FOLLOWING)
+    ), det AS (
+        SELECT d, cnt, sum7,
+               CAST((date_diff('day', DATE '1970-01-01', d) + 4) % 7
+                    AS INTEGER) AS dow,
+               CAST(7 * cnt - sum7 AS BIGINT) AS det_num
+        FROM ma WHERE n7 = 7
+    ), seas AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(det_num) AS BIGINT) AS ssum
+        FROM det GROUP BY dow
+    )
+    SELECT det.d, det.cnt,
+           CAST(ROUND(CAST(det.sum7 AS DOUBLE) / 7, 6) AS DOUBLE)
+               AS trend,
+           CAST(ROUND(CAST(seas.ssum AS DOUBLE) / (7 * seas.k), 6)
+                AS DOUBLE) AS seasonal,
+           CAST(ROUND(CAST(det.det_num * seas.k - seas.ssum AS DOUBLE)
+                      / (7 * seas.k), 6) AS DOUBLE) AS resid
+    FROM det JOIN seas ON det.dow = seas.dow
+    ORDER BY det.d
+    """,
+)
+def stl_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X163: STL-lite decomposition of the daily click series —
+    trend = centered 7-day moving average (emitted only where the full
+    7-day frame exists), seasonal = day-of-week mean of the detrended
+    series over those days, residual = the rest. The
+    explain-the-series complement to X153's seasonal-naive backtest.
+
+    Exactness: every component is an EXACT integer rational whose
+    numerator is carried as a BIGINT — detrended·7 = 7·cnt − sum7,
+    seasonal·7k = Σ det_num, residual·7k = det_num·k − Σ — and each is
+    divided ONCE at emission (round 6). No float ever sums. Scale:
+    events reduce to one row per day before the window; the
+    unpartitioned 7-day frame runs over the |days| relation
+    (whitelisted), and the seasonal join is a broadcast of 7 rows."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    ma = daily.select(
+        "d",
+        "cnt",
+        F.sum("cnt").over(w).cast("bigint").alias("sum7"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n7"),
+    )
+    det = ma.where(F.col("n7") == 7).select(
+        "d",
+        "cnt",
+        "sum7",
+        (
+            (F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")) + 4)
+            % 7
+        )
+        .cast("int")
+        .alias("dow"),
+        (7 * F.col("cnt") - F.col("sum7")).cast("bigint").alias("det_num"),
+    )
+    seas = det.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("det_num").cast("bigint").alias("ssum"),
+    )
+    return (
+        det.join(F.broadcast(seas), "dow")
+        .select(
+            "d",
+            "cnt",
+            F.round(F.col("sum7").cast("double") / 7, 6).alias("trend"),
+            F.round(
+                F.col("ssum").cast("double") / (7 * F.col("k")), 6
+            ).alias("seasonal"),
+            F.round(
+                (F.col("det_num") * F.col("k") - F.col("ssum")).cast(
+                    "double"
+                )
+                / (7 * F.col("k")),
+                6,
+            ).alias("resid"),
+        )
+        .orderBy("d")
+    )
+
+
+# ---- X164: Theil-Sen robust trend ------------------------------------
+
+
+@declared_query(
+    "theil_sen_daily_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS di,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), pr AS (
+        SELECT CAST(ROUND(CAST(b.cnt - a.cnt AS DOUBLE)
+                          / (b.di - a.di), 9) AS DOUBLE) AS slope
+        FROM daily a JOIN daily b ON a.di < b.di
+    ), sen AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(ROUND(quantile_cont(slope, 0.5), 6) AS DOUBLE)
+                   AS sen_slope
+        FROM pr
+    ), ols AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(ROUND((COUNT(*) * CAST(SUM(di * cnt) AS DOUBLE)
+                           - CAST(SUM(di) AS DOUBLE)
+                             * CAST(SUM(cnt) AS DOUBLE))
+                          / (COUNT(*) * CAST(SUM(di * di) AS DOUBLE)
+                             - CAST(SUM(di) AS DOUBLE)
+                               * CAST(SUM(di) AS DOUBLE)), 6)
+                    AS DOUBLE) AS ols_slope
+        FROM daily
+    )
+    SELECT n_days, n_pairs, sen_slope, ols_slope
+    FROM ols CROSS JOIN sen
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X164: Theil-Sen robust trend of daily clicks — the median of all
+    pairwise slopes (breakdown point 29%: a third of the days can be
+    outliers before the estimate moves) next to the OLS slope from
+    exact BIGINT power sums. The pair a robust pipeline monitors: when
+    they diverge, something is polluting the tails.
+
+    Exactness: each pairwise slope is ONE division of exact BIGINTs
+    rounded to 9; the median is percentile/quantile_cont (shared
+    interpolation) rounded 6; OLS comes from exact integer sums divided
+    once. Scale: the pair fan-out is |days|² over the ALREADY-REDUCED
+    daily relation (30 days -> 435 pairs — bounded by the calendar,
+    never by event volume; whitelisted bounded self-cross)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    )
+    daily = ev.groupBy(
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("di")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pr = a.join(b, F.col("a.di") < F.col("b.di")).select(
+        F.round(
+            (F.col("b.cnt") - F.col("a.cnt")).cast("double")
+            / (F.col("b.di") - F.col("a.di")),
+            9,
+        ).alias("slope")
+    )
+    sen = pr.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.expr("percentile(slope, 0.5)"), 6).alias("sen_slope"),
+    )
+    di, cnt = F.col("di"), F.col("cnt")
+    ols = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum(di).cast("bigint").alias("sx"),
+        F.sum(cnt).cast("bigint").alias("sy"),
+        F.sum(di * cnt).cast("bigint").alias("sxy"),
+        F.sum(di * di).cast("bigint").alias("sxx"),
+    ).select(
+        "n_days",
+        F.round(
+            (
+                F.col("n_days") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            )
+            / (
+                F.col("n_days") * F.col("sxx").cast("double")
+                - F.col("sx").cast("double") * F.col("sx").cast("double")
+            ),
+            6,
+        ).alias("ols_slope"),
+    )
+    return ols.crossJoin(F.broadcast(sen)).select(
+        "n_days", "n_pairs", "sen_slope", "ols_slope"
+    )
+
+
+# ---- X165: ACF + Ljung-Box -------------------------------------------
+
+# chi-square 0.05 critical values for df = 1..10 (literal ladder — the
+# significance flag compares the ROUNDED Q against these constants, so
+# both engines flip together)
+_CHI2_05 = [
+    3.841, 5.991, 7.815, 9.488, 11.070,
+    12.592, 14.067, 15.507, 16.919, 18.307,
+]
+
+_O_CHI2 = " ".join(
+    f"WHEN {k + 1} THEN {c}" for k, c in enumerate(_CHI2_05)
+)
+
+
+@declared_query(
+    "acf_ljung_box_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ), st AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cnt) AS BIGINT) AS s
+        FROM daily
+    ), c AS (
+        SELECT d, CAST(st.n * cnt - st.s AS BIGINT) AS cv, st.n
+        FROM daily CROSS JOIN st
+    ), den AS (
+        SELECT CAST(SUM(cv * cv) AS DECIMAL(38,0)) AS d2 FROM c
+    ), lags AS (
+        SELECT unnest(generate_series(1, 10)) AS lag
+    ), num AS (
+        SELECT l.lag,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a.cv * b.cv) AS DECIMAL(38,0)) AS s_ab,
+               MAX(a.n) AS n
+        FROM lags l
+        CROSS JOIN c a
+        JOIN c b ON b.d = a.d + CAST(l.lag AS INTEGER)
+        GROUP BY l.lag
+    ), r AS (
+        SELECT lag, n_pairs, n,
+               CAST(ROUND(CAST(s_ab AS DOUBLE)
+                          / CAST((SELECT d2 FROM den) AS DOUBLE), 9)
+                    AS DECIMAL(18,9)) AS r9
+        FROM num
+    ), q AS (
+        SELECT lag, n_pairs, n, r9,
+               SUM(CAST(ROUND(CAST(r9 * r9 AS DOUBLE) / (n - lag), 12)
+                        AS DECIMAL(28,12)))
+                   OVER (ORDER BY lag ROWS UNBOUNDED PRECEDING) AS acc
+        FROM r
+    )
+    SELECT lag, n_pairs,
+           CAST(ROUND(CAST(r9 AS DOUBLE), 6) AS DOUBLE) AS acf,
+           CAST(ROUND(n * (n + 2) * CAST(acc AS DOUBLE), 6) AS DOUBLE)
+               AS q_lb,
+           (ROUND(n * (n + 2) * CAST(acc AS DOUBLE), 6)
+            > CASE lag {_O_CHI2} END) AS significant
+    FROM q ORDER BY lag
+    """,
+)
+def acf_ljung_box_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X165: autocorrelation of daily clicks at lags 1..10 plus the
+    cumulative Ljung-Box portmanteau Q and its 5% chi-square verdict —
+    the is-this-series-white-noise gauge behind X148's cross-series
+    lags. ACF here uses the textbook estimator: centered products over
+    the n−k aligned pairs, against the full-series denominator.
+
+    Exactness: centering is lifted to integers (c_t = n·x_t − Σx, an
+    exact BIGINT), so each r_k is ONE division of two exact integers
+    (numerator Σ c_t·c_{t+k}, denominator Σ c_t², both DECIMAL(38,0)),
+    rounded 9; the Ljung-Box accumulation stages each r²/(n−k) term to
+    DECIMAL(28,12) so the running sum is order-free exact; significance
+    compares the ROUNDED Q to a literal chi-square ladder, so both
+    engines flip together. Scale: events reduce to one row per day; the
+    lag join is |days|·10 rows; the cumulative window runs over the
+    10-row lag relation (whitelisted)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "click"
+    )
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    st = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+    )
+    c = daily.crossJoin(F.broadcast(st)).select(
+        "d",
+        (F.col("n") * F.col("cnt") - F.col("s")).cast("bigint").alias("cv"),
+        "n",
+    )
+    den = c.agg(
+        F.sum(F.col("cv").cast("decimal(38,0)") * F.col("cv"))
+        .cast("decimal(38,0)")
+        .alias("d2")
+    )
+    al = c.select(
+        "d",
+        "cv",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.lit(10))).alias("lag"),
+    )
+    num = (
+        al.alias("a")
+        .join(
+            c.alias("b"),
+            F.col("b.d") == F.date_add(F.col("a.d"), F.col("a.lag")),
+        )
+        .groupBy(F.col("a.lag").alias("lag"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                F.col("a.cv").cast("decimal(38,0)") * F.col("b.cv")
+            )
+            .cast("decimal(38,0)")
+            .alias("s_ab"),
+            F.max("a.n").alias("n"),
+        )
+    )
+    r = num.crossJoin(F.broadcast(den)).select(
+        "lag",
+        "n_pairs",
+        "n",
+        F.round(
+            F.col("s_ab").cast("double") / F.col("d2").cast("double"), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("r9"),
+    )
+    acc = F.sum(
+        F.round(
+            (F.col("r9") * F.col("r9")).cast("double")
+            / (F.col("n") - F.col("lag")),
+            12,
+        ).cast("decimal(28,12)")
+    ).over(
+        Window.orderBy("lag").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    crit = F.element_at(
+        F.array(*[F.lit(v) for v in _CHI2_05]), F.col("lag").cast("int")
+    )
+    q = r.select(
+        "lag",
+        "n_pairs",
+        "n",
+        "r9",
+        acc.alias("acc"),
+    )
+    q_lb = F.round(
+        F.col("n") * (F.col("n") + 2) * F.col("acc").cast("double"), 6
+    )
+    return q.select(
+        F.col("lag").cast("bigint").alias("lag"),
+        "n_pairs",
+        F.round(F.col("r9").cast("double"), 6).alias("acf"),
+        q_lb.alias("q_lb"),
+        (q_lb > crit).alias("significant"),
+    ).orderBy("lag")
+
+
+# ---- X166: partition-layout advisor ----------------------------------
+
+
+def _o_advise(cand: str, expr: str) -> str:
+    return f"""
+        SELECT '{cand}' AS candidate,
+               CAST(COUNT(*) AS BIGINT) AS n_partitions,
+               CAST(SUM(cnt) AS BIGINT) AS rows_total,
+               CAST(MAX(cnt) AS BIGINT) AS max_partition_rows,
+               CAST(ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6)
+                    AS DOUBLE) AS top1_share,
+               CASE WHEN COUNT(*) > 1000 THEN 'too_many_partitions'
+                    WHEN MAX(cnt) * 2 > SUM(cnt)
+                        THEN 'skewed'
+                    WHEN SUM(cnt) < COUNT(*) * 1000 THEN 'too_few_rows'
+                    ELSE 'ok' END AS verdict
+        FROM (SELECT {expr} AS pv, CAST(COUNT(*) AS BIGINT) AS cnt
+              FROM orders GROUP BY 1) g
+    """
+
+
+@declared_query(
+    "partition_layout_advisor",
+    oracle=f"""
+    {_o_advise('o_orderdate_day', "CAST(o_orderdate AS DATE)")}
+    UNION ALL
+    {_o_advise('o_orderpriority', 'o_orderpriority')}
+    UNION ALL
+    {_o_advise('o_orderstatus', 'o_orderstatus')}
+    ORDER BY candidate
+    """,
+)
+def partition_layout_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X166: partition-layout advisor for the orders table — for each
+    candidate partition key (order day, priority, status): partition
+    count, total rows, hottest partition, top-1 share, and a
+    rule-ladder verdict (>1000 partitions = too many small files;
+    top-1 share > 50% = skewed; < 1000 rows/partition average = too
+    thin; else ok). The decision layer that turns X144's raw skew
+    numbers into the layout call a table owner actually makes.
+
+    Exactness: counts are exact BIGINTs; every verdict rule is an
+    integer cross-multiplication (MAX·2 > SUM, SUM < COUNT·1000) —
+    never the rounded share. Scale: three combinable two-level
+    aggregates over one scan each; output is 3 rows."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def advise(cand: str, col) -> DataFrame:
+        g = o.groupBy(col.alias("pv")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        return g.agg(
+            F.lit(cand).alias("candidate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_partitions"),
+            F.sum("cnt").cast("bigint").alias("rows_total"),
+            F.max("cnt").cast("bigint").alias("max_partition_rows"),
+            F.round(
+                F.max("cnt").cast("double") / F.sum("cnt"), 6
+            ).alias("top1_share"),
+            F.when(F.count(F.lit(1)) > 1000, "too_many_partitions")
+            .when(F.max("cnt") * 2 > F.sum("cnt"), "skewed")
+            .when(F.sum("cnt") < F.count(F.lit(1)) * 1000, "too_few_rows")
+            .otherwise("ok")
+            .alias("verdict"),
+        )
+
+    return (
+        advise("o_orderdate_day", F.to_date("o_orderdate"))
+        .unionByName(advise("o_orderpriority", F.col("o_orderpriority")))
+        .unionByName(advise("o_orderstatus", F.col("o_orderstatus")))
+        .orderBy("candidate")
+    )

@@ -121,6 +121,16 @@ CROSS_OK = {
     # X159: broadcast 1-row (theta, xbar) aggregate crossed into the
     # per-user relation for the CUPED adjustment
     "cuped_adjusted_lift",
+    # X162: broadcast 1-row node-count aggregate crossed into the 1-row
+    # power-sum aggregate
+    "degree_assortativity_copurchase",
+    # X164: |days|^2 pairwise-slope self-cross over the ALREADY-REDUCED
+    # daily relation (calendar-bounded, never event volume) + 1-row
+    # OLS/Sen aggregates crossed
+    "theil_sen_daily_trend",
+    # X165: broadcast 1-row (n, sum) stats and denominator aggregates
+    # crossed into the |days|-row centered series
+    "acf_ljung_box_daily",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -174,6 +184,10 @@ GLOBAL_WINDOW_OK = {
     "surrogate_keys_dense",  # the two-phase rank's offset cumsum runs
     # over the n/4096-row SHARD-COUNT relation (operators/ranks.py) —
     # deliberately tiny; data rows only ever see a partitioned window
+    "stl_decompose_daily",  # centered 7-day frame over the daily grid:
+    # events reduce to ONE ROW PER DAY before the window
+    "acf_ljung_box_daily",  # Ljung-Box cumulative window over the
+    # 10-row lag relation
 }
 
 
