@@ -114,6 +114,13 @@ _SAMPLER_PRIORITY = (
     "theil_sen_daily_trend",
     "acf_ljung_box_daily",
     "partition_layout_advisor",
+    # never officially sampled (new in round 6: X167-X172 evalops batch)
+    "roc_auc_order_status",
+    "calibration_bins_orders",
+    "inventory_running_balance",
+    "cdc_apply_users",
+    "cheapest_path_copurchase",
+    "clustering_coefficient_copurchase",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

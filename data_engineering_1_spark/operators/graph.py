@@ -167,3 +167,57 @@ def bfs_hops(
         )
     e.unpersist()
     return dist
+
+
+def min_plus_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+    node: str = "node",
+) -> DataFrame:
+    """(node, dist) = minimum total edge cost from the seed set over
+    paths of at most ``rounds`` edges — bounded-hop Bellman-Ford, the
+    weighted generalization of :func:`bfs_hops` (min-plus relaxation
+    instead of hop counting). ``edges`` carries an integer ``cost``
+    column (>= 0); ``seeds`` has one column ``node`` at distance 0.
+    Unreached nodes are absent. With every cost = 1 this degenerates to
+    BFS hops.
+
+    Same per-round shape and determinism argument as bfs_hops: edges are
+    pre-partitioned on src ONCE and persisted, each round shuffles only
+    the <= |V|-row distance table, and min() over exact BIGINT path
+    costs is order-independent — a SQL oracle reproduces the result by
+    unrolling the identical rounds as CTEs. ``rounds`` bounds the work
+    (k rounds = k |V|-row shuffles), so callers choose the hop horizon
+    explicitly instead of paying an unbounded fixed-point."""
+    spark = edges.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(cost).cast("bigint").alias("cost"),
+        )
+        .repartition(parts, "src")
+        .persist()
+    )
+    e.count()
+    dist = seeds.select(
+        F.col(node).alias("node"), F.lit(0).cast("bigint").alias("dist")
+    ).distinct()
+    for _ in range(rounds):
+        nxt = e.join(dist.withColumnRenamed("node", "src"), "src").select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("cost")).cast("bigint").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return dist

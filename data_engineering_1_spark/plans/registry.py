@@ -58,6 +58,7 @@ def load_all() -> None:
         cohort_queries,
         corpus_queries,
         dedup_queries,
+        evalops_queries,
         events_queries,
         experiment_queries,
         mining_queries,

@@ -131,6 +131,9 @@ CROSS_OK = {
     # X165: broadcast 1-row (n, sum) stats and denominator aggregates
     # crossed into the |days|-row centered series
     "acf_ljung_box_daily",
+    # X168: broadcast 1-row row-count aggregate crossed into the ranked
+    # relation for the rn/n score and decile binning
+    "calibration_bins_orders",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -188,6 +191,12 @@ GLOBAL_WINDOW_OK = {
     # events reduce to ONE ROW PER DAY before the window
     "acf_ljung_box_daily",  # Ljung-Box cumulative window over the
     # 10-row lag relation
+    "roc_auc_order_status",  # cumulative window over the BOUNDED
+    # cents-domain distinct-score relation (the ks_two_sample_values
+    # argument); row volume reduces in the per-score aggregate below
+    "calibration_bins_orders",  # the two-phase rank's offset cumsum
+    # runs over the n/2^20-row SHARD-COUNT relation (operators/
+    # ranks.py), never over data rows (the surrogate_keys_dense shape)
 }
 
 
