@@ -121,6 +121,13 @@ _SAMPLER_PRIORITY = (
     "cdc_apply_users",
     "cheapest_path_copurchase",
     "clustering_coefficient_copurchase",
+    # never officially sampled (new in round 6: X173-X178 instrument batch)
+    "srp_embedding_neardup",
+    "lsh_quality_eval",
+    "decayed_part_leaderboard",
+    "revenue_share_of_parent",
+    "tokenizer_fertility_by_lang",
+    "bloom_filter_fp_audit",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -61,6 +61,7 @@ def load_all() -> None:
         evalops_queries,
         events_queries,
         experiment_queries,
+        instrument_queries,
         mining_queries,
         mlprep_queries,
         pipeline_queries,

@@ -134,6 +134,12 @@ CROSS_OK = {
     # X168: broadcast 1-row row-count aggregate crossed into the ranked
     # relation for the rn/n score and decile binning
     "calibration_bins_orders",
+    # X175: broadcast 1-row newest-shipdate aggregate crossed into
+    # lineitem for the age computation
+    "decayed_part_leaderboard",
+    # X178: two broadcast 1-row aggregates (member count, set-bit
+    # count) crossed into the 1-row FP aggregate
+    "bloom_filter_fp_audit",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -197,6 +203,9 @@ GLOBAL_WINDOW_OK = {
     "calibration_bins_orders",  # the two-phase rank's offset cumsum
     # runs over the n/2^20-row SHARD-COUNT relation (operators/
     # ranks.py), never over data rows (the surrogate_keys_dense shape)
+    "revenue_share_of_parent",  # grand-total window over the
+    # (region, nation) aggregate — bounded by geography (25 rows),
+    # never the fact table, which reduces in the join+aggregate below
 }
 
 
