@@ -128,6 +128,13 @@ _SAMPLER_PRIORITY = (
     "revenue_share_of_parent",
     "tokenizer_fertility_by_lang",
     "bloom_filter_fp_audit",
+    # never officially sampled (new in round 6: X179-X184 integrity batch)
+    "split_leakage_audit",
+    "bot_user_audit",
+    "fano_burstiness_events",
+    "post_stratified_spend",
+    "kcore_copurchase",
+    "mutual_best_match",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -169,6 +169,43 @@ def bfs_hops(
     return dist
 
 
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> list[DataFrame]:
+    """Bounded k-core peeling — ``rounds`` synchronous rounds of
+    "remove every node with degree < k, then drop edges touching
+    removed nodes". Returns the list of surviving EDGE DataFrames after
+    each round (callers aggregate node counts/checksums from them). The
+    fifth iterative graph operator (CC, PageRank, BFS, min-plus, this);
+    the k-core is the classic dense-subgraph/spam-farm signal, and the
+    fixed round budget bounds the work exactly like bfs_hops' hop
+    budget — each round is one degree aggregate (combinable) plus two
+    semi-joins of the edge list against the <= |V|-row survivor set.
+
+    ``edges`` must be a symmetrized DISTINCT directed list (both
+    directions present, no parallel edges), so degree(v) = the count of
+    rows with src = v. Determinism: degrees and survivor sets are exact
+    integer computations — a SQL oracle reproduces the peeling by
+    unrolling the same rounds as CTEs."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    out: list[DataFrame] = []
+    for _ in range(rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        keep = deg.where(F.col("d") >= k).select("src")
+        e = (
+            e.join(keep, "src")
+            .join(keep.withColumnRenamed("src", "dst"), "dst")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        out.append(e)
+    return out
+
+
 def min_plus_hops(
     edges: DataFrame,
     seeds: DataFrame,

@@ -62,6 +62,7 @@ def load_all() -> None:
         events_queries,
         experiment_queries,
         instrument_queries,
+        integrity_queries,
         mining_queries,
         mlprep_queries,
         pipeline_queries,

@@ -140,6 +140,15 @@ CROSS_OK = {
     # X178: two broadcast 1-row aggregates (member count, set-bit
     # count) crossed into the 1-row FP aggregate
     "bloom_filter_fp_audit",
+    # X179: jaccard_pairs' 1-row df-threshold aggregate crossed in (the
+    # jaccard_neardup_pairs shape, composed)
+    "split_leakage_audit",
+    # X182: broadcast 1-row population-total aggregate crossed into the
+    # 1-row estimator aggregate
+    "post_stratified_spend",
+    # X183: per-round broadcast 1-row node-checksum aggregate crossed
+    # into the 1-row round-stats aggregate
+    "kcore_copurchase",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
