@@ -135,6 +135,13 @@ _SAMPLER_PRIORITY = (
     "post_stratified_spend",
     "kcore_copurchase",
     "mutual_best_match",
+    # never officially sampled (new in round 6: X185-X190 assurance batch)
+    "dp_noisy_event_counts",
+    "fd_discovery_orders",
+    "edit1_name_join",
+    "outlier_ensemble_events",
+    "embedding_clip_bounds",
+    "cv_fold_auc",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -53,6 +53,7 @@ def load_all() -> None:
         return
     from . import (  # noqa: F401
         analytics_queries,
+        assurance_queries,
         breadth_queries,
         chunking_queries,
         cohort_queries,

@@ -149,6 +149,9 @@ CROSS_OK = {
     # X183: per-round broadcast 1-row node-checksum aggregate crossed
     # into the 1-row round-stats aggregate
     "kcore_copurchase",
+    # X188: broadcast 1-row stats/MAD aggregates crossed into the
+    # cents scan for the three outlier votes
+    "outlier_ensemble_events",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
