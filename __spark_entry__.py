@@ -142,6 +142,13 @@ _SAMPLER_PRIORITY = (
     "outlier_ensemble_events",
     "embedding_clip_bounds",
     "cv_fold_auc",
+    # never officially sampled (new in round 6: X191-X196 estimator batch)
+    "table_fingerprint_orders",
+    "rbo_retrieval_agreement",
+    "join_cardinality_audit",
+    "ols2_clicks_trend",
+    "kmv_distinct_users",
+    "leaderboard_churn_weekly",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -59,6 +59,7 @@ def load_all() -> None:
         cohort_queries,
         corpus_queries,
         dedup_queries,
+        estimator_queries,
         evalops_queries,
         events_queries,
         experiment_queries,

@@ -152,6 +152,11 @@ CROSS_OK = {
     # X188: broadcast 1-row stats/MAD aggregates crossed into the
     # cents scan for the three outlier votes
     "outlier_ensemble_events",
+    # X192: broadcast 1-row query-vector + overlap@k aggregates crossed
+    # in; the 100-row depth-spine <= inequality join is a bounded BNLJ
+    "rbo_retrieval_agreement",
+    # X193: per-join 1-row count/distinct/actual aggregates crossed
+    "join_cardinality_audit",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -218,6 +223,12 @@ GLOBAL_WINDOW_OK = {
     "revenue_share_of_parent",  # grand-total window over the
     # (region, nation) aggregate — bounded by geography (25 rows),
     # never the fact table, which reduces in the join+aggregate below
+    "rbo_retrieval_agreement",  # rank windows over the two
+    # TakeOrdered-pruned 100-row retrieval lists (the
+    # int8_rerank_topk shape)
+    "leaderboard_churn_weekly",  # lag window over the distinct-weeks
+    # relation (calendar-bounded); data rows reduce in the per-week
+    # aggregate and rank window below
 }
 
 
