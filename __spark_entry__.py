@@ -149,6 +149,13 @@ _SAMPLER_PRIORITY = (
     "ols2_clicks_trend",
     "kmv_distinct_users",
     "leaderboard_churn_weekly",
+    # never officially sampled (new in round 6: X197-X202 curation batch)
+    "ndcg_label_relevance",
+    "median_of_means_spend",
+    "benford_first_digit_audit",
+    "abc_classification_parts",
+    "negative_sampling_pairs",
+    "session_length_histogram",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

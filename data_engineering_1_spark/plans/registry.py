@@ -58,6 +58,7 @@ def load_all() -> None:
         chunking_queries,
         cohort_queries,
         corpus_queries,
+        curation_queries,
         dedup_queries,
         estimator_queries,
         evalops_queries,

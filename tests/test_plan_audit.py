@@ -157,6 +157,20 @@ CROSS_OK = {
     "rbo_retrieval_agreement",
     # X193: per-join 1-row count/distinct/actual aggregates crossed
     "join_cardinality_audit",
+    # X197: broadcast |anchors|-row query table non-equi-joined into
+    # the vector table (the hard_negative_mining shape)
+    "ndcg_label_relevance",
+    # X198: broadcast 1-row plain-mean aggregate crossed in
+    "median_of_means_spend",
+    # X199: broadcast 1-row total-count aggregate crossed into the
+    # 9-row digit relation
+    "benford_first_digit_audit",
+    # X200: broadcast 1-row revenue-total aggregate crossed into the
+    # 3-row class aggregate
+    "abc_classification_parts",
+    # X201: broadcast 1-row part-count aggregate crossed into the
+    # draw relation for the modulus
+    "negative_sampling_pairs",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -229,6 +243,9 @@ GLOBAL_WINDOW_OK = {
     "leaderboard_churn_weekly",  # lag window over the distinct-weeks
     # relation (calendar-bounded); data rows reduce in the per-week
     # aggregate and rank window below
+    "abc_classification_parts",  # cumulative/total windows over the
+    # PART-dimension revenue aggregate (catalog-bounded), never the
+    # fact table, which reduces in the per-part aggregate below
 }
 
 
