@@ -156,6 +156,13 @@ _SAMPLER_PRIORITY = (
     "abc_classification_parts",
     "negative_sampling_pairs",
     "session_length_histogram",
+    # never officially sampled (new in round 6: X203-X208 inference batch)
+    "stl_residual_anomalies",
+    "hampel_filter_daily",
+    "did_spend_estimate",
+    "feature_information_gain",
+    "containment_pairs_docs",
+    "kendall_tau_qty_price",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -171,6 +171,23 @@ CROSS_OK = {
     # X201: broadcast 1-row part-count aggregate crossed into the
     # draw relation for the modulus
     "negative_sampling_pairs",
+    # X203: broadcast 1-row residual-moment aggregate crossed into the
+    # daily residual relation for the z flag
+    "stl_residual_anomalies",
+    # X204: calendar-bounded +/-3-day neighborhood self-joins over the
+    # DAILY grid (7 rows per day, never event volume)
+    "hampel_filter_daily",
+    # X205: broadcast 1-row median-split aggregate crossed into orders
+    "did_spend_estimate",
+    # X206: broadcast 1-row total-count and class-entropy aggregates
+    # crossed into the per-feature crosstabs
+    "feature_information_gain",
+    # X207: jaccard-family candidate machinery (broadcast 1-row
+    # aggregates inside minhash signatures)
+    "containment_pairs_docs",
+    # X208: broadcast 1-row bounds/tie-count aggregates crossed into
+    # the bounded crosstab
+    "kendall_tau_qty_price",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -246,6 +263,9 @@ GLOBAL_WINDOW_OK = {
     "abc_classification_parts",  # cumulative/total windows over the
     # PART-dimension revenue aggregate (catalog-bounded), never the
     # fact table, which reduces in the per-part aggregate below
+    "stl_residual_anomalies",  # centered 7-day frame over the daily
+    # grid (the stl_decompose_daily shape): events reduce to ONE ROW
+    # PER DAY before the window
 }
 
 
