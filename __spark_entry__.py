@@ -163,6 +163,13 @@ _SAMPLER_PRIORITY = (
     "feature_information_gain",
     "containment_pairs_docs",
     "kendall_tau_qty_price",
+    # never officially sampled (new in round 6: X209-X214 stewardship batch)
+    "price_elasticity_by_brand",
+    "freshness_audit_tables",
+    "referential_coverage_audit",
+    "order_reconciliation_audit",
+    "source_vocab_overlap",
+    "churn_label_snapshot",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -77,6 +77,7 @@ def load_all() -> None:
         scalar_queries,
         series_queries,
         similarity_queries,
+        stewardship_queries,
         text_queries,
         tpch_queries,
     )

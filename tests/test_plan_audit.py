@@ -188,6 +188,13 @@ CROSS_OK = {
     # X208: broadcast 1-row bounds/tie-count aggregates crossed into
     # the bounded crosstab
     "kendall_tau_qty_price",
+    # X210: broadcast 1-row global-newest aggregate crossed into the
+    # 3-row per-table relation
+    "freshness_audit_tables",
+    # X211: per-edge 1-row orphan/childless/parent aggregates crossed
+    "referential_coverage_audit",
+    # X214: broadcast 1-row snapshot-date aggregate crossed into events
+    "churn_label_snapshot",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
