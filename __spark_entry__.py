@@ -170,6 +170,13 @@ _SAMPLER_PRIORITY = (
     "order_reconciliation_audit",
     "source_vocab_overlap",
     "churn_label_snapshot",
+    # never officially sampled (new in round 6: X215-X220 frontier batch)
+    "skyline_orders_2d",
+    "coverage_gaps_daily",
+    "modularity_brand_partition",
+    "l_diversity_audit",
+    "word_burstiness_top30",
+    "user_acquisition_curve",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

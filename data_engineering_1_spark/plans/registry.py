@@ -64,6 +64,7 @@ def load_all() -> None:
         evalops_queries,
         events_queries,
         experiment_queries,
+        frontier_queries,
         inference_queries,
         instrument_queries,
         integrity_queries,

@@ -195,6 +195,11 @@ CROSS_OK = {
     "referential_coverage_audit",
     # X214: broadcast 1-row snapshot-date aggregate crossed into events
     "churn_label_snapshot",
+    # X216: |types| x |days| grid — both calendar/schema-bounded; the
+    # spine derives from a broadcast 1-row bounds aggregate
+    "coverage_gaps_daily",
+    # X217: 1-row edge-total and degree-sum aggregates crossed
+    "modularity_brand_partition",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -273,6 +278,12 @@ GLOBAL_WINDOW_OK = {
     "stl_residual_anomalies",  # centered 7-day frame over the daily
     # grid (the stl_decompose_daily shape): events reduce to ONE ROW
     # PER DAY before the window
+    "skyline_orders_2d",  # the 2D-skyline running-max pass — a global
+    # frontier is inherently a global scan; docstring documents the
+    # local-skyline-then-union rewrite used at cluster scale
+    "user_acquisition_curve",  # cumsum over the first-seen DAILY
+    # relation: users reduce to first-seen dates, then to one row per
+    # day, before the window
 }
 
 
