@@ -177,6 +177,13 @@ _SAMPLER_PRIORITY = (
     "l_diversity_audit",
     "word_burstiness_top30",
     "user_acquisition_curve",
+    # never officially sampled (new in round 6: X221-X226 decision batch)
+    "wilson_rank_parts",
+    "ab_sample_size_plan",
+    "quantile_treatment_effects",
+    "covariate_balance_smd",
+    "forecast_reconcile_segments",
+    "unit_price_consistency",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

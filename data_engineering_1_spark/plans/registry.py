@@ -59,6 +59,7 @@ def load_all() -> None:
         cohort_queries,
         corpus_queries,
         curation_queries,
+        decision_queries,
         dedup_queries,
         estimator_queries,
         evalops_queries,

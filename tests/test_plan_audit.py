@@ -200,6 +200,12 @@ CROSS_OK = {
     "coverage_gaps_daily",
     # X217: 1-row edge-total and degree-sum aggregates crossed
     "modularity_brand_partition",
+    # X224: per-covariate 1-row treated/control moment aggregates
+    # crossed
+    "covariate_balance_smd",
+    # X225: broadcast 1-row ref-date/total-forecast aggregates crossed
+    # into orders and the |segments|-row allocation
+    "forecast_reconcile_segments",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -284,6 +290,9 @@ GLOBAL_WINDOW_OK = {
     "user_acquisition_curve",  # cumsum over the first-seen DAILY
     # relation: users reduce to first-seen dates, then to one row per
     # day, before the window
+    "forecast_reconcile_segments",  # largest-remainder rank/total
+    # windows over the |segments|-row allocation table (the
+    # mixture_temperature_alloc shape)
 }
 
 
