@@ -184,6 +184,13 @@ _SAMPLER_PRIORITY = (
     "covariate_balance_smd",
     "forecast_reconcile_segments",
     "unit_price_consistency",
+    # never officially sampled (new in round 6: X227-X232 dynamics batch)
+    "type_correlation_matrix",
+    "weekly_rank_spearman",
+    "gains_chart_deciles",
+    "session_handoff_matrix",
+    "demand_classification_parts",
+    "cramers_v_pairs",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

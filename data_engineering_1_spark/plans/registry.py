@@ -61,6 +61,7 @@ def load_all() -> None:
         curation_queries,
         decision_queries,
         dedup_queries,
+        dynamics_queries,
         estimator_queries,
         evalops_queries,
         events_queries,

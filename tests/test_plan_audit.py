@@ -206,6 +206,9 @@ CROSS_OK = {
     # X225: broadcast 1-row ref-date/total-forecast aggregates crossed
     # into orders and the |segments|-row allocation
     "forecast_reconcile_segments",
+    # X229: broadcast 1-row (n, total positives) aggregate crossed
+    # into the ranked relation for binning
+    "gains_chart_deciles",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -293,6 +296,11 @@ GLOBAL_WINDOW_OK = {
     "forecast_reconcile_segments",  # largest-remainder rank/total
     # windows over the |segments|-row allocation table (the
     # mixture_temperature_alloc shape)
+    "gains_chart_deciles",  # cumulative window over the 10-row decile
+    # relation (the calibration_bins shape); data rows only see the
+    # two-phase rank's partitioned windows
+    "cramers_v_pairs",  # grand-total/marginal windows over the
+    # bounded crosstab cell grid (the priority_segment_chi2 shape)
 }
 
 
