@@ -191,6 +191,13 @@ _SAMPLER_PRIORITY = (
     "session_handoff_matrix",
     "demand_classification_parts",
     "cramers_v_pairs",
+    # never officially sampled (new in round 6: X233-X238 recommender batch)
+    "item_item_cosine_topk",
+    "user_part_recs_topn",
+    "assoc_rules_2item",
+    "rec_exposure_coverage",
+    "repeat_purchase_cycle",
+    "rec_holdout_hitrate",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

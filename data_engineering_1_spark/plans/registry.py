@@ -75,6 +75,7 @@ def load_all() -> None:
         pipeline_queries,
         profiling_queries,
         quality_queries,
+        recommender_queries,
         relational_queries,
         sampling_queries,
         scalar_queries,

@@ -209,6 +209,15 @@ CROSS_OK = {
     # X229: broadcast 1-row (n, total positives) aggregate crossed
     # into the ranked relation for binning
     "gains_chart_deciles",
+    # X235: broadcast 1-row distinct-order count crossed into the
+    # bounded rule relation for support/lift
+    "assoc_rules_2item",
+    # X236: broadcast 1-row catalog count crossed into the
+    # |parts|-bounded exposure relation
+    "rec_exposure_coverage",
+    # X238: broadcast 1-row calendar-cutoff aggregate crossed into
+    # the incidence relation (the train/test boundary)
+    "rec_holdout_hitrate",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -301,6 +310,8 @@ GLOBAL_WINDOW_OK = {
     # two-phase rank's partitioned windows
     "cramers_v_pairs",  # grand-total/marginal windows over the
     # bounded crosstab cell grid (the priority_segment_chi2 shape)
+    "rec_exposure_coverage",  # Gini rank window over the
+    # <=|parts|-row exposure relation (the region_gini shape)
 }
 
 
