@@ -198,6 +198,13 @@ _SAMPLER_PRIORITY = (
     "rec_exposure_coverage",
     "repeat_purchase_cycle",
     "rec_holdout_hitrate",
+    # never officially sampled (new in round 6: X239-X244 planning batch)
+    "safety_stock_reorder",
+    "eoq_parts",
+    "newsvendor_stock",
+    "vwap_daily",
+    "max_drawdown_segments",
+    "fulfillment_latency_sla",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

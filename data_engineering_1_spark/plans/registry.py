@@ -73,6 +73,7 @@ def load_all() -> None:
         mining_queries,
         mlprep_queries,
         pipeline_queries,
+        planning_queries,
         profiling_queries,
         quality_queries,
         recommender_queries,

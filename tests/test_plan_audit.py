@@ -218,6 +218,11 @@ CROSS_OK = {
     # X238: broadcast 1-row calendar-cutoff aggregate crossed into
     # the incidence relation (the train/test boundary)
     "rec_holdout_hitrate",
+    # X239/X240/X241: broadcast 1-row calendar-spine aggregate crossed
+    # into the per-part demand relation
+    "safety_stock_reorder",
+    "eoq_parts",
+    "newsvendor_stock",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -312,6 +317,9 @@ GLOBAL_WINDOW_OK = {
     # bounded crosstab cell grid (the priority_segment_chi2 shape)
     "rec_exposure_coverage",  # Gini rank window over the
     # <=|parts|-row exposure relation (the region_gini shape)
+    "vwap_daily",  # trailing 7-day RANGE frame over the daily grid:
+    # lineitems reduce to ONE ROW PER DAY before the window (the
+    # rolling_corr_click_view shape)
 }
 
 
