@@ -205,6 +205,13 @@ _SAMPLER_PRIORITY = (
     "vwap_daily",
     "max_drawdown_segments",
     "fulfillment_latency_sla",
+    # never officially sampled (new in round 6: X245-X250 market batch)
+    "price_index_monthly",
+    "hhi_brand_region",
+    "price_volume_mix",
+    "nrr_monthly_cohorts",
+    "top_orders_with_ties",
+    "clv_segments",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

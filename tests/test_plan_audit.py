@@ -223,6 +223,9 @@ CROSS_OK = {
     "safety_stock_reorder",
     "eoq_parts",
     "newsvendor_stock",
+    # X247: broadcast 1-row month-bounds aggregate crossed into the
+    # part-month bridge relation
+    "price_volume_mix",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
