@@ -212,6 +212,13 @@ _SAMPLER_PRIORITY = (
     "nrr_monthly_cohorts",
     "top_orders_with_ties",
     "clv_segments",
+    # never officially sampled (new in round 6: X251-X256 linkage batch)
+    "hits_authority_parts",
+    "countmin_part_counts",
+    "adamic_adar_linkpred",
+    "ppr_seed_part",
+    "reach_2hop_parts",
+    "label_prop_brands",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

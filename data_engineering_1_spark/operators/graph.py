@@ -206,6 +206,110 @@ def kcore_peel(
     return out
 
 
+def hits_bipartite(
+    edges: DataFrame,
+    hub: str = "hub",
+    auth: str = "auth",
+) -> DataFrame:
+    """(auth_node, auth1, auth2) after two synchronous HITS rounds over
+    a DIRECTED bipartite edge list (hub side → authority side) with
+    unit initial hub scores — the sixth iterative graph operator
+    (importance on a bipartite graph: authorities accumulate hub mass,
+    hubs accumulate authority mass; on customer→part edges the
+    authority ranking is "parts bought by customers who buy
+    well-endorsed parts", one step beyond raw popularity).
+
+    Unnormalized integer formulation: h0 = 1 per hub, a1(p) = indeg(p),
+    h1(c) = Σ_{c→p} a1(p), a2(p) = Σ_{c→p} h1(c). For a FIXED number of
+    rounds the unnormalized scores induce exactly the ranking of the
+    normalized iteration (normalization is a positive scalar per
+    round), and every value is an exact BIGINT sum of counts — no
+    floats anywhere, so both engines and any partitioning agree bit-
+    for-bit and a SQL oracle unrolls the same three aggregates as
+    CTEs. Magnitudes: a2 <= max_indeg · max_outdeg · |edges-per-hub|
+    — far inside BIGINT at any realistic catalog. Scale: three
+    combinable aggregates + two equi-joins; the edge list shuffles on
+    its join key only."""
+    e = edges.select(F.col(hub).alias("c"), F.col(auth).alias("p"))
+    a1 = e.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
+    h1 = (
+        e.join(a1, "p")
+        .groupBy("c")
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    a2 = (
+        e.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    return a2.join(a1, "p").select("p", "a1", "a2")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seed: DataFrame,
+    n_iter: int = 2,
+    damping_pct: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """(node, rank_fp) after ``n_iter`` personalized-PageRank rounds:
+    ALL teleport mass returns to the single-row ``seed`` node set
+    instead of spreading uniformly — the seeded-relevance variant
+    (recommendations / related-items around an anchor) of
+    :func:`pagerank`, and the seventh iterative graph operator.
+
+    Same fixed-point BIGINT discipline as pagerank (units of 1/SCALE,
+    messages rank DIV outdeg, damping ·d DIV 100) with one structural
+    difference: the rank vector stays SPARSE. r0 is the seed row at
+    full SCALE; each round emits teleport rows for seeds plus inflow
+    rows for reached nodes and sum-combines — unreached nodes hold
+    exact zero and are ABSENT, so after k rounds the vector spans the
+    k-hop ball around the seed, not |V| (the property that makes PPR
+    cheap at 100 TB: work is neighborhood-sized, not graph-sized). A
+    SQL oracle unrolls the identical rounds as CTEs."""
+    spark = edges.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(parts, "src")
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    deg.count()
+    teleport = seed.select(
+        F.col(node).alias("node"),
+        F.lit((100 - damping_pct) * SCALE // 100)
+        .cast("bigint")
+        .alias("rank_fp"),
+    )
+    ranks = seed.select(
+        F.col(node).alias("node"),
+        F.lit(SCALE).cast("bigint").alias("rank_fp"),
+    )
+    for _ in range(n_iter):
+        inflow = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(rank_fp DIV outdeg) * {damping_pct} DIV 100"
+                ).alias("rank_fp"),
+            )
+        )
+        ranks = (
+            teleport.unionByName(inflow)
+            .groupBy("node")
+            .agg(F.sum("rank_fp").cast("bigint").alias("rank_fp"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    deg.unpersist()
+    return ranks
+
+
 def min_plus_hops(
     edges: DataFrame,
     seeds: DataFrame,

@@ -70,6 +70,7 @@ def load_all() -> None:
         inference_queries,
         instrument_queries,
         integrity_queries,
+        linkage_queries,
         market_queries,
         mining_queries,
         mlprep_queries,
