@@ -219,6 +219,13 @@ _SAMPLER_PRIORITY = (
     "ppr_seed_part",
     "reach_2hop_parts",
     "label_prop_brands",
+    # never officially sampled (new in round 6: X257-X262 encoding batch)
+    "target_encode_loo",
+    "pr_auc_order_status",
+    "t_closeness_audit",
+    "brown_double_smoothing_daily",
+    "feature_hash_buckets",
+    "mcc_rule_classifier",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

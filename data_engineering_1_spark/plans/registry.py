@@ -62,6 +62,7 @@ def load_all() -> None:
         decision_queries,
         dedup_queries,
         dynamics_queries,
+        encoding_queries,
         estimator_queries,
         evalops_queries,
         events_queries,

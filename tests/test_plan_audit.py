@@ -226,6 +226,9 @@ CROSS_OK = {
     # X247: broadcast 1-row month-bounds aggregate crossed into the
     # part-month bridge relation
     "price_volume_mix",
+    # X259: broadcast 1-row total + 5-row global priority histogram
+    # crossed into the bounded QI-group grid for densification
+    "t_closeness_audit",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -323,6 +326,9 @@ GLOBAL_WINDOW_OK = {
     "vwap_daily",  # trailing 7-day RANGE frame over the daily grid:
     # lineitems reduce to ONE ROW PER DAY before the window (the
     # rolling_corr_click_view shape)
+    "brown_double_smoothing_daily",  # both 51-element fold frames run
+    # over the daily grid: orders reduce to ONE ROW PER DAY before any
+    # window (the ewma_halflife_daily shape)
 }
 
 
