@@ -226,6 +226,13 @@ _SAMPLER_PRIORITY = (
     "brown_double_smoothing_daily",
     "feature_hash_buckets",
     "mcc_rule_classifier",
+    # never officially sampled (new in round 6: X263-X268 control batch)
+    "winnowing_fingerprints",
+    "neyman_allocation",
+    "ucb1_event_types",
+    "anova_dow_events",
+    "ewma_control_chart",
+    "median_ci_orders",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -1,0 +1,845 @@
+"""Statistical-control / policy declared queries (round 6,
+twenty-seventh batch — [north-star] scope): local document
+fingerprinting, survey-sampling allocation, bandit exploration,
+seasonality testing, control charts, and distribution-free
+interval estimates.
+
+  * ``winnowing_fingerprints`` (X263) — MOSS-style winnowed k-gram
+    fingerprints per document + the top-30 overlapping pairs — the
+    LOCAL fingerprinting that catches partial overlap where
+    X``doc_fingerprints``'s whole-document hash only catches exact
+    copies.
+  * ``neyman_allocation`` (X264) — optimal stratified-sample
+    allocation n_h ∝ N_h·σ_h across segments with largest-remainder
+    rounding that conserves the budget exactly.
+  * ``ucb1_event_types`` (X265) — UCB1 exploration scores per
+    event-type arm: mean reward + sqrt(2 ln N / n), the
+    deterministic bandit policy readout.
+  * ``anova_dow_events`` (X266) — one-way ANOVA of daily event
+    counts by day-of-week per type: eta² effect size + F statistic
+    with the seasonal verdict cross-multiplied on exact decimals —
+    the seasonality-strength test.
+  * ``ewma_control_chart`` (X267) — X121's α=1/2 EWMA with exact
+    time-varying control limits (the startup-corrected
+    1−(1/4)^t factor is an exact power of two) and out-of-control
+    flags decided on round-9 staged margins.
+  * ``median_ci_orders`` (X268) — distribution-free order-statistic
+    confidence interval for the median: rank offsets from ONE
+    explicitly-floored round-9 staged 0.98·√n, values read by the
+    crossing rule over the bounded cents histogram.
+
+Determinism: counts/cents/ranks exact integers; fold weights and
+control-limit factors are exact powers of two; every ln/sqrt-derived
+quantity stages ROUND(.., 9) into DECIMAL before comparison or
+summation; verdicts cross-multiply exact operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .registry import declared_query
+
+_WIN_K = 8  # k-gram length (chars)
+_WIN_W = 4  # winnowing window (k-grams)
+_BUDGET = 1000  # Neyman sample budget
+_UCB_THRESH = 50.0  # reward = value >= threshold
+_EWMA_FRAME = 50
+
+
+# ---- X263: winnowing fingerprints -------------------------------------------
+
+
+@declared_query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH kg AS (
+        SELECT d.doc_id, p.p AS pos,
+               (('0x' || substr(md5(substr(lower(d.text), p.p,
+                   {_WIN_K})), 1, 8))::BIGINT) AS h
+        FROM documents d
+        JOIN LATERAL (
+            SELECT unnest(generate_series(1,
+                CAST(length(d.text) - {_WIN_K} + 1 AS INTEGER))) AS p
+        ) p ON TRUE
+    ), sel AS (
+        SELECT doc_id, h,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN {_WIN_W - 1} PRECEDING
+                            AND CURRENT ROW) AS wmin
+        FROM kg
+    ), fps AS (
+        SELECT DISTINCT doc_id, h FROM sel WHERE h = wmin
+    ), sizes AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nfp
+        FROM fps GROUP BY doc_id
+    ), shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS shared
+        FROM fps a JOIN fps b
+          ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b, s.shared,
+           sa.nfp AS nfp_a, sb.nfp AS nfp_b,
+           CAST(ROUND(CAST(s.shared AS DOUBLE)
+                      / LEAST(sa.nfp, sb.nfp), 6) AS DOUBLE)
+               AS containment
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc_id
+    JOIN sizes sb ON s.doc_b = sb.doc_id
+    ORDER BY s.shared DESC, s.doc_a, s.doc_b
+    LIMIT 30
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X263: MOSS-style winnowing — hash every 8-char k-gram of the
+    lowercased text, then keep a k-gram iff its hash is the MINIMUM
+    of its trailing 4-gram window (the deterministic local-min
+    variant of Schleimer-Wilkerson-Aiken winnowing; any sufficiently
+    long match between two documents is guaranteed to share a
+    selected fingerprint, which whole-document hashing
+    (doc_fingerprints) and shingle-set Jaccard both structurally
+    miss for PARTIAL overlap). Pairs are generated through the
+    shared-fingerprint inverted index — cost O(matching pairs), the
+    E7/X124 candidate discipline — and ranked by shared-fingerprint
+    count with the containment ratio shared/min(|A|,|B|) alongside.
+
+    Exactness: hashes from the md5 bridge, selection by integer
+    window-min equality, counts exact; containment is one division
+    rounded 6, membership on exact counts. Scale: k-gram explode is
+    |chars| rows (linear in corpus bytes); winnowing thins it ~1/w
+    before the only wide operation (the fingerprint join)."""
+    docs = load_table(spark, sf_dir, "documents")
+    kg = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.length("text") - _WIN_K + 1
+            )
+        ).alias("pos"),
+        F.lower("text").alias("txt"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(txt, pos, {_WIN_K})")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    fps = (
+        kg.withColumn("wmin", F.min("h").over(w))
+        .where(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    sizes = fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nfp")
+    )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("nfp").alias("nfp_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("nfp").alias("nfp_b")
+    )
+    return (
+        shared.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared",
+            "nfp_a",
+            "nfp_b",
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("nfp_a", "nfp_b"),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy(F.desc("shared"), "doc_a", "doc_b")
+        .limit(30)
+    )
+
+
+# ---- X264: Neyman allocation --------------------------------------------------
+
+
+@declared_query(
+    "neyman_allocation",
+    oracle=f"""
+    WITH strata AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS s1,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                        * CAST(ROUND(o.o_totalprice * 100)
+                               AS DECIMAL(19,0))) AS DECIMAL(38,0))
+                   AS s2
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1
+    ), nsig AS (
+        SELECT segment, n_rows,
+               CAST(ROUND(sqrt(CAST(n_rows * s2
+                   - CAST(s1 AS DECIMAL(19,0)) * s1 AS DOUBLE))
+                   / 100, 6) AS DECIMAL(18,6)) AS nsig6
+        FROM strata
+    ), tot AS (
+        SELECT CAST(SUM(nsig6) AS DECIMAL(28,6)) AS total6 FROM nsig
+    ), alloc AS (
+        SELECT n.segment, n.n_rows, n.nsig6,
+               CAST(ROUND(CAST(n.nsig6 AS DOUBLE) / CAST(t.total6
+                    AS DOUBLE), 9) AS DECIMAL(18,9)) AS w9
+        FROM nsig n CROSS JOIN tot t
+    ), floors AS (
+        SELECT segment, n_rows, nsig6, w9,
+               CAST(FLOOR(w9 * {_BUDGET}) AS BIGINT) AS base,
+               w9 * {_BUDGET} - FLOOR(w9 * {_BUDGET}) AS frac
+        FROM alloc
+    ), ranked AS (
+        SELECT *, row_number() OVER (ORDER BY frac DESC, segment)
+                   AS rk,
+               SUM(base) OVER () AS base_total
+        FROM floors
+    )
+    SELECT segment, n_rows,
+           CAST(ROUND(CAST(nsig6 AS DOUBLE) / n_rows, 6) AS DOUBLE)
+               AS sigma,
+           CAST(w9 AS DOUBLE) AS weight,
+           CAST(base + CASE WHEN rk <= {_BUDGET} - base_total
+                            THEN 1 ELSE 0 END AS BIGINT) AS alloc
+    FROM ranked ORDER BY segment
+    """,
+)
+def neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X264: Neyman-optimal stratified sample allocation — distribute
+    a 1000-row budget across market segments proportional to
+    N_h·σ_h (the allocation minimizing the stratified-mean variance;
+    proportional-to-size allocation oversamples big HOMOGENEOUS
+    strata — the classic survey-sampling win). N_h·σ_h =
+    √(N·S2 − S1²) is ONE sqrt of an exact integer per stratum; each
+    is staged round-6 into DECIMAL(18,6) BEFORE the cross-stratum
+    total (summing raw doubles across groups would be
+    order-nondeterministic), weights stage round-9, and the final
+    integers come from the largest-remainder rounding that conserves
+    the budget EXACTLY (the X116 discipline — Σalloc = 1000 pinned).
+
+    Scale: one combinable aggregate; everything after runs on the
+    |segments|-row relation (whitelisted 1-row cross + global
+    rank)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    strata = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(cents).cast("bigint").alias("s1"),
+            F.sum(cents * cents.cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+            .alias("s2"),
+        )
+    )
+    nsig = strata.select(
+        "segment",
+        "n_rows",
+        F.round(
+            F.sqrt(
+                (
+                    F.col("n_rows") * F.col("s2")
+                    - F.col("s1").cast("decimal(19,0)") * F.col("s1")
+                ).cast("double")
+            )
+            / 100,
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("nsig6"),
+    )
+    tot = nsig.agg(
+        F.sum("nsig6").cast("decimal(28,6)").alias("total6")
+    )
+    alloc = nsig.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_rows",
+        "nsig6",
+        F.round(
+            F.col("nsig6").cast("double")
+            / F.col("total6").cast("double"),
+            9,
+        )
+        .cast("decimal(18,9)")
+        .alias("w9"),
+    )
+    floors = alloc.select(
+        "segment",
+        "n_rows",
+        "nsig6",
+        "w9",
+        F.floor(F.col("w9") * _BUDGET).cast("bigint").alias("base"),
+        (
+            F.col("w9") * _BUDGET
+            - F.floor(F.col("w9") * _BUDGET)
+        ).alias("frac"),
+    )
+    wr = Window.orderBy(F.desc("frac"), F.asc("segment"))
+    wt = Window.partitionBy()
+    ranked = floors.select(
+        "*",
+        F.row_number().over(wr).alias("rk"),
+        F.sum("base").over(wt).alias("base_total"),
+    )
+    return ranked.select(
+        "segment",
+        "n_rows",
+        F.round(
+            F.col("nsig6").cast("double") / F.col("n_rows"), 6
+        ).alias("sigma"),
+        F.col("w9").cast("double").alias("weight"),
+        (
+            F.col("base")
+            + F.when(
+                F.col("rk") <= _BUDGET - F.col("base_total"), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc"),
+    ).orderBy("segment")
+
+
+# ---- X265: UCB1 bandit scores ---------------------------------------------------
+
+
+@declared_query(
+    "ucb1_event_types",
+    oracle=f"""
+    WITH arms AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value >= {_UCB_THRESH}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS wins
+        FROM events GROUP BY 1
+    ), tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS big_n FROM arms
+    ), scored AS (
+        SELECT a.event_type, a.n, a.wins, t.big_n,
+               CAST(ROUND(CAST(a.wins AS DOUBLE) / a.n, 9)
+                    AS DECIMAL(18,9)) AS mean9,
+               CAST(ROUND(sqrt(2 * ln(t.big_n) / a.n), 9)
+                    AS DECIMAL(18,9)) AS bonus9
+        FROM arms a CROSS JOIN tot t
+    ), best AS (
+        SELECT MAX(mean9 + bonus9) AS best_ucb FROM scored
+    )
+    SELECT s.event_type, s.n, s.wins,
+           CAST(s.mean9 AS DOUBLE) AS mean_reward,
+           CAST(s.bonus9 AS DOUBLE) AS explore_bonus,
+           CAST(ROUND(CAST(s.mean9 + s.bonus9 AS DOUBLE), 6)
+                AS DOUBLE) AS ucb,
+           (s.mean9 + s.bonus9 = b.best_ucb) AS pull_next
+    FROM scored s CROSS JOIN best b
+    ORDER BY s.event_type
+    """,
+)
+def ucb1_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X265: UCB1 scores per event-type arm (reward = value ≥ 50) —
+    mean reward + √(2 ln N / n), the optimism-under-uncertainty
+    policy: the arm to pull next is the one whose upper confidence
+    bound is highest, which an under-sampled arm can win on its
+    exploration bonus alone. The bandit SCORING layer is pure
+    deterministic aggregation (unlike Thompson sampling, whose draw
+    would need the md5 bridge); this is the batch-evaluation shape a
+    pipeline runs between serving windows.
+
+    Exactness: n/wins exact; mean and bonus each stage ROUND(.., 9)
+    into DECIMAL(18,9) (the ln discipline), the UCB is their EXACT
+    decimal sum rounded 6 at emission, and the pull-next argmax
+    compares the exact decimal sums — never rounded doubles. Scale:
+    one combinable aggregate; everything downstream is |arms| rows
+    (whitelisted 1-row crosses)."""
+    events = load_table(spark, sf_dir, "events")
+    arms = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.when(F.col("value") >= _UCB_THRESH, 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("wins"),
+    )
+    tot = arms.agg(F.sum("n").cast("bigint").alias("big_n"))
+    scored = arms.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "wins",
+        F.round(F.col("wins").cast("double") / F.col("n"), 9)
+        .cast("decimal(18,9)")
+        .alias("mean9"),
+        F.round(
+            F.sqrt(2 * F.log(F.col("big_n")) / F.col("n")), 9
+        )
+        .cast("decimal(18,9)")
+        .alias("bonus9"),
+    )
+    best = scored.agg(
+        F.max(F.col("mean9") + F.col("bonus9")).alias("best_ucb")
+    )
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "event_type",
+            "n",
+            "wins",
+            F.col("mean9").cast("double").alias("mean_reward"),
+            F.col("bonus9").cast("double").alias("explore_bonus"),
+            F.round(
+                (F.col("mean9") + F.col("bonus9")).cast("double"), 6
+            ).alias("ucb"),
+            (
+                F.col("mean9") + F.col("bonus9") == F.col("best_ucb")
+            ).alias("pull_next"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---- X266: day-of-week ANOVA -------------------------------------------------------
+
+
+@declared_query(
+    "anova_dow_events",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), cells AS (
+        SELECT event_type,
+               date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+               CAST(COUNT(*) AS BIGINT) AS nd,
+               CAST(SUM(y) AS BIGINT) AS s1d,
+               CAST(SUM(y * y) AS BIGINT) AS s2d
+        FROM daily GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               CAST(SUM(nd) AS BIGINT) AS n,
+               CAST(SUM(s1d) AS BIGINT) AS s1,
+               CAST(SUM(s2d) AS BIGINT) AS s2,
+               CAST(SUM(CAST(ROUND(CAST(s1d AS DOUBLE) * s1d / nd, 6)
+                    AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS t6
+        FROM cells GROUP BY 1
+    ), parts AS (
+        SELECT event_type, n, s1, s2, t6,
+               CAST(ROUND(CAST(s1 AS DOUBLE) * s1 / n, 6)
+                    AS DECIMAL(28,6)) AS r6
+        FROM stats
+    )
+    SELECT event_type, n,
+           CAST(ROUND(CAST(t6 - r6 AS DOUBLE)
+                      / CAST(s2 - r6 AS DOUBLE), 6) AS DOUBLE)
+               AS eta2,
+           CAST(ROUND(CAST((t6 - r6) * (n - 7) AS DOUBLE)
+                      / CAST((s2 - t6) * 6 AS DOUBLE), 6) AS DOUBLE)
+               AS f_stat,
+           ((t6 - r6) * (n - 7) * 10 >= (s2 - t6) * 6 * 21)
+               AS seasonal_5pct
+    FROM parts ORDER BY event_type
+    """,
+)
+def anova_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X266: one-way ANOVA of daily event counts by day-of-week per
+    type — eta² (share of daily variance explained by weekday) and
+    the F statistic with the 5%-level seasonal verdict against the
+    F(6,∞) ≈ 2.1 critical value — the TEST behind X153's seasonal
+    index: the index says HOW days differ, this says whether the
+    weekly pattern is distinguishable from noise at all. Day-of-week
+    is engine-neutral integer arithmetic (epoch-days mod 7, the X153
+    discipline — date-part DOW conventions differ across engines).
+
+    Exactness: n/S1/S2 per cell are exact integers; the two
+    rational reductions S1_d²/n_d and S1²/n stage ROUND(.., 6) into
+    DECIMAL(28,6) (identical expressions both engines) so the
+    between/within sums are exact decimal differences; eta² and F
+    are one division each, and the verdict CROSS-MULTIPLIES the
+    exact decimals (never the rounded F). Scale: events reduce to
+    one row per (type, day), then per (type, dow) — combinable all
+    the way down."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    cells = daily.groupBy(
+        "event_type",
+        (F.unix_date(F.col("day")) % 7).alias("dow"),
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd"),
+        F.sum("y").cast("bigint").alias("s1d"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2d"),
+    )
+    stats = cells.groupBy("event_type").agg(
+        F.sum("nd").cast("bigint").alias("n"),
+        F.sum("s1d").cast("bigint").alias("s1"),
+        F.sum("s2d").cast("bigint").alias("s2"),
+        F.sum(
+            F.round(
+                F.col("s1d").cast("double")
+                * F.col("s1d")
+                / F.col("nd"),
+                6,
+            ).cast("decimal(28,6)")
+        )
+        .cast("decimal(38,6)")
+        .alias("t6"),
+    )
+    parts = stats.select(
+        "*",
+        F.round(
+            F.col("s1").cast("double") * F.col("s1") / F.col("n"), 6
+        )
+        .cast("decimal(28,6)")
+        .alias("r6"),
+    )
+    return parts.select(
+        "event_type",
+        "n",
+        F.round(
+            (F.col("t6") - F.col("r6")).cast("double")
+            / (F.col("s2") - F.col("r6")).cast("double"),
+            6,
+        ).alias("eta2"),
+        F.round(
+            ((F.col("t6") - F.col("r6")) * (F.col("n") - 7)).cast(
+                "double"
+            )
+            / ((F.col("s2") - F.col("t6")) * 6).cast("double"),
+            6,
+        ).alias("f_stat"),
+        (
+            (F.col("t6") - F.col("r6")) * (F.col("n") - 7) * 10
+            >= (F.col("s2") - F.col("t6")) * 6 * 21
+        ).alias("seasonal_5pct"),
+    ).orderBy("event_type")
+
+
+# ---- X267: EWMA control chart ----------------------------------------------------
+
+
+@declared_query(
+    "ewma_control_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ), stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS s1,
+               CAST(SUM(y * y) AS BIGINT) AS s2
+        FROM daily GROUP BY 1
+    ), series AS (
+        SELECT d.event_type, d.day, d.y,
+               row_number() OVER (PARTITION BY d.event_type
+                                  ORDER BY d.day) AS t,
+               list_reduce(
+                   list(CAST(d.y AS DOUBLE)) OVER (
+                       PARTITION BY d.event_type ORDER BY d.day
+                       ROWS BETWEEN {_EWMA_FRAME} PRECEDING
+                       AND CURRENT ROW),
+                   (acc, x) -> acc * 0.5 + x * 0.5) AS ewma,
+               CAST(ROUND(CAST(s.s1 AS DOUBLE) / s.n, 9)
+                    AS DECIMAL(18,9)) AS mu9,
+               s.n AS n, s.s1 AS s1, s.s2 AS s2
+        FROM daily d JOIN stats s ON d.event_type = s.event_type
+    ), lim AS (
+        SELECT *,
+               CAST(ROUND(3 * sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                   / n * sqrt((1 - power(0.25, t)) / 3), 9)
+                   AS DECIMAL(18,9)) AS lim9
+        FROM series
+    )
+    SELECT event_type, day, y,
+           CAST(ROUND(ewma, 6) AS DOUBLE) AS ewma,
+           CAST(mu9 AS DOUBLE) AS center,
+           CAST(ROUND(CAST(mu9 + lim9 AS DOUBLE), 6) AS DOUBLE)
+               AS ucl,
+           CAST(ROUND(CAST(mu9 - lim9 AS DOUBLE), 6) AS DOUBLE)
+               AS lcl,
+           (ROUND(abs(ewma - CAST(mu9 AS DOUBLE))
+                  - CAST(lim9 AS DOUBLE), 9) > 0) AS out_of_control
+    FROM lim ORDER BY event_type, day
+    """,
+)
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X267: the EWMA control chart — X121's α=1/2 fold over daily
+    event counts, wrapped with exact time-varying control limits
+    3σ·√(α/(2−α)·(1−(1−α)^{{2t}})) = 3σ·√((1−(1/4)^t)/3) (the
+    startup correction that keeps early points from false-alarming
+    before the EWMA variance reaches steady state) and the
+    out-of-control verdict — the monitoring layer on top of X52's
+    batch z-scores: EWMA charts catch small SUSTAINED shifts a
+    per-point z-test misses. (1/4)^t is an exact power of two in
+    both engines; the fold over integer counts is exact dyadic
+    arithmetic, bit-identical cross-engine.
+
+    Exactness: center and limit stage ROUND(.., 9) into
+    DECIMAL(18,9); the verdict tests the round-9 margin, never raw
+    ulps. Scale: events reduce to one row per (type, day) before
+    the fold; windows partition by type."""
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("s1"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s2"),
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-_EWMA_FRAME, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type").orderBy("day")
+    xs = F.collect_list(F.col("y").cast("double")).over(wf)
+    ewma = F.aggregate(
+        F.slice(xs, 2, F.size(xs) - 1),
+        F.element_at(xs, 1),
+        lambda acc, x: acc * 0.5 + x * 0.5,
+    )
+    series = daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "y",
+        F.row_number().over(wt).alias("t"),
+        ewma.alias("ewma"),
+        F.round(F.col("s1").cast("double") / F.col("n"), 9)
+        .cast("decimal(18,9)")
+        .alias("mu9"),
+        "n",
+        "s1",
+        "s2",
+    )
+    lim = series.withColumn(
+        "lim9",
+        F.round(
+            3
+            * F.sqrt(
+                (
+                    F.col("n") * F.col("s2")
+                    - F.col("s1") * F.col("s1")
+                ).cast("double")
+            )
+            / F.col("n")
+            * F.sqrt((1 - F.pow(F.lit(0.25), F.col("t"))) / 3),
+            9,
+        ).cast("decimal(18,9)"),
+    )
+    return lim.select(
+        "event_type",
+        "day",
+        "y",
+        F.round("ewma", 6).alias("ewma"),
+        F.col("mu9").cast("double").alias("center"),
+        F.round(
+            (F.col("mu9") + F.col("lim9")).cast("double"), 6
+        ).alias("ucl"),
+        F.round(
+            (F.col("mu9") - F.col("lim9")).cast("double"), 6
+        ).alias("lcl"),
+        (
+            F.round(
+                F.abs(
+                    F.col("ewma") - F.col("mu9").cast("double")
+                )
+                - F.col("lim9").cast("double"),
+                9,
+            )
+            > 0
+        ).alias("out_of_control"),
+    ).orderBy("event_type", "day")
+
+
+# ---- X268: distribution-free median CI ----------------------------------------------
+
+
+@declared_query(
+    "median_ci_orders",
+    oracle="""
+    WITH vals AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), hist AS (
+        SELECT segment, cents, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM vals GROUP BY 1, 2
+    ), cume AS (
+        SELECT segment, cents, cnt,
+               SUM(cnt) OVER (PARTITION BY segment ORDER BY cents
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY segment) AS n
+        FROM hist
+    ), ns AS (
+        SELECT segment, MAX(n) AS n,
+               (MAX(n) - 1) // 2 AS mlo,
+               LEAST((MAX(n) - 1) // 2 + 1, MAX(n) - 1) AS mhi,
+               CAST((MAX(n) - 1) % 2 AS DOUBLE) / 2 AS mfrac,
+               CAST(CEIL(CAST(ROUND(0.98 * sqrt(MAX(n)), 9)
+                    AS DECIMAL(18,9))) AS BIGINT) AS c
+        FROM cume GROUP BY segment
+    ), idx AS (
+        SELECT segment, n, mlo, mhi, mfrac,
+               GREATEST(0, mlo - c) AS lo_rank,
+               LEAST(n - 1, n // 2 + c) AS hi_rank, c
+        FROM ns
+    )
+    SELECT i.segment, CAST(i.n AS BIGINT) AS n,
+           CAST(ROUND(
+               MIN(CASE WHEN h.cum >= i.mlo + 1 THEN h.cents END)
+               + i.mfrac * (
+                 MIN(CASE WHEN h.cum >= i.mhi + 1 THEN h.cents END)
+                 - MIN(CASE WHEN h.cum >= i.mlo + 1 THEN h.cents END)
+               ), 6) AS DOUBLE) / 100 AS median_dollars,
+           CAST(MIN(CASE WHEN h.cum >= i.lo_rank + 1
+                         THEN h.cents END) AS BIGINT) AS ci_lo_cents,
+           CAST(MIN(CASE WHEN h.cum >= i.hi_rank + 1
+                         THEN h.cents END) AS BIGINT) AS ci_hi_cents,
+           CAST(i.c AS BIGINT) AS rank_offset
+    FROM cume h JOIN idx i ON h.segment = i.segment
+    GROUP BY i.segment, i.n, i.mlo, i.mhi, i.mfrac, i.lo_rank,
+             i.hi_rank, i.c
+    ORDER BY i.segment
+    """,
+)
+def median_ci_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X268: distribution-free confidence interval for the median —
+    per segment, the exact interpolated median of order cents plus
+    the order-statistic CI [X_(m−c), X_(m+c)] with
+    c = ⌈0.98·√n⌉ (the binomial normal approximation at 95%:
+    z/2·√n with z = 1.96) — no distributional assumption, just
+    ranks, which is THE way to put error bars on a median (the
+    bootstrap costs 200× more and the normal-theory interval is
+    wrong for skewed spend). The only irrational, 0.98·√n, stages
+    ROUND(.., 9) then an EXPLICIT CEIL (the X146 floor/ceil
+    discipline — bare double→int casts round differently across
+    engines); every rank after that is exact integer arithmetic and
+    every value is read by the crossing rule over the bounded cents
+    histogram (X244), never a per-group sort of raw rows.
+
+    Scale: one (segment, cents) aggregate below segment-partitioned
+    windows; the conditional-MIN read-back is one combinable pass."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    vals = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("bigint")
+            .alias("cents"),
+        )
+    )
+    hist = vals.groupBy("segment", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    wc = (
+        Window.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cume = hist.select(
+        "segment",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wc).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("segment")).alias("n"),
+    )
+    ns = cume.groupBy("segment").agg(F.max("n").alias("n"))
+    idx = F.broadcast(
+        ns.select(
+            "segment",
+            "n",
+            F.expr("(n - 1) DIV 2").alias("mlo"),
+            F.least(
+                F.expr("(n - 1) DIV 2 + 1"), F.col("n") - 1
+            ).alias("mhi"),
+            ((F.col("n") - 1) % 2).cast("double").alias("mfrac_n"),
+            F.ceil(
+                F.round(0.98 * F.sqrt(F.col("n")), 9).cast(
+                    "decimal(18,9)"
+                )
+            )
+            .cast("bigint")
+            .alias("c"),
+        ).select(
+            "segment",
+            "n",
+            "mlo",
+            "mhi",
+            (F.col("mfrac_n") / 2).alias("mfrac"),
+            F.greatest(F.lit(0), F.col("mlo") - F.col("c")).alias(
+                "lo_rank"
+            ),
+            F.least(
+                F.col("n") - 1, F.expr("n DIV 2") + F.col("c")
+            ).alias("hi_rank"),
+            "c",
+        )
+    )
+    j = cume.drop("n").join(idx, "segment")
+
+    def cross_at(col):
+        return F.min(
+            F.when(F.col("cum") >= F.col(col) + 1, F.col("cents"))
+        )
+
+    agg = j.groupBy(
+        "segment", "n", "mlo", "mhi", "mfrac", "lo_rank", "hi_rank", "c"
+    ).agg(
+        cross_at("mlo").cast("double").alias("v_lo"),
+        cross_at("mhi").cast("double").alias("v_hi"),
+        cross_at("lo_rank").cast("bigint").alias("ci_lo_cents"),
+        cross_at("hi_rank").cast("bigint").alias("ci_hi_cents"),
+    )
+    return agg.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n"),
+        (
+            F.round(
+                F.col("v_lo")
+                + F.col("mfrac") * (F.col("v_hi") - F.col("v_lo")),
+                6,
+            )
+            / 100
+        ).alias("median_dollars"),
+        "ci_lo_cents",
+        "ci_hi_cents",
+        F.col("c").cast("bigint").alias("rank_offset"),
+    ).orderBy("segment")

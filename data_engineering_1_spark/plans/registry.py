@@ -57,6 +57,7 @@ def load_all() -> None:
         breadth_queries,
         chunking_queries,
         cohort_queries,
+        control_queries,
         corpus_queries,
         curation_queries,
         decision_queries,

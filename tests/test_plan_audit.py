@@ -229,6 +229,12 @@ CROSS_OK = {
     # X259: broadcast 1-row total + 5-row global priority histogram
     # crossed into the bounded QI-group grid for densification
     "t_closeness_audit",
+    # X264: broadcast 1-row stratum-weight total crossed into the
+    # |segments|-row allocation relation
+    "neyman_allocation",
+    # X265: broadcast 1-row total-pulls and 1-row best-UCB aggregates
+    # crossed into the |arms|-row relation
+    "ucb1_event_types",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -329,6 +335,9 @@ GLOBAL_WINDOW_OK = {
     "brown_double_smoothing_daily",  # both 51-element fold frames run
     # over the daily grid: orders reduce to ONE ROW PER DAY before any
     # window (the ewma_halflife_daily shape)
+    "neyman_allocation",  # largest-remainder rank/total windows over
+    # the |segments|-row allocation table (the
+    # mixture_temperature_alloc shape)
 }
 
 
