@@ -233,6 +233,13 @@ _SAMPLER_PRIORITY = (
     "anova_dow_events",
     "ewma_control_chart",
     "median_ci_orders",
+    # never officially sampled (new in round 6: X269-X274 sketchops batch)
+    "pps_systematic_sample",
+    "kmv_union_intersect",
+    "doc_char_entropy",
+    "zorder_key_orders",
+    "alert_runs_ewma",
+    "good_turing_trigrams",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -83,7 +83,14 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> Column:
 def ngrams(tokens_col: Column | str, n: int = 2) -> Column:
     """Word n-grams as an array column — pure Spark twin of MLlib's NGram
     transformer (space-joined consecutive n-tuples), usable inside any
-    plan without a Pipeline."""
+    plan without a Pipeline.
+
+    Pass a MATERIALIZED array column (select the tokenizer into an
+    alias first), never a composite expression like ``tokens("text")``:
+    the token expression appears n+1 times inside the transform lambda
+    and Catalyst does not common-subexpression-eliminate across lambda
+    slots — a regex tokenizer fed directly measured ~20x slower than
+    the aliased form at sf0.1."""
     t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     sz = F.size(t)
     idx = F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(0)))

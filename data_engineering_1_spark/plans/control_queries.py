@@ -551,10 +551,10 @@ def anova_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- X267: EWMA control chart ----------------------------------------------------
 
 
-@declared_query(
-    "ewma_control_chart",
-    oracle=f"""
-    WITH daily AS (
+# X267's chart CTE chain, shared with X273's alert-run islands
+# (sketchops_queries) so both oracles compute the identical chart.
+_O_CHART = f"""
+    daily AS (
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(COUNT(*) AS BIGINT) AS y
         FROM events GROUP BY 1, 2
@@ -585,6 +585,13 @@ def anova_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS DECIMAL(18,9)) AS lim9
         FROM series
     )
+"""
+
+
+@declared_query(
+    "ewma_control_chart",
+    oracle=f"""
+    WITH {_O_CHART}
     SELECT event_type, day, y,
            CAST(ROUND(ewma, 6) AS DOUBLE) AS ewma,
            CAST(mu9 AS DOUBLE) AS center,

@@ -86,6 +86,7 @@ def load_all() -> None:
         scalar_queries,
         series_queries,
         similarity_queries,
+        sketchops_queries,
         stewardship_queries,
         text_queries,
         tpch_queries,

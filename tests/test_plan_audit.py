@@ -235,6 +235,12 @@ CROSS_OK = {
     # X265: broadcast 1-row total-pulls and 1-row best-UCB aggregates
     # crossed into the |arms|-row relation
     "ucb1_event_types",
+    # X270: broadcast 1-row exact-count / sketch-stat aggregates
+    # crossed together for the single-row report
+    "kmv_union_intersect",
+    # X274: broadcast 1-row token-total and unseen-mass aggregates
+    # crossed into the smoothed vocab relation
+    "good_turing_trigrams",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -338,6 +344,10 @@ GLOBAL_WINDOW_OK = {
     "neyman_allocation",  # largest-remainder rank/total windows over
     # the |segments|-row allocation table (the
     # mixture_temperature_alloc shape)
+    "pps_systematic_sample",  # the two-phase cumsum's offset windows
+    # run over the n/4096-row SHARD-TOTAL relation (the
+    # surrogate_keys_dense shape); fact rows only see a partitioned
+    # within-shard window
 }
 
 
