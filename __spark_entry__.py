@@ -240,6 +240,13 @@ _SAMPLER_PRIORITY = (
     "zorder_key_orders",
     "alert_runs_ewma",
     "good_turing_trigrams",
+    # never officially sampled (new in round 6: X275-X280 metrics batch)
+    "nelson_aalen_hazard",
+    "business_days_latency",
+    "greedy_knapsack_parts",
+    "iso_week_revenue",
+    "mahalanobis_2d_outliers",
+    "perfect_order_rate_monthly",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

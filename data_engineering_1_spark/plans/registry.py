@@ -74,6 +74,7 @@ def load_all() -> None:
         integrity_queries,
         linkage_queries,
         market_queries,
+        metrics_queries,
         mining_queries,
         mlprep_queries,
         pipeline_queries,

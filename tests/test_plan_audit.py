@@ -241,6 +241,12 @@ CROSS_OK = {
     # X274: broadcast 1-row token-total and unseen-mass aggregates
     # crossed into the smoothed vocab relation
     "good_turing_trigrams",
+    # X275: broadcast 1-row study-end aggregate crossed into the
+    # per-user duration relation (the kaplan_meier shape)
+    "nelson_aalen_hazard",
+    # X279: broadcast 1-row central-moment aggregate crossed into the
+    # per-order scoring scan
+    "mahalanobis_2d_outliers",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -348,6 +354,12 @@ GLOBAL_WINDOW_OK = {
     # run over the n/4096-row SHARD-TOTAL relation (the
     # surrogate_keys_dense shape); fact rows only see a partitioned
     # within-shard window
+    "nelson_aalen_hazard",  # at-risk/hazard-cumulative windows over
+    # the bounded duration-DAY grid (the kaplan_meier shape); users
+    # reduce in the per-duration aggregate below
+    "greedy_knapsack_parts",  # greedy rank/cumsum over the PART
+    # DIMENSION (catalog-bounded, the abc_classification shape); the
+    # docstring names the X155/X269 two-phase rewrite for fact-scale
 }
 
 
