@@ -247,6 +247,13 @@ _SAMPLER_PRIORITY = (
     "iso_week_revenue",
     "mahalanobis_2d_outliers",
     "perfect_order_rate_monthly",
+    # never officially sampled (new in round 6: X281-X286 horizon batch)
+    "embedding_truncation_fidelity",
+    "sequential_rules_parts",
+    "temporal_reach_parts",
+    "ss_policy_inventory",
+    "trigram_diversity_sources",
+    "wau_mau_stickiness",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -247,6 +247,12 @@ CROSS_OK = {
     # X279: broadcast 1-row central-moment aggregate crossed into the
     # per-order scoring scan
     "mahalanobis_2d_outliers",
+    # X281: 4-row constant k-grid crossed into the bounded pair-dim
+    # relation for the truncation sweep
+    "embedding_truncation_fidelity",
+    # X282: broadcast 1-row customer-count aggregate crossed into the
+    # 30-row rule relation for lift
+    "sequential_rules_parts",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -360,6 +366,9 @@ GLOBAL_WINDOW_OK = {
     "greedy_knapsack_parts",  # greedy rank/cumsum over the PART
     # DIMENSION (catalog-bounded, the abc_classification shape); the
     # docstring names the X155/X269 two-phase rewrite for fact-scale
+    "wau_mau_stickiness",  # trailing-set windows over the daily grid:
+    # events reduce to ONE ROW PER DAY (collect_set) before any window
+    # (the rolling_7d_distinct_users shape, two frames)
 }
 
 
