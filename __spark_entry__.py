@@ -254,6 +254,13 @@ _SAMPLER_PRIORITY = (
     "ss_policy_inventory",
     "trigram_diversity_sources",
     "wau_mau_stickiness",
+    # never officially sampled (new in round 6: X287-X292 governance batch)
+    "consistent_hash_rebalance",
+    "simpsons_reversal_audit",
+    "scd2_asof_snapshot",
+    "holm_bonferroni_tests",
+    "benjamini_hochberg_tests",
+    "standardized_rates_nations",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -69,6 +69,7 @@ def load_all() -> None:
         events_queries,
         experiment_queries,
         frontier_queries,
+        governance_queries,
         horizon_queries,
         inference_queries,
         instrument_queries,

@@ -253,6 +253,22 @@ CROSS_OK = {
     # X282: broadcast 1-row customer-count aggregate crossed into the
     # 30-row rule relation for lift
     "sequential_rules_parts",
+    # X287: two broadcast 1-row ring-array aggregates crossed into
+    # the key scan (the sorted ring travels as one array per row)
+    "consistent_hash_rebalance",
+    # X288: broadcast 1-row grand-total aggregate crossed into the
+    # 25-nation relation
+    "simpsons_reversal_audit",
+    # X289: broadcast 1-row as-of midpoint crossed into the SCD2
+    # interval relation
+    "scd2_asof_snapshot",
+    # X290/X291: broadcast 1-row pooled-rate aggregate crossed into
+    # the 25-test relation
+    "holm_bonferroni_tests",
+    "benjamini_hochberg_tests",
+    # X292: broadcast 5-row segment-mix + 1-row total crossed into
+    # the 25-nation grid for densification
+    "standardized_rates_nations",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
@@ -369,6 +385,10 @@ GLOBAL_WINDOW_OK = {
     "wau_mau_stickiness",  # trailing-set windows over the daily grid:
     # events reduce to ONE ROW PER DAY (collect_set) before any window
     # (the rolling_7d_distinct_users shape, two frames)
+    "holm_bonferroni_tests",  # rank + step-down windows over the
+    # 25-test (nation) relation
+    "benjamini_hochberg_tests",  # rank + step-up windows over the
+    # same 25-test relation
 }
 
 
