@@ -261,6 +261,13 @@ _SAMPLER_PRIORITY = (
     "holm_bonferroni_tests",
     "benjamini_hochberg_tests",
     "standardized_rates_nations",
+    # never officially sampled (new in round 6: X293-X298 causal batch)
+    "rdd_price_threshold",
+    "golden_record_fusion",
+    "capture_recapture_customers",
+    "last_digit_uniformity",
+    "odds_ratio_nations",
+    "activity_halflife_fit",
     # sampled 1x, most recently round 3
     "q19_disjunctive_revenue",
     "q20_promo_volume_suppliers",

@@ -55,6 +55,7 @@ def load_all() -> None:
         analytics_queries,
         assurance_queries,
         breadth_queries,
+        causal_queries,
         chunking_queries,
         cohort_queries,
         control_queries,

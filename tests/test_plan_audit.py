@@ -269,6 +269,17 @@ CROSS_OK = {
     # X292: broadcast 5-row segment-mix + 1-row total crossed into
     # the 25-nation grid for densification
     "standardized_rates_nations",
+    # X293: the two 1-row per-side OLS fits crossed for the gap
+    "rdd_price_threshold",
+    # X295: broadcast 1-row month-bounds aggregate crossed into the
+    # two-month scan; 1-row count aggregates crossed for the report
+    "capture_recapture_customers",
+    # X296: broadcast 1-row moment aggregate crossed into the 10-row
+    # digit relation
+    "last_digit_uniformity",
+    # X298: broadcast 1-row first-day/cohort-size aggregates crossed
+    # into the scan and the daily retention grid
+    "activity_halflife_fit",
 }
 
 # Queries allowed an UNPARTITIONED window (all data through one task):
