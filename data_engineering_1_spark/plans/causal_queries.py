@@ -326,8 +326,8 @@ def golden_record_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cap
     )
     SELECT n1, n2, m, true_total,
-           CAST(ROUND(CAST(n1 AS DOUBLE) * n2 / m, 6) AS DOUBLE)
-               AS lincoln_petersen,
+           CAST(ROUND(CAST(n1 AS DOUBLE) * n2 / NULLIF(m, 0), 6)
+                AS DOUBLE) AS lincoln_petersen,
            CAST(ROUND(CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1)
                       - 1, 6) AS DOUBLE) AS chapman,
            CAST(ROUND((CAST(n1 + 1 AS DOUBLE) * (n2 + 1) / (m + 1)
@@ -395,8 +395,15 @@ def capture_recapture_customers(
         "n2",
         "m",
         "true_total",
-        F.round(
-            F.col("n1").cast("double") * F.col("n2") / F.col("m"), 6
+        # m = 0 guard (ADVICE r6): with zero recaptured buyers LP is
+        # undefined — emit NULL explicitly on BOTH engines (Spark's
+        # non-ANSI division would NULL here while DuckDB's double
+        # division yields inf, breaking parity on a degenerate fixture).
+        F.when(
+            F.col("m") > 0,
+            F.round(
+                F.col("n1").cast("double") * F.col("n2") / F.col("m"), 6
+            ),
         ).alias("lincoln_petersen"),
         F.round(chapman, 6).alias("chapman"),
         F.round(chapman / F.col("true_total"), 6).alias(

@@ -169,6 +169,44 @@ def test_capture_recapture_matches_formulas(spark, sf_dir):
     )
 
 
+def test_capture_recapture_zero_overlap_is_null(spark, tmp_path):
+    """ADVICE r6: when the two capture months share NO buyers (m = 0)
+    Lincoln-Petersen is undefined — both engines must emit NULL, not
+    inf (DuckDB double division) vs NULL (Spark non-ANSI division).
+    Built on a degenerate fixture: two months, disjoint buyer sets."""
+    import duckdb
+
+    pd.DataFrame(
+        {
+            "o_orderkey": [1, 2, 3, 4],
+            "o_custkey": [10, 11, 20, 21],
+            "o_orderdate": [
+                "1995-01-05",
+                "1995-01-20",
+                "1995-02-03",
+                "1995-02-17",
+            ],
+        }
+    ).to_parquet(tmp_path / "orders.parquet")
+    out = _q("capture_recapture_customers", spark, str(tmp_path))
+    row = out.iloc[0]
+    assert (int(row.n1), int(row.n2), int(row.m)) == (2, 2, 0)
+    assert pd.isna(row.lincoln_petersen)
+    # Chapman stays finite: (2+1)(2+1)/(0+1) - 1 = 8
+    assert row.chapman == 8.0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/orders.parquet')"
+    )
+    ddf = con.execute(
+        registry.get_oracles()["capture_recapture_customers"]
+    ).df()
+    drow = ddf.iloc[0]
+    assert pd.isna(drow.lincoln_petersen)
+    assert drow.chapman == 8.0
+
+
 # ---- X296 last_digit_uniformity ---------------------------------------------------
 
 

@@ -53,11 +53,62 @@ def test_oracle_parity_sf0001(spark, sf_dir, duck, name):
 
 
 def test_sampler_priority_names_are_declared():
-    """Every name in the sampler priority list must be a real declared
-    query — a typo would silently leave that query unprioritized."""
+    """Two-way set equality (ADVICE r6): every priority name must be a
+    declared query AND every declared query must appear in the priority
+    list — a registry name absent from the list would silently be
+    sampled LAST, inverting the least-verified-first intent. The list
+    is now derived from CORRECTNESS_r*.json at import, so this pins the
+    derivation covers the whole registry."""
     declared = set(entry_mod.queries())
-    missing = [n for n in entry_mod._SAMPLER_PRIORITY if n not in declared]
-    assert not missing, f"priority names not in queries(): {missing}"
+    priority = set(entry_mod._SAMPLER_PRIORITY)
+    assert priority == declared, (
+        f"priority-only: {sorted(priority - declared)}; "
+        f"unprioritized: {sorted(declared - priority)}"
+    )
+
+
+def test_never_sampled_queries_lead_and_failures_first():
+    """The derived order puts (1) queries whose last official sample
+    was red, then (2) never-officially-sampled queries, ahead of any
+    already-green query."""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sampled = set()
+    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        sampled |= set(json.load(open(path)))
+    order = list(entry_mod._SAMPLER_PRIORITY)
+    never = [n for n in order if n not in sampled]
+    if never:
+        worst_never = max(order.index(n) for n in never)
+        greens_before = [
+            n for n in order[:worst_never] if n in sampled
+        ]
+        # any sampled query ahead of a never-sampled one must be a
+        # last-sample failure (fix-verification-first rule)
+        for n in greens_before:
+            last = max(
+                (
+                    int("".join(c for c in os.path.basename(p) if c.isdigit())),
+                    json.load(open(p))[n],
+                )
+                for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+                if n in json.load(open(p))
+            )[1]
+            assert not last.get("hash_match", False), n
+
+
+def test_neutral_order_env_escape(monkeypatch):
+    """SPARK_GRAFT_NEUTRAL_ORDER=1 returns registry-registration order
+    (the r6-advisory opt-out of the coverage-first default)."""
+    from data_engineering_1_spark.plans import registry
+
+    monkeypatch.setenv("SPARK_GRAFT_NEUTRAL_ORDER", "1")
+    assert list(entry_mod.queries()) == list(registry.get_queries())
+    monkeypatch.delenv("SPARK_GRAFT_NEUTRAL_ORDER")
+    assert list(entry_mod.queries()) == list(entry_mod._SAMPLER_PRIORITY)
 
 
 def test_priority_queries_lead_the_ordering():
