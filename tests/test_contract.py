@@ -67,37 +67,70 @@ def test_sampler_priority_names_are_declared():
     )
 
 
-def test_never_sampled_queries_lead_and_failures_first():
-    """The derived order puts (1) queries whose last official sample
-    was red, then (2) never-officially-sampled queries, ahead of any
-    already-green query."""
+def _load_latest_samples():
+    """{name: (latest_round, row)} from the official CORRECTNESS files,
+    each file loaded exactly once (ADVICE r7: the old per-query re-parse
+    was O(files x greens) and a round-digit tie would have compared row
+    dicts and raised TypeError — rounds are compared alone here, later
+    file in sorted order winning a tie)."""
     import glob
     import json
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    sampled = set()
-    for path in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
-        sampled |= set(json.load(open(path)))
+    latest: dict[str, tuple[int, dict]] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int("".join(c for c in os.path.basename(path) if c.isdigit()))
+        for name, row in json.load(open(path)).items():
+            if name not in latest or rnd >= latest[name][0]:
+                latest[name] = (rnd, row)
+    return latest
+
+
+def test_never_sampled_queries_lead_and_failures_first():
+    """The derived order puts (1) queries whose last official sample
+    was red, then (2) never-officially-sampled queries, ahead of any
+    already-green query."""
+    latest = _load_latest_samples()
     order = list(entry_mod._SAMPLER_PRIORITY)
-    never = [n for n in order if n not in sampled]
+    never = [n for n in order if n not in latest]
     if never:
         worst_never = max(order.index(n) for n in never)
-        greens_before = [
-            n for n in order[:worst_never] if n in sampled
-        ]
+        greens_before = [n for n in order[:worst_never] if n in latest]
         # any sampled query ahead of a never-sampled one must be a
         # last-sample failure (fix-verification-first rule)
         for n in greens_before:
-            last = max(
-                (
-                    int("".join(c for c in os.path.basename(p) if c.isdigit())),
-                    json.load(open(p))[n],
-                )
-                for p in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
-                if n in json.load(open(p))
-            )[1]
-            assert not last.get("hash_match", False), n
+            assert not latest[n][1].get("hash_match", False), n
+
+
+def test_unsampled_tail_is_the_exact_prefix():
+    """Rotation guard (VERDICT r7 #7): every never-officially-sampled
+    query must occupy the FRONT of the priority order, immediately
+    after any last-sample failures — so a future registry batch cannot
+    displace the unsampled tail behind re-verification of greens. Pins
+    the actual prefix-set expectation, not just set equality."""
+    latest = _load_latest_samples()
+    order = list(entry_mod._SAMPLER_PRIORITY)
+    failures = {
+        n
+        for n, (_, row) in latest.items()
+        if not (
+            row.get("hash_match")
+            or (
+                n in entry_mod._ROWS_ONLY
+                and (row.get("err") == "no_oracle" or row.get("rows_match"))
+            )
+        )
+    }
+    never = {n for n in order if n not in latest}
+    expected_prefix = failures | never
+    got_prefix = set(order[: len(expected_prefix)])
+    assert got_prefix == expected_prefix, (
+        f"displaced from prefix: {sorted(expected_prefix - got_prefix)}; "
+        f"intruding greens: {sorted(got_prefix - expected_prefix)}"
+    )
+    # and failures strictly lead the never-sampled block
+    assert set(order[: len(failures)]) == failures
 
 
 def test_neutral_order_env_escape(monkeypatch):
@@ -107,6 +140,10 @@ def test_neutral_order_env_escape(monkeypatch):
 
     monkeypatch.setenv("SPARK_GRAFT_NEUTRAL_ORDER", "1")
     assert list(entry_mod.queries()) == list(registry.get_queries())
+    # "0"/"false"/"" mean OFF, not string-truthy ON (ADVICE r7)
+    for off in ("0", "false", "", " 0 "):
+        monkeypatch.setenv("SPARK_GRAFT_NEUTRAL_ORDER", off)
+        assert list(entry_mod.queries()) == list(entry_mod._SAMPLER_PRIORITY)
     monkeypatch.delenv("SPARK_GRAFT_NEUTRAL_ORDER")
     assert list(entry_mod.queries()) == list(entry_mod._SAMPLER_PRIORITY)
 
