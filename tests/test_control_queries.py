@@ -44,6 +44,12 @@ def test_winnowing_matches_pure_python(spark, sf_dir):
     out = _q("winnowing_fingerprints", spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").toPandas()
     fps = {r.doc_id: _winnow(r.text) for r in docs.itertuples()}
+    # r8 boilerplate/skew cutoff: drop fingerprints present in > 5% of
+    # docs (exact integer test df*100 <= n_docs*5), BEFORE sizes/pairs
+    n_docs = len(docs)
+    df_count = collections.Counter(h for s in fps.values() for h in s)
+    hot = {h for h, df in df_count.items() if df * 100 > n_docs * 5}
+    fps = {d: {h for h in s if h not in hot} for d, s in fps.items()}
     pairs = {}
     by_hash = collections.defaultdict(list)
     for d, s in fps.items():

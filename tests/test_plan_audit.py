@@ -40,6 +40,9 @@ CROSS_OK = {
     # funnel stage bounds / df-threshold 1-row aggregates crossed in
     "conversion_funnel_12h",
     "jaccard_neardup_pairs",
+    # r8: 1-row corpus-total (n_docs) crossed into the hot-fingerprint
+    # df-cutoff (df*100 <= n_docs*5) before the inverted-index self-join
+    "winnowing_fingerprints",
     "lang_text_stats",
     "top_terms_per_lang",
     "embedding_centroids",
