@@ -678,8 +678,11 @@ def itemset3_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     NEVER |parts|³); both self-joins shuffle on the same l_orderkey
     key, so one Exchange's partitioning is reused by the second join;
     the support count is combinable and top-20 is TakeOrdered."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
+    # distinct incidence from the session-scoped persisted cache
+    # (VERDICT r7 #4); the two basket-bounded self-joins read memory
+    from ..operators.edgecache import copurchase_items
+
+    d = copurchase_items(spark, sf_dir)
     a, b, c = d.alias("a"), d.alias("b"), d.alias("c")
     tri = (
         a.join(

@@ -649,26 +649,13 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm under the strict gate, not rows-only. (A float
     formulation genuinely diverged in the 12th digit between engines;
     see the operator docstring.)"""
+    from ..operators.edgecache import copurchase_edges
     from ..operators.graph import pagerank
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-    ).select(
-        F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-    )
-    edges = pairs.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
-                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    # edge build served from the session-scoped persisted pair cache
+    # (operators/edgecache.py, VERDICT r7 #4) — shared with the other
+    # ten graph queries instead of re-running the lineitem self-join
+    edges = copurchase_edges(spark, sf_dir)
     pr = pagerank(edges, n_iter=2, damping_pct=85)
     return (
         pr.select(

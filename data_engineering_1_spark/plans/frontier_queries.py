@@ -261,30 +261,12 @@ def modularity_brand_partition(
     DECIMAL(38,0); Q is two divisions of exact operands, rounded 6.
     Scale: two broadcast-dim joins (part) onto the edge list, two
     combinable aggregates — no fan-out beyond |E|."""
-    li = load_table(spark, sf_dir, "lineitem")
+    from ..operators.edgecache import copurchase_edges_distinct
+
     p = load_table(spark, sf_dir, "part")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    e = und.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
-                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
-            )
-        ).alias("x")
-    ).select("x.src", "x.dst")
+    # symmetrized simple graph from the session-scoped persisted pair
+    # cache (VERDICT r7 #4)
+    e = copurchase_edges_distinct(spark, sf_dir)
     pu = p.select(
         F.col("p_partkey").alias("src"), F.col("p_brand").alias("cu")
     )

@@ -510,31 +510,12 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget bounds the work like X161's hop budget. SUM(DISTINCT src)
     equals the survivor-node checksum because both engines deduplicate
     before summing."""
+    from ..operators.edgecache import copurchase_edges_distinct
     from ..operators.graph import kcore_peel
 
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
-    edges = und.select(
-        F.explode(
-            F.array(
-                F.struct(F.col("u").alias("src"), F.col("v").alias("dst")),
-                F.struct(F.col("v").alias("src"), F.col("u").alias("dst")),
-            )
-        ).alias("e")
-    ).select("e.src", "e.dst")
+    # symmetrized simple graph from the session-scoped persisted pair
+    # cache (VERDICT r7 #4) — the lineitem self-join never reruns here
+    edges = copurchase_edges_distinct(spark, sf_dir)
     rounds = kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
     stats = None
     for i, e in enumerate(rounds, start=1):

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from .registry import declared_query
-from .series_queries import _O_EDGES, _copurchase_edges
+from .series_queries import _O_EDGES
 
 # Simple (distinct) symmetric co-purchase edges + degrees + the 30
 # highest-degree anchor parts, shared by X253/X255/X256.
@@ -61,14 +61,15 @@ _CMS_D = 3
 
 
 def _simple_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Materialize once: every consumer reuses the relation 2-4 times
-    # (per LP/PPR round, per wedge leg) and without a checkpoint each
-    # reuse re-runs the items self-join from the parquet scan up.
-    return (
-        _copurchase_edges(spark, sf_dir)
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # Served from the session-scoped persisted distinct-pair cache
+    # (operators/edgecache.py, VERDICT r7 #4): consumers that reuse the
+    # relation 2-4 times (per LP/PPR round, per wedge leg) re-run only
+    # the narrow symmetrizing explode over the in-memory cache — the
+    # items self-join itself runs once per (app, sf_dir) across ALL
+    # graph queries, replacing the per-query localCheckpoint.
+    from ..operators.edgecache import copurchase_edges_distinct
+
+    return copurchase_edges_distinct(spark, sf_dir)
 
 
 def _anchors(sedges: DataFrame):

@@ -928,21 +928,11 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges, 12.6 s). ``oriented`` is materialized once via
     ``localCheckpoint`` (the "persisted adjacency" of the scale
     story, same discipline as ``operators/graph.py``)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
-        .distinct()
-    )
+    from ..operators.edgecache import copurchase_und
+
+    # simple undirected graph from the session-scoped persisted cache
+    # (VERDICT r7 #4) — shared with clustering coeff / k-core / modularity
+    und = copurchase_und(spark, sf_dir)
     deg = (
         und.select(F.explode(F.array("u", "v")).alias("node"))
         .groupBy("node")
