@@ -188,34 +188,52 @@ def degree_assortativity_copurchase(
     Exactness: degrees are exact BIGINTs; all five power sums
     accumulate in DECIMAL(38,0) (order-free); the correlation is
     computed ONCE in double on identical exact operands, rounded 6.
-    Scale: two equi-joins of edges to the |V|-row degree table (both
-    shuffle on a node key), one combinable aggregate — no window, no
-    fan-out beyond |E|."""
-    edges = _copurchase_edges(spark, sf_dir)
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
+    Scale: the directed edge list is NEVER materialized — each
+    undirected pair contributes both directions to the (symmetric)
+    power sums, so the degree joins run over |pairs| = |E|/2 rows and
+    m / sx=sy / sxy / sxx=syy come out of one combinable aggregate
+    with exact 2x / (du+dv) folds. Degrees come from one endpoint
+    explode of the cached pair relation."""
+    from ..operators.edgecache import copurchase_pairs
+
+    pairs = copurchase_pairs(spark, sf_dir)
+    deg = (
+        pairs.select(F.explode(F.array("u", "v")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
     )
     ed = (
-        edges.join(deg.withColumnRenamed("node", "src"), "src")
-        .withColumnRenamed("d", "dx")
+        pairs.join(deg.withColumnRenamed("node", "u"), "u")
+        .withColumnRenamed("d", "du")
         .join(
-            deg.withColumnRenamed("node", "dst").withColumnRenamed(
-                "d", "dy"
-            ),
-            "dst",
+            deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"),
+            "v",
         )
         .select(
-            F.col("dx").cast("decimal(38,0)").alias("x"),
-            F.col("dy").cast("decimal(38,0)").alias("y"),
+            F.col("du").cast("decimal(38,0)").alias("du"),
+            F.col("dv").cast("decimal(38,0)").alias("dv"),
         )
     )
+    # symmetric accumulation: the directed edge set is {(u,v)} ∪ {(v,u)},
+    # so m = 2·|pairs|, sx = sy = Σ(du+dv), sxy = 2·Σ du·dv,
+    # sxx = syy = Σ(du²+dv²) — all exact integer/decimal folds
     s = ed.agg(
-        F.count(F.lit(1)).cast("bigint").alias("m"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).cast("decimal(38,0)").alias("syy"),
+        (F.count(F.lit(1)) * 2).cast("bigint").alias("m"),
+        F.sum(F.col("du") + F.col("dv"))
+        .cast("decimal(38,0)")
+        .alias("sx"),
+        F.sum(F.col("du") + F.col("dv"))
+        .cast("decimal(38,0)")
+        .alias("sy"),
+        (F.sum(F.col("du") * F.col("dv")) * 2)
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     md = F.col("m").cast("double")
