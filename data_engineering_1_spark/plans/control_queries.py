@@ -44,14 +44,26 @@ from .registry import declared_query
 
 _WIN_K = 8  # k-gram length (chars)
 _WIN_W = 4  # winnowing window (k-grams)
-# Hot-fingerprint cutoff: a fingerprint present in > 5% of documents is
-# boilerplate (common 8-grams like "the and "), not evidence of copying —
-# and it is a hot join key: on the fixture the hottest fingerprint sits
-# in ~50% of docs, so the inverted-index self-join cost Σ df² was
-# dominated by boilerplate (52.6M candidate pairs at sf0.1 before the
-# cutoff, 9.9M after). Decided on exact integers (df·100 > n_docs·5),
-# the X109 boilerplate-shingles discipline.
+# Hot-fingerprint cutoff, DUAL threshold — a fingerprint is dropped
+# before the pair join if df·100 > n_docs·5 OR df > 250:
+#  * the RELATIVE leg (>5% of documents) identifies corpus-wide
+#    boilerplate (common 8-grams like "the and "), the X109
+#    boilerplate-shingles discipline — on the fixture the hottest
+#    fingerprint sits in ~50% of docs, so the inverted-index self-join
+#    cost Σ df² was dominated by boilerplate (52.6M candidate pairs at
+#    sf0.1 before the cutoff, 9.9M after);
+#  * the ABSOLUTE leg caps worst-case per-key join fan-out at
+#    C(250,2) ≈ 31k pairs INDEPENDENT of corpus size — without it, the
+#    10x constant-duplicate-density probe (per-shard boilerplate, so
+#    per-key df stays flat while n_docs grows) diluted the relative
+#    threshold below every hot key and the pair join went super-linear
+#    (measured 5.2 s → 161.7 s at 10x; linear again with the cap). 250
+#    coincides with the relative threshold at the 5000-doc sf0.1
+#    fixture, so the cap changes nothing at bench scale and binds only
+#    when the corpus outgrows 5000 docs.
+# Both legs decided on exact integers, mirrored in the DuckDB oracle.
 _WIN_MAX_DF_PCT = 5
+_WIN_MAX_DF_ABS = 250
 _BUDGET = 1000  # Neyman sample budget
 _UCB_THRESH = 50.0  # reward = value >= threshold
 _EWMA_FRAME = 50
@@ -86,6 +98,7 @@ _EWMA_FRAME = 50
         SELECT h FROM fps0 GROUP BY h
         HAVING CAST(COUNT(*) AS BIGINT) * 100
                <= (SELECT n_docs FROM nd) * {_WIN_MAX_DF_PCT}
+           AND CAST(COUNT(*) AS BIGINT) <= {_WIN_MAX_DF_ABS}
     ), fps AS (
         SELECT f.doc_id, f.h FROM fps0 f JOIN keep k ON f.h = k.h
     ), sizes AS (
@@ -123,14 +136,17 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     E7/X124 candidate discipline — and ranked by shared-fingerprint
     count with the containment ratio shared/min(|A|,|B|) alongside.
 
-    Boilerplate/skew guard (VERDICT r7): fingerprints whose document
-    frequency exceeds _WIN_MAX_DF_PCT (5%) of the corpus are dropped
-    BEFORE the inverted-index self-join (exact integer test
-    df·100 <= n_docs·5, the X109 discipline) — a
-    boilerplate fingerprint is simultaneously a false overlap signal
-    and a hot join key whose df² pair blow-up dominates the join at
-    scale. Sizes (nfp) are counted AFTER the cutoff so containment is
-    shared/min over comparable, boilerplate-free sets.
+    Boilerplate/skew guard (VERDICT r7), dual threshold: fingerprints
+    are dropped BEFORE the inverted-index self-join when their document
+    frequency exceeds _WIN_MAX_DF_PCT (5%) of the corpus (corpus-wide
+    boilerplate, the X109 discipline — a false overlap signal) OR
+    _WIN_MAX_DF_ABS (250) documents absolute (per-key join-cost bound:
+    C(250,2) ≈ 31k pairs per fingerprint independent of corpus size —
+    the leg that keeps the pair join linear when per-shard boilerplate
+    dilutes below the corpus-relative fraction; see the constant's
+    comment for the measured 10x probe). Both exact integer tests,
+    mirrored in the oracle. Sizes (nfp) are counted AFTER the cutoff so
+    containment is shared/min over comparable, boilerplate-free sets.
 
     Exactness: hashes from the md5 bridge, selection by integer
     window-min equality, counts exact; containment is one division
@@ -196,7 +212,10 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).over(Window.partitionBy("h")),
         )
         .crossJoin(F.broadcast(nd))  # 1-row corpus total
-        .where(F.col("df") * 100 <= F.col("n_docs") * _WIN_MAX_DF_PCT)
+        .where(
+            (F.col("df") * 100 <= F.col("n_docs") * _WIN_MAX_DF_PCT)
+            & (F.col("df") <= _WIN_MAX_DF_ABS)
+        )
         .withColumn(
             "nfp",
             F.count(F.lit(1))

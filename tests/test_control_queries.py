@@ -44,11 +44,15 @@ def test_winnowing_matches_pure_python(spark, sf_dir):
     out = _q("winnowing_fingerprints", spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").toPandas()
     fps = {r.doc_id: _winnow(r.text) for r in docs.itertuples()}
-    # r8 boilerplate/skew cutoff: drop fingerprints present in > 5% of
-    # docs (exact integer test df*100 <= n_docs*5), BEFORE sizes/pairs
+    # r8 boilerplate/skew cutoff (dual threshold): drop fingerprints
+    # present in > 5% of docs OR > 250 docs absolute, BEFORE sizes/pairs
     n_docs = len(docs)
     df_count = collections.Counter(h for s in fps.values() for h in s)
-    hot = {h for h, df in df_count.items() if df * 100 > n_docs * 5}
+    hot = {
+        h
+        for h, df in df_count.items()
+        if df * 100 > n_docs * 5 or df > 250
+    }
     fps = {d: {h for h in s if h not in hot} for d, s in fps.items()}
     pairs = {}
     by_hash = collections.defaultdict(list)
