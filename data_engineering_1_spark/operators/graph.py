@@ -190,19 +190,42 @@ def kcore_peel(
     directions present, no parallel edges), so degree(v) = the count of
     rows with src = v. Determinism: degrees and survivor sets are exact
     integer computations — a SQL oracle reproduces the peeling by
-    unrolling the same rounds as CTEs."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    unrolling the same rounds as CTEs.
+
+    State discipline (round 8): peeling state is carried as the
+    SURVIVOR NODE SET, not the shrinking edge list — after round r the
+    edge set is exactly the subgraph induced by the survivors (S_r is
+    monotonically shrinking, so both-endpoints-in-S_r ≡ the iterated
+    edge filtering), so each round localCheckpoints only a <= |V|-row
+    node table and re-derives its edges from the ONE persisted base
+    edge list. The previous form eagerly checkpointed the full |E|-row
+    edge list every round — vertex-sized state per round (the
+    pagerank/BFS/min-plus discipline) instead of edge-sized."""
+    spark = edges.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    e0 = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .repartition(parts, "src")
+        .persist()
+    )
+    e0.count()
     out: list[DataFrame] = []
+    survivors: DataFrame | None = None  # None = all nodes survive
+    cur = e0
     for _ in range(rounds):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        keep = deg.where(F.col("d") >= k).select("src")
-        e = (
-            e.join(keep, "src")
-            .join(keep.withColumnRenamed("src", "dst"), "dst")
-            .select("src", "dst")
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        survivors = (
+            deg.where(F.col("d") >= k)
+            .select("src")
             .localCheckpoint(eager=True)
         )
-        out.append(e)
+        cur = e0.join(survivors, "src").join(
+            survivors.withColumnRenamed("src", "dst"), "dst"
+        ).select("src", "dst")
+        out.append(cur)
+    # NOTE: e0 stays persisted for the returned (lazy) edge views; it
+    # is either the caller's already-cached relation (edgecache) or
+    # unpersisted with the session.
     return out
 
 
