@@ -228,6 +228,45 @@ def test_kcore_matches_pure_python_peeling(spark, sf_dir):
     assert int(first.n_nodes) < full_nodes
 
 
+def test_kcore_rounds_carry_node_sized_state(spark, sf_dir):
+    """r8 state discipline: kcore_peel checkpoints only the <= |V|-row
+    survivor NODE set per round; each returned round's edge view is
+    re-derived lazily from the ONE persisted base edge list. Pinned in
+    the plan: every round's executed plan reads the persisted base
+    (InMemoryTableScan) and joins checkpointed survivor tables (Scan
+    ExistingRDD) — with no eager |E|-row edge checkpoint, the rounds
+    would instead each be a bare ExistingRDD scan."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_1_spark.operators.graph import kcore_peel
+
+    und = spark.createDataFrame(
+        [(i, j) for i in range(1, 8) for j in range(i + 1, 8)],
+        "u int, v int",
+    )
+    edges = und.selectExpr("u as src", "v as dst").unionByName(
+        und.selectExpr("v as src", "u as dst")
+    )
+    rounds = kcore_peel(edges, k=3, rounds=2)
+    for e in rounds:
+        plan = e._jdf.queryExecution().executedPlan().toString()
+        assert "InMemoryTableScan" in plan  # persisted base edge list
+        assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
+        # and the view is still correct data: K7 survives k=3 fully
+        assert e.count() == 42
+    # survivor-set semantics survive an actual peel: on a 7-clique with
+    # one pendant node attached, the pendant dies in round 1
+    und2 = und.unionByName(
+        spark.createDataFrame([(1, 99)], "u int, v int")
+    )
+    edges2 = und2.selectExpr("u as src", "v as dst").unionByName(
+        und2.selectExpr("v as src", "u as dst")
+    )
+    r1, r2 = kcore_peel(edges2, k=3, rounds=2)
+    survivors = {r.src for r in r1.select("src").distinct().collect()}
+    assert 99 not in survivors and survivors == set(range(1, 8))
+
+
 # ---- X184 mutual_best_match -------------------------------------------
 
 
