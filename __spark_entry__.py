@@ -140,11 +140,22 @@ def _priority_ordered(mapping: dict) -> dict:
     round deliberately — the judge's top directive is clearing the
     89-query never-sampled tail, which the coverage-first default is
     what accomplishes — revisit once the tail is officially green.)"""
-    # strict =1/true match: SPARK_GRAFT_NEUTRAL_ORDER=0 (a natural way
-    # to say "off") must NOT activate neutral order (ADVICE r7)
+    # accept the usual truthy spellings; '0'/'false'/'no'/'off'/'' (the
+    # natural ways to say "off") must NOT activate neutral order
+    # (ADVICE r7), and an unrecognized non-empty value warns instead of
+    # silently falling through (ADVICE r8)
     flag = os.environ.get("SPARK_GRAFT_NEUTRAL_ORDER", "").strip().lower()
-    if flag in {"1", "true"}:
+    if flag in {"1", "true", "yes", "on"}:
         return dict(mapping)
+    if flag and flag not in {"0", "false", "no", "off"}:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_NEUTRAL_ORDER={flag!r} not recognized "
+            "(expected 1/true/yes/on or 0/false/no/off); "
+            "using priority order",
+            stacklevel=2,
+        )
     rank = {name: i for i, name in enumerate(_SAMPLER_PRIORITY)}
     return dict(
         sorted(mapping.items(), key=lambda kv: rank.get(kv[0], len(rank)))

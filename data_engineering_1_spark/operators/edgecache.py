@@ -1,7 +1,7 @@
 """Session-scoped persisted co-purchase edge relations.
 
 The X37 stored-index discipline applied to the graph family (VERDICT
-r7 #4): seven declared queries (pagerank, personalized pagerank, k-hop
+r7 #4): eleven declared queries (pagerank, personalized pagerank, k-hop
 BFS, k-core, cheapest-path, clustering coefficient, triangle count,
 modularity, label propagation, 2-hop reach, assortativity) all start
 from the SAME base relation — the distinct (l_orderkey, l_partkey)
@@ -26,9 +26,15 @@ Two base relations are cached, everything else is a projection:
 - ``copurchase_und``    — DISTINCT (u, v), u < v (the simple
   undirected graph).
 
-Symmetrized views (``copurchase_edges`` / ``copurchase_edges_distinct``)
-explode each cached row into both directions — a narrow map over the
-cache, deliberately NOT persisted twice.
+The symmetrized multigraph view (``copurchase_edges``) explodes each
+cached row into both directions — a narrow map over the cache, NOT
+persisted twice. The symmetrized SIMPLE relation
+(``copurchase_edges_distinct``) IS persisted (r9): it is the working
+relation of the iterative graph family (k-core, clustering
+coefficient, triangle count, 2-hop reach, ...), several of which scan
+it once per round — ~2|E| rows of two BIGINTs is far cheaper to hold
+than to re-explode inside every loop, and it lets kcore_peel run
+directly on the cached relation instead of persisting a private copy.
 
 Cache safety: entries are keyed by (applicationId, realpath(sf_dir))
 and additionally pin the owning SparkSession by identity — a new
@@ -39,44 +45,59 @@ reusing DataFrames whose analyzer state belongs to a dead session.
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 _CACHE: dict[tuple[str, str, str], tuple[SparkSession, DataFrame]] = {}
+# RLock (ADVICE r8): `build` recurses into _cached (pairs -> items), and
+# concurrent first calls must not race to persist two copies of the same
+# relation (one would leak, unreferenced but persisted).
+_LOCK = threading.RLock()
 
 
 def _cached(
     spark: SparkSession, sf_dir: str, kind: str, build
 ) -> DataFrame:
-    key = (
-        spark.sparkContext.applicationId,
-        os.path.realpath(sf_dir),
-        kind,
-    )
-    hit = _CACHE.get(key)
-    if hit is not None:
-        cached_spark, df = hit
-        if cached_spark is spark:
-            return df
-        try:  # same app, different session object: drop the stale entry
-            df.unpersist()
-        except Exception:
-            pass
-    df = build().persist(StorageLevel.MEMORY_AND_DISK)
-    _CACHE[key] = (spark, df)
-    return df
+    app = spark.sparkContext.applicationId
+    key = (app, os.path.realpath(sf_dir), kind)
+    with _LOCK:
+        # evict entries owned by dead applications (ADVICE r8): their
+        # DataFrames can never be returned again (the app-id key check
+        # below misses them forever) and would otherwise linger in the
+        # module dict for the process lifetime.
+        for stale in [k for k in _CACHE if k[0] != app]:
+            _, old = _CACHE.pop(stale)
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        hit = _CACHE.get(key)
+        if hit is not None:
+            cached_spark, df = hit
+            if cached_spark is spark:
+                return df
+            try:  # same app, different session: drop the stale entry
+                df.unpersist()
+            except Exception:
+                pass
+            del _CACHE[key]
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _CACHE[key] = (spark, df)
+        return df
 
 
 def clear_cache() -> None:
     """Unpersist and forget every cached edge relation (test hygiene)."""
-    for _, (_, df) in list(_CACHE.items()):
-        try:
-            df.unpersist()
-        except Exception:
-            pass
-    _CACHE.clear()
+    with _LOCK:
+        for _, (_, df) in list(_CACHE.items()):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        _CACHE.clear()
 
 
 def copurchase_items(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,23 +114,117 @@ def copurchase_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached(spark, sf_dir, "items", build)
 
 
+def _pairs_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw (u, v) pair self-join plan — the expensive relation the
+    session cache and the durable warehouse both memoize."""
+    items = copurchase_items(spark, sf_dir)
+    a, b = items.alias("a"), items.alias("b")
+    return a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("u"),
+        F.col("b.l_partkey").alias("v"),
+    )
+
+
+def _warehouse_root() -> str | None:
+    """Durable-cache root (VERDICT r8 #4), or None when disabled.
+
+    ``SPARK_GRAFT_EDGE_WAREHOUSE=0`` opts out entirely;
+    ``SPARK_GRAFT_WAREHOUSE`` overrides the location (default:
+    ``<repo>/warehouse`` — gitignored)."""
+    flag = os.environ.get("SPARK_GRAFT_EDGE_WAREHOUSE", "1").strip().lower()
+    if flag in {"0", "false", "no", "off"}:
+        return None
+    root = os.environ.get("SPARK_GRAFT_WAREHOUSE")
+    if not root:
+        root = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "warehouse",
+        )
+    return root
+
+
+def _durable_keys(sf_dir: str) -> tuple[str, str]:
+    """(sf_key, fingerprint): sf_key names the SOURCE DIRECTORY (one
+    subtree per sf_dir — sf0.001/0.01/0.1 coexist), fingerprint names
+    its CONTENT (total bytes + max mtime_ns of the lineitem parquet
+    files) — a regenerated fixture gets a new fingerprint, and stale
+    fingerprints are cleaned only inside their own sf_key subtree."""
+    import hashlib
+
+    real = os.path.realpath(sf_dir)
+    path = os.path.join(real, "lineitem.parquet")
+    total, mtime = 0, 0
+    if os.path.isfile(path):  # single-file parquet (the fixtures)
+        st = os.stat(path)
+        total, mtime = st.st_size, st.st_mtime_ns
+    else:  # parquet directory
+        for droot, _, files in os.walk(path):
+            for f in files:
+                st = os.stat(os.path.join(droot, f))
+                total += st.st_size
+                mtime = max(mtime, st.st_mtime_ns)
+    sf_key = hashlib.sha256(real.encode()).hexdigest()[:12]
+    fp = hashlib.sha256(f"{total}|{mtime}".encode()).hexdigest()[:16]
+    return sf_key, fp
+
+
+def _durable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """Read-or-build the WAREHOUSE copy of the pair relation.
+
+    The X37 stored-index discipline made durable (VERDICT r8 #4): the
+    session cache above still serves every in-session consumer from
+    memory, but a FRESH session used to pay the full lineitem scan +
+    self-join (~2 s at sf0.1) before the first of the ~15 graph
+    queries. Here the pair relation is written ONCE per (sf_dir,
+    source-fingerprint) as parquet under ``warehouse/copurchase_pairs``
+    (crash-safe temp-dir + atomic rename, like
+    ``operators/maintenance.py``), and every later session just scans
+    it. At 100 TB this is exactly the durable edge-table artifact the
+    module docstring describes — bucketed by src on a real cluster;
+    locally a plain parquet directory. Returns None (caller falls back
+    to the in-memory plan) when the warehouse is disabled or
+    unwritable."""
+    root = _warehouse_root()
+    if root is None:
+        return None
+    try:
+        sf_key, fp = _durable_keys(sf_dir)
+        base = os.path.join(root, "copurchase_pairs", sf_key)
+        dst = os.path.join(base, fp)
+        if not os.path.isdir(dst):
+            import shutil
+
+            os.makedirs(base, exist_ok=True)
+            tmp = os.path.join(base, f".tmp-{fp}-{os.getpid()}")
+            _pairs_plan(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+            try:
+                os.rename(tmp, dst)  # atomic publish
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+            # best-effort: drop stale fingerprints of THIS source dir
+            for old in os.listdir(base):
+                if old != fp and not old.startswith(".tmp-"):
+                    shutil.rmtree(os.path.join(base, old), ignore_errors=True)
+        return spark.read.parquet(dst)
+    except Exception:
+        return None
+
+
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(u, v) part pairs with u < v, one row per co-purchasing order
-    (multiplicity preserved) — persisted once per (app, sf_dir);
-    built from the cached incidence so the lineitem scan + distinct
-    run once across the whole family."""
+    (multiplicity preserved) — persisted once per (app, sf_dir), and
+    (r9) backed by a durable warehouse parquet copy so a FRESH session
+    scans the stored pair table instead of re-running the lineitem
+    self-join (VERDICT r8 #4)."""
 
     def build() -> DataFrame:
-        items = copurchase_items(spark, sf_dir)
-        a, b = items.alias("a"), items.alias("b")
-        return a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        ).select(
-            F.col("a.l_partkey").alias("u"),
-            F.col("b.l_partkey").alias("v"),
-        )
+        durable = _durable_pairs(spark, sf_dir)
+        return durable if durable is not None else _pairs_plan(spark, sf_dir)
 
     return _cached(spark, sf_dir, "pairs", build)
 
@@ -145,5 +260,13 @@ def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def copurchase_edges_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetrized simple-graph edge list (both directions, no parallel
-    edges) — a narrow explode over the cached distinct pairs."""
-    return _symmetrize(copurchase_und(spark, sf_dir))
+    edges) — persisted once per (app, sf_dir): the iterative graph
+    family scans it once per ROUND, so caching the exploded form (two
+    BIGINT columns) beats re-exploding the pair cache inside every
+    loop, and lets kcore_peel skip its private persisted copy."""
+    return _cached(
+        spark,
+        sf_dir,
+        "edges_distinct",
+        lambda: _symmetrize(copurchase_und(spark, sf_dir)),
+    )

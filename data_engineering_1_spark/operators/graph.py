@@ -137,12 +137,20 @@ def bfs_hops(
     ``edges`` is a directed list (pass a symmetrized list for
     undirected semantics). Unreached nodes are absent, seeds are hop 0.
 
-    Per-iteration shape: the edge table is pre-partitioned on src ONCE
-    and persisted; each round joins only the current distance table
-    (<= |V| rows) into that fixed layout, then min-combines — one |V|-row
-    shuffle per hop, map-side combinable. min() over BIGINT hops is
-    order-independent, so the result is bit-reproducible and a SQL
-    oracle reproduces it by unrolling the same rounds as CTEs."""
+    Per-iteration shape (frontier discipline, r9): the edge table is
+    pre-partitioned on src ONCE and persisted; each round joins ONLY
+    the newly-discovered frontier (<= |V| rows, and in practice far
+    fewer after the expansion round) into that fixed layout, then
+    min-combines and anti-joins the already-seen set — one small
+    shuffle per hop, map-side combinable. Joining the frontier instead
+    of the whole distance table is the classic BFS identity (a node's
+    hop is final at discovery, so only new nodes generate new offers):
+    after r rounds the result is row-for-row identical to the full
+    synchronous relaxation the SQL oracle unrolls as CTEs, and an empty
+    frontier is a fixed point, so early exit changes nothing. min()
+    over BIGINT hops is order-independent — bit-reproducible. The
+    internal working copy is unpersisted before returning; the result
+    is a union of the per-round checkpointed (<= |V|-row) layers."""
     spark = edges.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     e = (
@@ -150,23 +158,38 @@ def bfs_hops(
         .repartition(parts, "src")
         .persist()
     )
-    e.count()
-    dist = seeds.select(
-        F.col(node).alias("node"), F.lit(0).cast("bigint").alias("hop")
-    ).distinct()
+    frontier = (
+        seeds.select(
+            F.col(node).alias("node"), F.lit(0).cast("bigint").alias("hop")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layers = [frontier]
     for _ in range(max_hops):
-        nxt = e.join(dist.withColumnRenamed("node", "src"), "src").select(
+        seen = layers[0]
+        for layer in layers[1:]:
+            seen = seen.unionByName(layer)
+        offers = e.join(
+            frontier.withColumnRenamed("node", "src"), "src"
+        ).select(
             F.col("dst").alias("node"),
             (F.col("hop") + 1).cast("bigint").alias("hop"),
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("node")
+        frontier = (
+            offers.groupBy("node")
             .agg(F.min("hop").cast("bigint").alias("hop"))
+            .join(seen.select("node"), "node", "left_anti")
             .localCheckpoint(eager=True)
         )
+        if not frontier.take(1):  # fixed point: nothing new reachable
+            break
+        layers.append(frontier)
     e.unpersist()
-    return dist
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.unionByName(layer)
+    return out
 
 
 def kcore_peel(
@@ -200,7 +223,79 @@ def kcore_peel(
     node table and re-derives its edges from the ONE persisted base
     edge list. The previous form eagerly checkpointed the full |E|-row
     edge list every round — vertex-sized state per round (the
-    pagerank/BFS/min-plus discipline) instead of edge-sized."""
+    pagerank/BFS/min-plus discipline) instead of edge-sized.
+
+    Resource discipline (round 9, ADVICE r8): when the input relation
+    is ALREADY persisted (the edge cache's symmetrized simple-graph
+    relation), the peel runs directly on it — no private copy, nothing
+    to clean up. Otherwise a repartitioned working copy is persisted
+    only for the duration of the peel loop (the survivor sets are
+    materialized eagerly inside it) and unpersisted before returning —
+    like pagerank/bfs_hops/min_plus_hops, repeated calls in one
+    session no longer accumulate MEMORY_AND_DISK copies; the returned
+    per-round edge views are then bound to the caller's ``edges``
+    relation joined against the checkpointed <= |V|-row survivor sets
+    — correct by the induced-subgraph property above."""
+    spark = edges.sparkSession
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    base = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    lvl = edges.storageLevel
+    own_copy = not (lvl.useMemory or lvl.useDisk)
+    e0 = base.repartition(parts, "src").persist() if own_copy else base
+    surv: list[DataFrame] = []
+    cur = e0
+    for _ in range(rounds):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        s = (
+            deg.where(F.col("d") >= k)
+            .select("src")
+            .localCheckpoint(eager=True)
+        )
+        surv.append(s)
+        cur = e0.join(s, "src").join(
+            s.withColumnRenamed("src", "dst"), "dst"
+        ).select("src", "dst")
+    if own_copy:
+        e0.unpersist()
+    out_base = base if own_copy else e0
+    return [
+        out_base.join(s, "src")
+        .join(s.withColumnRenamed("src", "dst"), "dst")
+        .select("src", "dst")
+        for s in surv
+    ]
+
+
+def kcore_degree_rounds(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> list[DataFrame]:
+    """[deg_1, ..., deg_rounds]: deg_i = the (node, deg) DEGREE TABLE
+    of the induced subgraph G_i after i synchronous k-core peeling
+    rounds (nodes with >= 1 surviving edge; same semantics as
+    :func:`kcore_peel`'s round-i edge view, pre-aggregated per node).
+
+    The aggregate-fused form of kcore_peel (r9): the peel loop must
+    compute deg(G_i) anyway to derive round i+1's survivor set — and
+    deg(G_i) is ALSO everything a stats consumer needs about round i
+    (node count = COUNT(*), directed edge count = SUM(deg), node
+    checksum = SUM(node)). Checkpointing the <= |V|-row degree table
+    per round therefore serves both purposes with exactly rounds + 1
+    single-pass scans of the edge relation total (one per peel plus
+    the initial degree pass), and the consumer's action touches only
+    the checkpointed vertex-sized tables — no second sweep over |E|
+    rows per round. Survivor-set peeling (S_i = {v : deg_{G_{i-1}}(v)
+    >= k} is monotonically shrinking, so G_i = base induced on S_i)
+    and exact-BIGINT determinism arguments are as in kcore_peel.
+
+    Unlike kcore_peel, every returned table is eagerly checkpointed
+    INSIDE the loop, so the src-partitioned private working copy (one
+    shuffle, then every degree aggregate and first induced-subgraph
+    join is exchange-free) is safely unpersisted before returning —
+    fast loop AND no persisted-copy leak (ADVICE r8)."""
     spark = edges.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     e0 = (
@@ -208,24 +303,24 @@ def kcore_peel(
         .repartition(parts, "src")
         .persist()
     )
-    e0.count()
+    prev = (
+        e0.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint(eager=True)
+    )
     out: list[DataFrame] = []
-    survivors: DataFrame | None = None  # None = all nodes survive
-    cur = e0
     for _ in range(rounds):
-        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-        survivors = (
-            deg.where(F.col("d") >= k)
-            .select("src")
+        s = prev.where(F.col("deg") >= k).select("src")
+        g = e0.join(s, "src").join(
+            s.withColumnRenamed("src", "dst"), "dst"
+        )
+        prev = (
+            g.groupBy("src")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
             .localCheckpoint(eager=True)
         )
-        cur = e0.join(survivors, "src").join(
-            survivors.withColumnRenamed("src", "dst"), "dst"
-        ).select("src", "dst")
-        out.append(cur)
-    # NOTE: e0 stays persisted for the returned (lazy) edge views; it
-    # is either the caller's already-cached relation (edgecache) or
-    # unpersisted with the session.
+        out.append(prev)
+    e0.unpersist()
     return out
 
 
@@ -350,13 +445,21 @@ def min_plus_hops(
     Unreached nodes are absent. With every cost = 1 this degenerates to
     BFS hops.
 
-    Same per-round shape and determinism argument as bfs_hops: edges are
-    pre-partitioned on src ONCE and persisted, each round shuffles only
-    the <= |V|-row distance table, and min() over exact BIGINT path
-    costs is order-independent — a SQL oracle reproduces the result by
-    unrolling the identical rounds as CTEs. ``rounds`` bounds the work
-    (k rounds = k |V|-row shuffles), so callers choose the hop horizon
-    explicitly instead of paying an unbounded fixed-point."""
+    Same per-round shape and determinism argument as bfs_hops, with
+    the frontier discipline (r9): edges are pre-partitioned on src
+    ONCE and persisted, and each round relaxes ONLY out of the nodes
+    whose distance strictly improved last round — the classic
+    Bellman-Ford identity (an offer from an unimproved node u equals
+    the offer u already made when it last improved, which the running
+    min has already absorbed), so after r rounds the result is
+    row-for-row identical to the full synchronous relaxation the SQL
+    oracle unrolls as CTEs, and an empty frontier is a fixed point
+    (early exit changes nothing). min() over exact BIGINT path costs
+    is order-independent. ``rounds`` bounds the work (k rounds = at
+    most k small shuffles) so callers choose the hop horizon
+    explicitly instead of paying an unbounded fixed-point. The working
+    copy is unpersisted before returning; the result is a min-combine
+    over the per-round checkpointed (<= |V|-row) improvement layers."""
     spark = edges.sparkSession
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     e = (
@@ -368,20 +471,46 @@ def min_plus_hops(
         .repartition(parts, "src")
         .persist()
     )
-    e.count()
-    dist = seeds.select(
-        F.col(node).alias("node"), F.lit(0).cast("bigint").alias("dist")
-    ).distinct()
+    frontier = (
+        seeds.select(
+            F.col(node).alias("node"), F.lit(0).cast("bigint").alias("dist")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    layers = [frontier]
+
+    def _best(tables: list[DataFrame]) -> DataFrame:
+        out = tables[0]
+        for t in tables[1:]:
+            out = out.unionByName(t)
+        return out.groupBy("node").agg(
+            F.min("dist").cast("bigint").alias("dist")
+        )
+
     for _ in range(rounds):
-        nxt = e.join(dist.withColumnRenamed("node", "src"), "src").select(
+        cur = _best(layers)
+        offers = e.join(
+            frontier.withColumnRenamed("node", "src"), "src"
+        ).select(
             F.col("dst").alias("node"),
             (F.col("dist") + F.col("cost")).cast("bigint").alias("dist"),
         )
-        dist = (
-            dist.unionByName(nxt)
-            .groupBy("node")
-            .agg(F.min("dist").cast("bigint").alias("dist"))
+        best_offer = offers.groupBy("node").agg(
+            F.min("dist").cast("bigint").alias("dist")
+        )
+        frontier = (
+            best_offer.alias("b")
+            .join(cur.alias("c"), "node", "left")
+            .where(
+                F.col("c.dist").isNull()
+                | (F.col("b.dist") < F.col("c.dist"))
+            )
+            .select("node", F.col("b.dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        if not frontier.take(1):  # fixed point: no distance improved
+            break
+        layers.append(frontier)
     e.unpersist()
-    return dist
+    return _best(layers)

@@ -153,21 +153,71 @@ def answer_with_sources(
     text_col: str = "text",
     vec_col: str = "embedding",
     dim: int = DEFAULT_DIM,
+    method: str = "exact",
+    n_clusters: int = 16,
+    nprobe: int = 4,
 ) -> dict[str, Any]:
-    """Q4 (src/qa_system.py:111-138): embed the query, exact distributed
+    """Q4 (src/qa_system.py:111-138): embed the query, distributed
     top-k over the chunk table, then driver-side context/LLM composition.
     ``chunks`` must carry (id_col, text_col, vec_col [+ metadata cols]);
     ``similarity`` is plain cosine (reference: 1 - cosine_distance,
     src/vector_store.py:172 — the same number).
+
+    ``method`` selects the retrieval plan (VERDICT r8 #8):
+
+    - ``"exact"`` (default) — exact cosine top-k, a full corpus scan.
+      Correctness gold standard; at 100 TB it reads every vector.
+    - ``"ivf"`` — FAISS-style probed IVF over
+      :func:`operators.similarity.ivf_topk_search`: vectors are
+      coarse-bucketed into ``n_clusters`` (an existing ``label``
+      column when present, else a deterministic hash of the id),
+      per-label centroids are ranked against the query, and exact
+      top-k runs over only the best ``nprobe`` clusters' members —
+      a nprobe/n_clusters-sized slice of the corpus. nprobe governs
+      recall exactly as in FAISS; ``nprobe >= n_clusters`` degenerates
+      to exact search (pinned equal in tests). At 100 TB the
+      assignment is a stored index column on the chunk table and the
+      probe becomes a partition prune.
 
     ``dim`` is a parameter (default: the fixture embedding width) rather
     than a ``.first()`` sniff of the vector column — the only driver
     action here is the by-design collect of the k retrieved rows."""
     qvec = hash_embed_texts(pd.Series([query]), dim=dim)[0]
     qdf = spark.createDataFrame([(qvec,)], "query_vec array<float>")
-    hits = topk_by_cosine(
-        chunks, qdf, k=top_k, vec_col=vec_col, id_col=id_col
-    ).withColumnRenamed("cosine_sim", "similarity")
+    if method == "ivf":
+        from .similarity import ivf_topk_search
+
+        labeled = (
+            chunks
+            if "label" in chunks.columns
+            else chunks.withColumn(
+                "label",
+                F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_clusters)).cast(
+                    "int"
+                ),
+            )
+        )
+        # the probed search keeps every payload column (text + metadata
+        # ride along through the candidate semi-join into the final
+        # top-k); only the synthesized bucket label is dropped when we
+        # added it
+        hits = ivf_topk_search(
+            labeled,
+            qdf,
+            k=top_k,
+            nprobe=min(nprobe, n_clusters),
+            vec_col=vec_col,
+            id_col=id_col,
+        )
+        if "label" not in chunks.columns:
+            hits = hits.drop("label")
+    elif method == "exact":
+        hits = topk_by_cosine(
+            chunks, qdf, k=top_k, vec_col=vec_col, id_col=id_col
+        )
+    else:
+        raise ValueError(f"unknown retrieval method: {method!r}")
+    hits = hits.withColumnRenamed("cosine_sim", "similarity")
     docs = [r.asDict() for r in hits.collect()]
     return {
         "query": query,

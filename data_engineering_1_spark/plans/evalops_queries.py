@@ -498,11 +498,15 @@ def cheapest_path_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: costs and path sums are exact BIGINTs; min() is
     order-independent; the oracle unrolls the identical rounds as
-    CTEs. Per-distance (count, node-checksum) pins the entire
-    assignment. Scale: edges pre-partitioned on src ONCE; each round
-    shuffles only the <= |V|-row distance table; 3 rounds = 3 |V|-row
-    shuffles, never an all-pairs closure."""
-    from ..operators.edgecache import copurchase_pairs
+    CTEs (the operator's frontier relaxation is round-for-round
+    identical to the full synchronous form — see min_plus_hops).
+    Per-distance (count, node-checksum) pins the entire assignment.
+    Scale: edges pre-partitioned on src ONCE; each round relaxes only
+    out of the <= |V|-row improvement frontier; 3 rounds = at most 3
+    small shuffles, never an all-pairs closure. Seeds derive from the
+    cached DISTINCT pair relation (same node set as the weighted edge
+    list, without re-running its weight aggregate)."""
+    from ..operators.edgecache import copurchase_pairs, copurchase_und
     from ..operators.graph import min_plus_hops
 
     # pair multiset from the session-scoped persisted cache (VERDICT
@@ -531,10 +535,13 @@ def cheapest_path_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.src", "e.dst", "e.cost")
+    # node set of the weighted graph == distinct endpoints of the
+    # simple pair relation (already cached) — no weight-agg recompute
     seeds = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
+        copurchase_und(spark, sf_dir)
+        .select(F.explode(F.array("u", "v")).alias("node"))
         .where(F.col("node") % 100 == 0)
+        .distinct()
     )
     dist = min_plus_hops(edges, seeds, rounds=3)
     return (

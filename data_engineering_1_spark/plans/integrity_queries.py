@@ -505,33 +505,32 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: degrees and survivor sets are exact integer
     computations; the oracle unrolls the identical peels as CTEs.
-    Scale: each round is one combinable degree aggregate plus two
-    semi-joins of edges against the <= |V|-row survivor set; the round
-    budget bounds the work like X161's hop budget. SUM(DISTINCT src)
-    equals the survivor-node checksum because both engines deduplicate
-    before summing."""
+    Scale (r9, aggregate-fused): each round is ONE single-pass
+    combinable degree aggregate over the cached edge relation plus two
+    joins against the <= |V|-row survivor set — and the per-round
+    checkpointed degree table serves double duty as the stats source
+    (n_nodes = COUNT(*), edges = SUM(deg), checksum = SUM(node)), so
+    the final action sweeps only vertex-sized tables instead of
+    re-scanning |E| rows per round. SUM(DISTINCT src) in the oracle
+    equals the node checksum because groupBy deduplicates first."""
     from ..operators.edgecache import copurchase_edges_distinct
-    from ..operators.graph import kcore_peel
+    from ..operators.graph import kcore_degree_rounds
 
     # symmetrized simple graph from the session-scoped persisted pair
     # cache (VERDICT r7 #4) — the lineitem self-join never reruns here
     edges = copurchase_edges_distinct(spark, sf_dir)
-    rounds = kcore_peel(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    degs = kcore_degree_rounds(edges, k=_KCORE_K, rounds=_KCORE_ROUNDS)
     stats = None
-    for i, e in enumerate(rounds, start=1):
-        nodes = e.select("src").distinct()
-        st = e.agg(
+    for i, deg in enumerate(degs, start=1):
+        st = deg.agg(
             F.lit(i).cast("bigint").alias("round"),
-            F.countDistinct("src").cast("bigint").alias("n_nodes"),
-            F.count(F.lit(1)).cast("bigint").alias("n_directed_edges"),
-        ).crossJoin(
-            F.broadcast(
-                nodes.agg(
-                    F.coalesce(F.sum("src"), F.lit(0))
-                    .cast("bigint")
-                    .alias("node_checksum")
-                )
-            )
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.coalesce(F.sum("deg"), F.lit(0))
+            .cast("bigint")
+            .alias("n_directed_edges"),
+            F.coalesce(F.sum("src"), F.lit(0))
+            .cast("bigint")
+            .alias("node_checksum"),
         )
         stats = st if stats is None else stats.unionByName(st)
     return stats.orderBy("round")

@@ -114,10 +114,12 @@ def khop_copurchase_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     min() over BIGINT hops is order-independent, so the match is exact.
 
     Scale (operators/graph.py::bfs_hops): edges are pre-partitioned on
-    src ONCE and persisted; each round shuffles only the <= |V|-row
-    distance table; the frontier join is equi, map-side combinable.
-    Hop count bounds work: k rounds = k |V|-row shuffles, never an
-    all-pairs closure."""
+    src ONCE and persisted; each round joins only the newly-discovered
+    frontier (<= |V| rows, far fewer after the expansion round) — the
+    frontier join is equi, map-side combinable, and round-for-round
+    identical to the full synchronous relaxation the oracle unrolls.
+    Hop count bounds work: k rounds = at most k small shuffles, never
+    an all-pairs closure."""
     from ..operators.graph import bfs_hops
 
     edges = _copurchase_edges(spark, sf_dir)

@@ -133,17 +133,56 @@ def test_unsampled_tail_is_the_exact_prefix():
     assert set(order[: len(failures)]) == failures
 
 
+def test_every_query_officially_sampled():
+    """Completion pin (VERDICT r8 #7): once the round-9 official
+    CORRECTNESS file lands, EVERY registry name must have at least one
+    official driver sample across CORRECTNESS_r*.json — the rotation
+    contract's end state. Before that file exists this skips (the r8
+    tail is exactly the 39 queries leading the sampler priority, which
+    the prefix test above pins); after it lands, any future
+    never-sampled query is a regression, not rotation debt."""
+    import glob
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rounds = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    max_round = max(
+        int("".join(c for c in os.path.basename(p) if c.isdigit()))
+        for p in rounds
+    )
+    latest = _load_latest_samples()
+    unsampled = sorted(set(entry_mod.queries()) - set(latest))
+    if max_round < 9:
+        pytest.skip(
+            f"rotation in flight: {len(unsampled)} never-sampled queries "
+            "lead the sampler priority until the r9 official file lands"
+        )
+    assert not unsampled, (
+        f"{len(unsampled)} queries have no official CORRECTNESS row: "
+        f"{unsampled[:10]}..."
+    )
+
+
 def test_neutral_order_env_escape(monkeypatch):
     """SPARK_GRAFT_NEUTRAL_ORDER=1 returns registry-registration order
     (the r6-advisory opt-out of the coverage-first default)."""
     from data_engineering_1_spark.plans import registry
 
-    monkeypatch.setenv("SPARK_GRAFT_NEUTRAL_ORDER", "1")
-    assert list(entry_mod.queries()) == list(registry.get_queries())
-    # "0"/"false"/"" mean OFF, not string-truthy ON (ADVICE r7)
-    for off in ("0", "false", "", " 0 "):
+    for on in ("1", "true", "yes", "on", " YES "):  # ADVICE r8 truthy set
+        monkeypatch.setenv("SPARK_GRAFT_NEUTRAL_ORDER", on)
+        assert list(entry_mod.queries()) == list(registry.get_queries())
+    # "0"/"false"/"no"/"off"/"" mean OFF, not string-truthy ON (r7/r8)
+    for off in ("0", "false", "no", "off", "", " 0 "):
         monkeypatch.setenv("SPARK_GRAFT_NEUTRAL_ORDER", off)
         assert list(entry_mod.queries()) == list(entry_mod._SAMPLER_PRIORITY)
+    # unrecognized non-empty values warn and fall back to priority order
+    import warnings
+
+    monkeypatch.setenv("SPARK_GRAFT_NEUTRAL_ORDER", "maybe")
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        assert list(entry_mod.queries()) == list(entry_mod._SAMPLER_PRIORITY)
+    assert any("SPARK_GRAFT_NEUTRAL_ORDER" in str(w.message) for w in caught)
     monkeypatch.delenv("SPARK_GRAFT_NEUTRAL_ORDER")
     assert list(entry_mod.queries()) == list(entry_mod._SAMPLER_PRIORITY)
 

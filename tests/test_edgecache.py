@@ -99,3 +99,88 @@ def test_clear_cache_rebuilds(spark, sf_dir):
     assert p1 is not p2
     plan = p2._jdf.queryExecution().executedPlan().toString()
     assert "FileScan parquet" in plan
+
+
+# ---- durable warehouse layer (VERDICT r8 #4) ---------------------------
+
+
+@pytest.fixture()
+def wh(tmp_path, monkeypatch):
+    """Point the durable edge warehouse at a hermetic tmp root."""
+    root = tmp_path / "wh"
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(root))
+    monkeypatch.delenv("SPARK_GRAFT_EDGE_WAREHOUSE", raising=False)
+    return root
+
+
+def test_durable_pairs_value_equal_and_read_from_warehouse(
+    spark, sf_dir, wh
+):
+    import os
+
+    direct = sorted(
+        (r.u, r.v)
+        for r in edgecache._pairs_plan(spark, sf_dir).collect()
+    )
+    p1 = edgecache.copurchase_pairs(spark, sf_dir)
+    got = sorted((r.u, r.v) for r in p1.collect())
+    assert got == direct
+    # the artifact was published (no temp dirs left behind)
+    base = wh / "copurchase_pairs"
+    sf_keys = os.listdir(base)
+    assert len(sf_keys) == 1
+    fps = os.listdir(base / sf_keys[0])
+    assert len(fps) == 1 and not fps[0].startswith(".tmp-")
+    # a FRESH session-cache entry reads the warehouse parquet, not the
+    # lineitem self-join: the plan's file scan points at the warehouse
+    edgecache.clear_cache()
+    p2 = edgecache.copurchase_pairs(spark, sf_dir)
+    plan = p2._jdf.queryExecution().executedPlan().toString()
+    # scans the stored pair table (a bare parquet read of the warehouse
+    # artifact), NOT the lineitem self-join (paths are elided in the
+    # printed plan, so pin the absence of the source table + join)
+    assert "lineitem" not in plan
+    assert "FileScan parquet" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert sorted((r.u, r.v) for r in p2.collect()) == direct
+
+
+def test_durable_pairs_rebuild_on_source_change(spark, sf_dir, wh, tmp_path):
+    import os
+    import shutil
+
+    alt = tmp_path / "sfalt"
+    alt.mkdir()
+    shutil.copy(
+        os.path.join(sf_dir, "lineitem.parquet"), alt / "lineitem.parquet"
+    )
+    edgecache.copurchase_pairs(spark, str(alt)).count()
+    base = wh / "copurchase_pairs"
+    (sf_key,) = [
+        k
+        for k in os.listdir(base)
+        if os.listdir(base / k)  # the alt dir's subtree
+    ]
+    (fp1,) = os.listdir(base / sf_key)
+    # "regenerate" the source: same bytes, new mtime -> new fingerprint
+    edgecache.clear_cache()
+    os.utime(alt / "lineitem.parquet")
+    edgecache.copurchase_pairs(spark, str(alt)).count()
+    (fp2,) = os.listdir(base / sf_key)  # stale fingerprint evicted
+    assert fp2 != fp1
+
+
+def test_warehouse_opt_out_keeps_selfjoin_build(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    import os
+
+    root = tmp_path / "wh-off"
+    monkeypatch.setenv("SPARK_GRAFT_WAREHOUSE", str(root))
+    monkeypatch.setenv("SPARK_GRAFT_EDGE_WAREHOUSE", "0")
+    p = edgecache.copurchase_pairs(spark, sf_dir)
+    p.count()
+    assert not root.exists()  # nothing written
+    # and the build is the in-memory self-join over the lineitem scan
+    plan = p._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem" in plan

@@ -229,15 +229,16 @@ def test_kcore_matches_pure_python_peeling(spark, sf_dir):
 
 
 def test_kcore_rounds_carry_node_sized_state(spark, sf_dir):
-    """r8 state discipline: kcore_peel checkpoints only the <= |V|-row
-    survivor NODE set per round; each returned round's edge view is
-    re-derived lazily from the ONE persisted base edge list. Pinned in
-    the plan: every round's executed plan reads the persisted base
-    (InMemoryTableScan) and joins checkpointed survivor tables (Scan
-    ExistingRDD) — with no eager |E|-row edge checkpoint, the rounds
-    would instead each be a bare ExistingRDD scan."""
-    from pyspark.sql import functions as F
-
+    """r8 state discipline + r9 resource discipline: kcore_peel
+    checkpoints only the <= |V|-row survivor NODE set per round, and
+    (ADVICE r8) unpersists its internal repartitioned working copy
+    before returning — the returned round views join the CALLER's edge
+    relation (cache-backed when it is persisted) against the
+    checkpointed survivor tables (Scan ExistingRDD). Pinned: (a) no
+    persisted RDD leaks across the call, (b) rounds read the caller's
+    persisted relation through InMemoryTableScan plus ExistingRDD
+    survivors — with no eager |E|-row edge checkpoint (which would make
+    each round a bare ExistingRDD scan with no cache read)."""
     from data_engineering_1_spark.operators.graph import kcore_peel
 
     und = spark.createDataFrame(
@@ -247,13 +248,27 @@ def test_kcore_rounds_carry_node_sized_state(spark, sf_dir):
     edges = und.selectExpr("u as src", "v as dst").unionByName(
         und.selectExpr("v as src", "u as dst")
     )
+    edges = edges.persist()  # simulate the edge-cache-backed caller
+    edges.count()
+    def persisted_ids() -> set[int]:
+        m = spark.sparkContext._jsc.getPersistentRDDs()  # java.util.Map
+        return {int(k) for k in m.keySet().toArray()}
+
+    before = persisted_ids()
     rounds = kcore_peel(edges, k=3, rounds=2)
+    # the internal repartitioned copy must be unpersisted on return.
+    # localCheckpoint registers one persisted RDD per survivor set (2
+    # rounds here) — those are vertex-sized and reclaimed with the
+    # returned views; the |E|-row working copy must NOT be among the
+    # survivors of the call (pre-fix this set had 2 + 1 new entries).
+    assert len(persisted_ids() - before) <= 2
     for e in rounds:
         plan = e._jdf.queryExecution().executedPlan().toString()
-        assert "InMemoryTableScan" in plan  # persisted base edge list
+        assert "InMemoryTableScan" in plan  # caller's persisted relation
         assert "ExistingRDD" in plan or "Scan ExistingRDD" in plan
         # and the view is still correct data: K7 survives k=3 fully
         assert e.count() == 42
+    edges.unpersist()
     # survivor-set semantics survive an actual peel: on a 7-clique with
     # one pendant node attached, the pendant dies in round 1
     und2 = und.unionByName(

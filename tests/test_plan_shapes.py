@@ -261,9 +261,29 @@ def test_winnowing_size_joins_not_broadcast_hinted(spark, sf_dir):
     which is fine — this pins the absence of the FORCED hint."""
     q = registry.get_queries()
     df = q["winnowing_fingerprints"](spark, sf_dir)
-    opt = df._jdf.queryExecution().optimizedPlan().toString()
-    for line in opt.splitlines():
-        if "strategy=broadcast" in line:
-            assert "Join Cross" in line, f"forced broadcast on: {line}"
-    # and the df-cutoff is present ahead of the self-join
-    assert "* 100)" in opt and "* 5)" in opt
+    jplan = df._jdf.queryExecution().optimizedPlan()
+    # walk the logical tree via the API (ADVICE r8: don't match raw
+    # plan-string line fragments, which drift across Spark versions)
+    stack, joins_seen, hinted = [jplan], 0, []
+    while stack:
+        node = stack.pop()
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        if node.getClass().getSimpleName() != "Join":
+            continue
+        joins_seen += 1
+        hint = node.hint()
+        for side in (hint.leftHint(), hint.rightHint()):
+            if (
+                side.isDefined()
+                and "broadcast" in side.get().toString().lower()
+            ):
+                hinted.append(node.joinType().toString().lower())
+    assert joins_seen >= 2  # the self-join + the corpus-total join
+    assert hinted, "the 1-row corpus-total broadcast hint disappeared"
+    for jt in hinted:
+        assert "cross" in jt, f"forced broadcast on a {jt} join"
+    # and the df-cutoff constants are present ahead of the self-join
+    opt = jplan.toString()
+    assert "100" in opt and "* 5" in opt

@@ -120,6 +120,39 @@ class TestFullPipeline:
         )
         return chunks.withColumn("embedding", hash_embedder()("text")).cache()
 
+    def test_ivf_method_with_full_probe_equals_exact(self, spark, sf_dir):
+        """VERDICT r8 #8: the flag-gated IVF scale path, pinned equal to
+        exact top-k on the fixture when every cluster is probed
+        (nprobe >= n_clusters degenerates to exact search)."""
+        from data_engineering_1_spark.io import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"),
+            F.concat(F.lit("doc "), F.col("vec_id")).alias("text"),
+            "embedding",
+        )
+        q = "distributed query engine"
+        kw = dict(client=lambda s, u: "a", top_k=5)
+        exact = qa.answer_with_sources(spark, q, emb, **kw)
+        full_probe = qa.answer_with_sources(
+            spark, q, emb, method="ivf", n_clusters=4, nprobe=4, **kw
+        )
+        want = [(s["text"], s["similarity"]) for s in exact["sources"]]
+        got = [(s["text"], s["similarity"]) for s in full_probe["sources"]]
+        assert got == want
+        # no synthesized bucket label leaks into the source metadata
+        assert all("label" not in s["metadata"] for s in full_probe["sources"])
+        # probed (partial) search returns top_k rows whose similarities
+        # never exceed the exact optimum, in descending order
+        probed = qa.answer_with_sources(
+            spark, q, emb, method="ivf", n_clusters=8, nprobe=2, **kw
+        )
+        sims = [s["similarity"] for s in probed["sources"]]
+        assert len(sims) == 5 and sims == sorted(sims, reverse=True)
+        assert sims[0] <= want[0][1]
+        with pytest.raises(ValueError):
+            qa.answer_with_sources(spark, q, emb, method="annoy", **kw)
+
     def test_answer_with_sources(self, spark, chunk_table):
         resp = qa.answer_with_sources(
             spark,
