@@ -584,7 +584,10 @@ def mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset bounds the quadratic honestly — at production scale the
     dots stage swaps for the X37 IVF candidates with the same
     mutual-rank filter on top; the filter itself is two windowed
-    argmaxes and one self-join."""
+    argmaxes and one self-join. The dot product is symmetric, so only
+    the va < vb half flows through the dimension join and aggregate
+    (half the intermediate rows of the naive va != vb form); the
+    mirror union restores both directions for the per-va argmax."""
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") % 5 == 0
     )
@@ -603,11 +606,16 @@ def mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = qd.select(
         F.col("vec_id").alias("vb"), "d", F.col("q").alias("qb")
     )
-    dots = (
+    half = (
         a.join(b, "d")
-        .where(F.col("va") != F.col("vb"))
+        .where(F.col("va") < F.col("vb"))
         .groupBy("va", "vb")
         .agg(F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("dot"))
+    )
+    dots = half.unionByName(
+        half.select(
+            F.col("vb").alias("va"), F.col("va").alias("vb"), "dot"
+        )
     )
     w = Window.partitionBy("va").orderBy(F.desc("dot"), F.asc("vb"))
     best = dots.withColumn("rn", F.row_number().over(w)).where(
