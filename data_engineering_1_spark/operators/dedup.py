@@ -84,8 +84,15 @@ def minhash_signatures(
     deterministic under any partitioning, and md5 makes it engine-portable
     (oracle-checkable).
     """
+    parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     sh = (
-        df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+        # spread docs before the shingle explode (see jaccard_pairs: a
+        # small-file corpus scans as ~1 partition and would shingle
+        # serially; at scale this hash exchange is partitioning-neutral)
+        df.repartition(parts, id_col)
+        .select(F.col(id_col), tokens(text_col).alias("__toks"))
         .select(
             id_col,
             F.explode(
@@ -172,8 +179,14 @@ def simhash(
     O(docs x 32). Token hash is the first 8 md5 hex chars as an int
     (portable: Spark conv() and DuckDB '0x' cast produce identical
     values)."""
+    parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     toks = (
-        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
+        # spread docs before tokenizing (see jaccard_pairs: a small-file
+        # corpus scans as ~1 partition and would tokenize serially)
+        df.repartition(parts, id_col)
+        .select(F.col(id_col), F.explode(tokens(text_col)).alias("word"))
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -288,7 +301,17 @@ def jaccard_pairs(
     tests/test_dedup_text.py). The remaining joins key on doc ids, whose
     fan-out the LSH candidate generation already bounds.
     """
-    doc_tokens = df.select(
+    # spread documents across cores BEFORE tokenizing: the fixture (and
+    # any small-file corpus) arrives as a near-single-partition scan, so
+    # without this every tokenize branch of the plan runs serially. One
+    # small shuffle of raw text, then the regex/explode work and every
+    # downstream aggregate is parallel. At 100 TB the scan is already
+    # thousands of partitions and the repartition is a no-op-sized hash
+    # exchange on the doc id (the join/group key of everything below).
+    parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    doc_tokens = df.repartition(parts, id_col).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
     sizes = doc_tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
