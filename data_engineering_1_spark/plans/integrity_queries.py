@@ -539,6 +539,7 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- X184: mutual best match ----------------------------------------------
 
 _MBM_Q = 1_000_000
+_MBM_B = 8  # anchor pair-join blocks; the grid has B*(B+1)/2 = 36 keys
 
 
 @declared_query(
@@ -580,37 +581,63 @@ def mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: components quantize to exact BIGINTs (round(v*1e6), the
     X173 grid), so every dot product is an exact integer and the
-    top-1 argmax (dot DESC, vec_id ASC) is total. Scale: the anchor
-    subset bounds the quadratic honestly — at production scale the
-    dots stage swaps for the X37 IVF candidates with the same
-    mutual-rank filter on top; the filter itself is two windowed
-    argmaxes and one self-join. The dot product is symmetric, so only
-    the va < vb half flows through the dimension join and aggregate
-    (half the intermediate rows of the naive va != vb form); the
-    mirror union restores both directions for the per-va argmax."""
+    top-1 argmax (dot DESC, vec_id ASC) is total.
+
+    Scale shape (r9): the old form joined per-dimension rows on the
+    64-key dimension column and aggregated — 64 shuffled rows PER PAIR
+    (quadratic x 64; a 10x anchor probe measured 124x wall). Now each
+    anchor keeps its quantized vector as ONE array row, anchors hash
+    into _MBM_B = 8 blocks, and the pair space is enumerated through
+    the LITERAL (b1 <= b2) pair-block grid (B*(B+1)/2 = 36 rows,
+    broadcast — a bounded grid, never corpus-grain): left members join
+    the grid on b1, right members on b2, and the (b1, b2) equi-join
+    emits every unordered anchor pair exactly once (same-block pairs
+    deduped by va < vb), evenly spread over the grid keys. The dot is
+    an in-row aggregate(zip_with(...)) over the two arrays — one
+    codegen'd row per pair instead of 64 shuffled ones. The mirror
+    union restores both directions for the per-va argmax. The anchor
+    subset still bounds the quadratic honestly; at production scale
+    the pair enumeration swaps for the X37 IVF candidates with the
+    same mutual-rank filter on top."""
     emb = load_table(spark, sf_dir, "embeddings").where(
         F.col("vec_id") % 5 == 0
     )
-    qd = emb.select(
-        "vec_id", F.posexplode("embedding").alias("p", "v")
-    ).select(
+    qv = emb.select(
         "vec_id",
-        (F.col("p") + 1).alias("d"),
-        F.round(F.col("v").cast("double") * _MBM_Q, 0)
-        .cast("bigint")
-        .alias("q"),
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * _MBM_Q, 0).cast("bigint"),
+        ).alias("qvec"),
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_MBM_B))
+        .cast("int")
+        .alias("blk"),
     )
-    a = qd.select(
-        F.col("vec_id").alias("va"), "d", F.col("q").alias("qa")
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(_MBM_B) for j in range(i, _MBM_B)],
+        "b1 int, b2 int",
     )
-    b = qd.select(
-        F.col("vec_id").alias("vb"), "d", F.col("q").alias("qb")
-    )
+    left = qv.select(
+        F.col("vec_id").alias("va"),
+        F.col("qvec").alias("qa"),
+        F.col("blk").alias("b1"),
+    ).join(F.broadcast(grid), "b1")
+    right = qv.select(
+        F.col("vec_id").alias("vb"),
+        F.col("qvec").alias("qb"),
+        F.col("blk").alias("b2"),
+    ).join(F.broadcast(grid), "b2")
     half = (
-        a.join(b, "d")
-        .where(F.col("va") < F.col("vb"))
-        .groupBy("va", "vb")
-        .agg(F.sum(F.col("qa") * F.col("qb")).cast("bigint").alias("dot"))
+        left.join(right, ["b1", "b2"])
+        .where((F.col("b1") != F.col("b2")) | (F.col("va") < F.col("vb")))
+        .select(
+            "va",
+            "vb",
+            F.aggregate(
+                F.zip_with("qa", "qb", lambda x, y: x * y),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("dot"),
+        )
     )
     dots = half.unionByName(
         half.select(
