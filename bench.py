@@ -43,6 +43,8 @@ def main() -> None:
     # startup costs
     materialize(spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")))
 
+    import gc
+
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     for name, fn in sorted(queries.items()):
@@ -55,6 +57,13 @@ def main() -> None:
             best = min(best, samples[-1])
         timings[name] = round(best, 4)
         all_runs[name] = samples
+        # drop Python references to the finished query's DataFrames so
+        # the ContextCleaner can free their checkpoint/broadcast blocks
+        # between queries — accumulated dead blocks were the heap
+        # pressure behind one ~10 s full-GC pause per full suite run
+        # (lands on whichever 1-2 sub-second queries are in flight and
+        # outlasts all of min-of-3)
+        gc.collect()
 
     total = round(sum(timings.values()), 4)
     result = {
