@@ -278,7 +278,7 @@ def edit1_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("name_a") < F.col("name_b"))
         .select("name_a", "name_b")
         .distinct()
-        .where(F.levenshtein("name_a", "name_b") <= 1)
+        .where(F.levenshtein("name_a", "name_b", 1) >= 0)
     )
     pa = p.select(
         F.col("p_partkey").alias("ka"), F.col("p_name").alias("name_a")
@@ -301,7 +301,7 @@ def edit1_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lo_first, F.col("name_b"))
         .otherwise(F.col("name_a"))
         .alias("name_b"),
-        F.levenshtein("name_a", "name_b").cast("int").alias(
+        F.levenshtein("name_a", "name_b", 1).cast("int").alias(
             "edit_distance"
         ),
     ).orderBy("part_a", "part_b")
