@@ -130,35 +130,34 @@ def ndcg_label_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qe"),
         F.col("label").alias("qlabel"),
     )
-    pairs = (
-        emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "qlabel",
-            "vec_id",
-            "label",
-            F.posexplode("embedding").alias("p", "v"),
-            "qe",
-        )
-        .select(
-            "qid",
-            "qlabel",
-            "vec_id",
-            "label",
-            (
-                F.round(F.col("v").cast("double") * 1000000, 0).cast(
-                    "bigint"
-                )
-                * F.round(
-                    F.element_at("qe", F.col("p") + 1).cast("double")
-                    * 1000000,
-                    0,
-                ).cast("bigint")
-            ).alias("t"),
-        )
+    # In-row quantized dot (zip_with + aggregate): the candidate x anchor
+    # pair space is quadratic, so emitting 64 per-dimension rows per pair
+    # into a groupBy shuffled two orders of magnitude more rows than the
+    # result has (the shape mutual_best_match was cured of) — 10x probe
+    # 170 s. The fold is the same exact BIGINT sum in evaluation order,
+    # and order is irrelevant for exact integers. 10x probe after: the
+    # heavy stage is a shuffle-free map over the pair relation.
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.col("qe"),
+            lambda x, y: F.round(x.cast("double") * 1000000, 0).cast(
+                "bigint"
+            )
+            * F.round(y.cast("double") * 1000000, 0).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, t: acc + t,
     )
-    dots = pairs.groupBy("qid", "qlabel", "vec_id", "label").agg(
-        F.sum("t").cast("bigint").alias("dot")
+    # The embeddings fixture scans as ~1 small file, so the broadcast
+    # join (and every pair's dot) would otherwise run on ONE task;
+    # spread candidates first (partitioning-neutral — the anchor side
+    # is broadcast, so any candidate layout joins identically, and a
+    # real cluster's scan parallelism gives this for free).
+    dots = (
+        emb.repartition(F.col("vec_id"))
+        .join(F.broadcast(anchors), F.col("vec_id") != F.col("qid"))
+        .select("qid", "qlabel", "vec_id", "label", qdot.alias("dot"))
     )
     ranked = (
         dots.withColumn(

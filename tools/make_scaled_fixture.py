@@ -89,6 +89,27 @@ def _perturb_copy(cur, name, c):
             + "".join(_ALPHA.upper()[p] for p in perm)
         )
         cur = cur.withColumn("text", F.translate(F.col("text"), src, dst))
+    elif name == "part":
+        # same affine family on p_name: a character bijection preserves
+        # every within-copy edit distance EXACTLY (levenshtein compares
+        # equality per character), so the base fixture's planted fuzzy
+        # near-dup rate survives per copy, while cross-copy name clones
+        # decorrelate — the ER family (fuzzy_name_pairs_part / edit1 /
+        # golden_record_fusion) can then be probed at constant duplicate
+        # density instead of the 100x exact-clone output blowup plain
+        # stacking mints (brand/size blocking keys stay untouched, so
+        # the candidate-pair space still grows with the block — the
+        # probe measures the OPERATOR, not the output).
+        _AS = [3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25, 1]
+        a = _AS[c % 12]
+        b = c // 12 + (1 if a == 1 else 0)
+        perm = [(a * i + b) % 26 for i in range(26)]
+        src = _ALPHA + _ALPHA.upper()
+        dst = (
+            "".join(_ALPHA[p] for p in perm)
+            + "".join(_ALPHA.upper()[p] for p in perm)
+        )
+        cur = cur.withColumn("p_name", F.translate(F.col("p_name"), src, dst))
     elif name == "embeddings":
         cur = cur.withColumn(
             "embedding",
