@@ -106,9 +106,17 @@ def knn_join(
 ) -> DataFrame:
     """E5: every query row -> its k nearest neighbors (excluding itself
     when ids collide). Queries broadcast; ranking is one shuffle on
-    query_id."""
+    query_id.
+
+    The vector side is spread on its id before the broadcast join: a
+    small-file fixture scans as ~1 partition, which would run every
+    |vectors| x |queries| cosine on ONE task (34x wall at the 10x
+    probe). The exchange is |vectors|-sized — strictly dominated by
+    the |pairs|-sized window shuffle below — and the broadcast side
+    joins identically under any layout."""
     scored = (
         with_norm(vectors, vec_col, "__norm_v", dim)
+        .repartition(F.col(id_col))
         .crossJoin(
             F.broadcast(with_norm(queries, query_vec_col, "__norm_q", dim))
         )

@@ -90,8 +90,15 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("anchor_label"),
         F.col("embedding").alias("anchor_vec"),
     )
+    # Spread the vector side on vec_id before the broadcast join: the
+    # small-file fixture scans as ~1 partition, which would run every
+    # |vectors| x |anchors| cosine on ONE task (40x wall at the 10x
+    # probe). The exchange is |vectors|-sized, dominated by the
+    # |pairs|-sized ranking shuffle below; a real cluster's scan
+    # parallelism gives the spread for free.
     scored = (
-        emb.crossJoin(F.broadcast(anchors))
+        emb.repartition(F.col("vec_id"))
+        .crossJoin(F.broadcast(anchors))
         .filter(F.col("label") != F.col("anchor_label"))
         .select(
             "anchor_id",

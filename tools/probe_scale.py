@@ -38,14 +38,27 @@ def main() -> None:
     for name in names:
         fn = queries[name]
         row = {}
+        err = None
         for label, sf_dir in (("base", base), ("10x", big)):
             best = float("inf")
             for _ in range(runs):
                 t0 = time.perf_counter()
-                materialize(fn(spark, sf_dir))
+                try:
+                    materialize(fn(spark, sf_dir))
+                except Exception as e:  # noqa: BLE001 — a query whose
+                    # precondition the synthetic fixture violates (e.g. a
+                    # constant critical-value ladder sized to the base
+                    # fixture's 25 nations) should not kill the sweep
+                    err = f"{type(e).__name__}"
+                    break
                 best = min(best, time.perf_counter() - t0)
             row[label] = best
             gc.collect()
+            if err:
+                break
+        if err:
+            print(f"{name:42s} ERR at {label}: {err}", flush=True)
+            continue
         print(
             f"{name:42s} {row['base']:8.2f} {row['10x']:8.2f} "
             f"{row['10x'] / row['base']:6.1f}x",
