@@ -287,3 +287,34 @@ def test_winnowing_size_joins_not_broadcast_hinted(spark, sf_dir):
     # and the df-cutoff constants are present ahead of the self-join
     opt = jplan.toString()
     assert "100" in opt and "* 5" in opt
+
+
+def test_pair_scorers_spread_before_broadcast_join(plans):
+    """The quadratic pair scorers (k-NN join, hard-negative mining,
+    NDCG) stream a vector table that the small-file fixture scans as
+    ~1 partition into a broadcast join — without an explicit spread the
+    whole |vectors| x |anchors| scoring runs on ONE task (29-190 s at
+    the 10x probe). Pin the REPARTITION_BY_COL exchange on the streamed
+    side of each broadcast join."""
+    for name in (
+        "knn_join_mod100",
+        "hard_negative_mining",
+        "ndcg_label_relevance",
+    ):
+        p = plans(name)
+        assert "REPARTITION_BY_COL" in p, name
+        assert "BroadcastNestedLoopJoin" in p, name  # anchors broadcast
+
+
+def test_fuzzy_pairs_spread_and_bounded_scorer(plans):
+    """fuzzy_name_pairs_part: the blocking join must stay a broadcast
+    hash join fed by a spread probe side (REPARTITION_BY_COL on the
+    blocking key), and the scorer must be the THRESHOLDED levenshtein
+    behind the length prefilter — the two exactness-preserving bounds
+    that keep per-candidate cost flat as blocks grow."""
+    p = plans("fuzzy_name_pairs_part")
+    assert "REPARTITION_BY_COL" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "levenshtein(name_a" in p and "Some(5))" in p  # threshold arg
+    assert "abs((length(name_a" in p  # length prefilter
