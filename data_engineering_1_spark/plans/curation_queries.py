@@ -137,14 +137,18 @@ def ndcg_label_relevance(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 170 s. The fold is the same exact BIGINT sum in evaluation order,
     # and order is irrelevant for exact integers. 10x probe after: the
     # heavy stage is a shuffle-free map over the pair relation.
+    # coalesce(product, 0) (ADVICE r9): zip_with null-pads ragged
+    # arrays and acc + null would poison the whole dot; skipping the
+    # null term instead is exactly what the oracle's SUM does.
     qdot = F.aggregate(
         F.zip_with(
             F.col("embedding"),
             F.col("qe"),
-            lambda x, y: F.round(x.cast("double") * 1000000, 0).cast(
-                "bigint"
-            )
-            * F.round(y.cast("double") * 1000000, 0).cast("bigint"),
+            lambda x, y: F.coalesce(
+                F.round(x.cast("double") * 1000000, 0).cast("bigint")
+                * F.round(y.cast("double") * 1000000, 0).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
         ),
         F.lit(0).cast("bigint"),
         lambda acc, t: acc + t,

@@ -208,7 +208,10 @@ def int8_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ).cast("bigint"),
                     ),
                     F.col("qcode"),
-                    lambda a, b: a * b,
+                    # null-skip, matching the oracle's SUM (ADVICE r9)
+                    lambda a, b: F.coalesce(
+                        a * b, F.lit(0).cast("bigint")
+                    ),
                 ),
                 F.lit(0).cast("bigint"),
                 lambda acc, x: acc + x,

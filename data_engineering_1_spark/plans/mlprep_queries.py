@@ -529,7 +529,12 @@ def rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     coarse_scored = base.select(
         "vec_id",
         F.aggregate(
-            F.zip_with(icode, F.col("qcode"), lambda a, b: a * b),
+            # null-skip, matching the oracle's SUM (ADVICE r9)
+            F.zip_with(
+                icode,
+                F.col("qcode"),
+                lambda a, b: F.coalesce(a * b, F.lit(0).cast("bigint")),
+            ),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x,
         ).alias("s"),

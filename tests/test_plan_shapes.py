@@ -316,5 +316,11 @@ def test_fuzzy_pairs_spread_and_bounded_scorer(plans):
     assert "REPARTITION_BY_COL" in p
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
-    assert "levenshtein(name_a" in p and "Some(5))" in p  # threshold arg
-    assert "abs((length(name_a" in p  # length prefilter
+    # Loose patterns (ADVICE r9): pin the BEHAVIOR — a levenshtein call
+    # carrying a threshold argument and a length-difference prefilter —
+    # not Spark's plan pretty-printing (the literal 'Some(5))' /
+    # 'abs((length(' spellings vary across Spark versions).
+    import re
+
+    assert re.search(r"levenshtein\(name_a.*?5\)", p), p  # bounded scorer
+    assert re.search(r"abs\(+length\(name_a", p), p  # length prefilter

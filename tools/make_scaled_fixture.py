@@ -69,47 +69,43 @@ TS_COLS = {"events": ["ts"], "orders": ["o_orderdate"], "lineitem": ["l_shipdate
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
+def _affine_translate(col_name: str, c: int) -> F.Column:
+    """Copy-c affine cipher i -> (a*i + b) mod 26 over ``col_name``:
+    a coprime to 26, never the identity for c > 0. A plain rotation has
+    only 25 distinct maps, so copies 25+ would repeat earlier copies'
+    text VERBATIM and mint exact cross-copy duplicates (caught in the
+    r6 30x probe); the affine family gives 312 distinct bijections.
+    A character bijection preserves within-copy token/shingle identity
+    AND per-character edit distance exactly, while cross-copy strings
+    decorrelate."""
+    _AS = [3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25, 1]
+    a = _AS[c % 12]
+    b = c // 12 + (1 if a == 1 else 0)  # never (a=1, b=0) = identity
+    perm = [(a * i + b) % 26 for i in range(26)]
+    src = _ALPHA + _ALPHA.upper()
+    dst = (
+        "".join(_ALPHA[p] for p in perm)
+        + "".join(_ALPHA.upper()[p] for p in perm)
+    )
+    return F.translate(F.col(col_name), src, dst)
+
+
 def _perturb_copy(cur, name, c):
     """Copy-c decorrelation (no-op for copy 0 and non-dup tables)."""
     if c == 0:
         return cur
     if name == "documents":
-        # affine cipher i -> (a*i + b) mod 26: a coprime to 26, never the
-        # identity for c > 0. A plain rotation has only 25 distinct maps,
-        # so copies 25+ would repeat earlier copies' text VERBATIM and
-        # mint exact cross-copy duplicates (caught in the r6 30x probe);
-        # the affine family gives 312 distinct bijections.
-        _AS = [3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25, 1]
-        a = _AS[c % 12]
-        b = c // 12 + (1 if a == 1 else 0)  # never (a=1, b=0) = identity
-        perm = [(a * i + b) % 26 for i in range(26)]
-        src = _ALPHA + _ALPHA.upper()
-        dst = (
-            "".join(_ALPHA[p] for p in perm)
-            + "".join(_ALPHA.upper()[p] for p in perm)
-        )
-        cur = cur.withColumn("text", F.translate(F.col("text"), src, dst))
+        cur = cur.withColumn("text", _affine_translate("text", c))
     elif name == "part":
-        # same affine family on p_name: a character bijection preserves
-        # every within-copy edit distance EXACTLY (levenshtein compares
-        # equality per character), so the base fixture's planted fuzzy
-        # near-dup rate survives per copy, while cross-copy name clones
-        # decorrelate — the ER family (fuzzy_name_pairs_part / edit1 /
-        # golden_record_fusion) can then be probed at constant duplicate
-        # density instead of the 100x exact-clone output blowup plain
-        # stacking mints (brand/size blocking keys stay untouched, so
-        # the candidate-pair space still grows with the block — the
-        # probe measures the OPERATOR, not the output).
-        _AS = [3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25, 1]
-        a = _AS[c % 12]
-        b = c // 12 + (1 if a == 1 else 0)
-        perm = [(a * i + b) % 26 for i in range(26)]
-        src = _ALPHA + _ALPHA.upper()
-        dst = (
-            "".join(_ALPHA[p] for p in perm)
-            + "".join(_ALPHA.upper()[p] for p in perm)
-        )
-        cur = cur.withColumn("p_name", F.translate(F.col("p_name"), src, dst))
+        # the affine family on p_name keeps the base fixture's planted
+        # fuzzy near-dup rate per copy (edit distances preserved), so
+        # the ER family (fuzzy_name_pairs_part / edit1 /
+        # golden_record_fusion) probes at constant duplicate density
+        # instead of the 100x exact-clone output blowup plain stacking
+        # mints (brand/size blocking keys stay untouched, so the
+        # candidate-pair space still grows with the block — the probe
+        # measures the OPERATOR, not the output).
+        cur = cur.withColumn("p_name", _affine_translate("p_name", c))
     elif name == "embeddings":
         cur = cur.withColumn(
             "embedding",

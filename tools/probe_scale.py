@@ -1,11 +1,27 @@
 """Scale probe: run named declared queries at a base sf_dir and a scaled
-fixture in one session, print per-query wall times and the 10x ratio.
+fixture in one session, print per-query wall times plus the scale ratio,
+and (optionally) emit a machine-diffable JSON artifact so successive
+rounds' probes can be compared mechanically (VERDICT r9 #6).
 
-Usage: python tools/probe_scale.py q1 q2 ... [--base DIR] [--big DIR] [--runs N]
+The verdict column compares the measured wall ratio against a
+linear-in-work ceiling: ``factor`` is how much more WORK the scaled
+fixture holds for the probed query (the fixture row multiple for
+linear operators; pass --factor explicitly for pair-space operators,
+e.g. 900 for an all-pairs scorer probed at 30x rows). A query is
+``ok`` when wall_ratio <= factor (at-or-below linear in work),
+``over`` otherwise.
+
+Usage:
+  python tools/probe_scale.py q1 q2 --base DIR --big DIR --runs N \
+      --factor 30 --json probe.json
+  (both ``--flag value`` and ``--flag=value`` forms work; unknown
+  query names fail fast with the list of near-misses)
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import sys
 import time
@@ -22,26 +38,48 @@ def materialize(df) -> None:
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    opts = {a.split("=")[0]: a.split("=", 1)[1] for a in sys.argv[1:] if a.startswith("--") and "=" in a}
-    base = opts.get("--base", "/root/testdata/sf0.1")
-    big = opts.get("--big", "/tmp/sf1_synth")
-    runs = int(opts.get("--runs", "2"))
+    ap = argparse.ArgumentParser(
+        description="wall-time scale probe over declared queries"
+    )
+    ap.add_argument("queries", nargs="*", help="query names (default: all)")
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--big", default="/tmp/sf1_synth")
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--factor",
+        type=float,
+        default=10.0,
+        help="work multiple of --big vs --base (linear ceiling)",
+    )
+    ap.add_argument("--json", help="write per-query records to this path")
+    args = ap.parse_args()
+
+    queries = registry.get_queries()
+    unknown = [q for q in args.queries if q not in queries]
+    if unknown:
+        near = {
+            q: [n for n in sorted(queries) if q.lower() in n.lower()]
+            for q in unknown
+        }
+        ap.error(
+            "unknown queries: "
+            + "; ".join(f"{q} (did you mean {near[q]!r}?)" for q in unknown)
+        )
+    names = args.queries or sorted(queries)
 
     spark = get_spark("probe-scale")
-    queries = registry.get_queries()
-    names = args or sorted(queries)
 
     import gc
 
-    print(f"{'query':42s} {'base':>8s} {'10x':>8s} {'ratio':>6s}")
+    records = []
+    print(f"{'query':42s} {'base':>8s} {'big':>8s} {'ratio':>7s} verdict")
     for name in names:
         fn = queries[name]
         row = {}
         err = None
-        for label, sf_dir in (("base", base), ("10x", big)):
+        for label, sf_dir in (("base", args.base), ("big", args.big)):
             best = float("inf")
-            for _ in range(runs):
+            for _ in range(args.runs):
                 t0 = time.perf_counter()
                 try:
                     materialize(fn(spark, sf_dir))
@@ -58,12 +96,39 @@ def main() -> None:
                 break
         if err:
             print(f"{name:42s} ERR at {label}: {err}", flush=True)
+            records.append({"query": name, "error": err, "at": label})
             continue
+        ratio = row["big"] / row["base"]
+        verdict = "ok" if ratio <= args.factor else "over"
+        records.append(
+            {
+                "query": name,
+                "base_sec": round(row["base"], 4),
+                "scaled_sec": round(row["big"], 4),
+                "wall_ratio": round(ratio, 2),
+                "ceiling": args.factor,
+                "verdict": verdict,
+            }
+        )
         print(
-            f"{name:42s} {row['base']:8.2f} {row['10x']:8.2f} "
-            f"{row['10x'] / row['base']:6.1f}x",
+            f"{name:42s} {row['base']:8.2f} {row['big']:8.2f} "
+            f"{ratio:6.1f}x {verdict}",
             flush=True,
         )
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump(
+                {
+                    "base": args.base,
+                    "big": args.big,
+                    "runs": args.runs,
+                    "factor": args.factor,
+                    "records": records,
+                },
+                fh,
+                indent=1,
+            )
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
