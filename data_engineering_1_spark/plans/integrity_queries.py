@@ -540,6 +540,163 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MBM_Q = 1_000_000
 _MBM_B = 8  # anchor pair-join blocks; the grid has B*(B+1)/2 = 36 keys
+# auto mode switches the pair enumeration from the exact block grid to
+# IVF candidates once the anchor set outgrows the honest quadratic
+# (VERDICT r9 #2). The fixtures (<= 12k embeddings at 10x) stay exact,
+# so every oracle/parity check runs the exact leg; the 30x probe and
+# production scales take the IVF leg.
+_MBM_IVF_MIN_ANCHORS = 5_000
+_MBM_IVF_NPROBE = 2  # of the fixture's 10 label clusters
+
+
+def _mbm_anchor_qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anchor subset (vec_id % 5 = 0) with its exactly-quantized
+    BIGINT vector (round(v * 1e6), the X173 grid) — shared by both
+    pair-enumeration legs so their dot products are bit-identical."""
+    return load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") % 5 == 0
+    ).select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.transform(
+            "embedding",
+            lambda v: F.round(v.cast("double") * _MBM_Q, 0).cast("bigint"),
+        ).alias("qvec"),
+    )
+
+
+def _mbm_pair_dot() -> F.Column:
+    """Exact in-row quantized dot over (qa, qb) — one codegen'd fold per
+    pair. coalesce(product, 0) skips zip_with's null padding exactly the
+    way the oracle's SUM skips null products (ADVICE r9)."""
+    return F.aggregate(
+        F.zip_with(
+            "qa", "qb",
+            lambda x, y: F.coalesce(x * y, F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    ).alias("dot")
+
+
+def _mbm_mutual_top1(dots: DataFrame) -> DataFrame:
+    """Shared tail of both legs: per-va top-1 (dot DESC, vb ASC — total
+    under exact integers) over a DIRECTED (va, vb, dot) candidate
+    relation, then the reciprocity self-join keeps a pair only when
+    each side is the other's best."""
+    w = Window.partitionBy("va").orderBy(F.desc("dot"), F.asc("vb"))
+    best = dots.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") == 1
+    )
+    x = best.select(
+        F.col("va").alias("vec_a"),
+        F.col("vb").alias("vec_b"),
+        F.col("dot").alias("dot_q"),
+    )
+    y = best.select(
+        F.col("va").alias("vec_b2"), F.col("vb").alias("vec_a2")
+    )
+    return (
+        x.join(
+            y,
+            (F.col("vec_a") == F.col("vec_a2"))
+            & (F.col("vec_b") == F.col("vec_b2")),
+        )
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "dot_q")
+        .orderBy("vec_a")
+    )
+
+
+def _mbm_exact_dots(spark: SparkSession, qv: DataFrame) -> DataFrame:
+    """Exact pair enumeration: anchors hash into _MBM_B blocks and the
+    (b1 <= b2) literal pair-block grid (36 broadcast rows) emits every
+    unordered pair exactly once, evenly spread over the grid keys; the
+    mirror union restores both directions for the per-va argmax."""
+    qb = qv.select(
+        "vec_id",
+        "qvec",
+        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_MBM_B))
+        .cast("int")
+        .alias("blk"),
+    )
+    grid = spark.createDataFrame(
+        [(i, j) for i in range(_MBM_B) for j in range(i, _MBM_B)],
+        "b1 int, b2 int",
+    )
+    left = qb.select(
+        F.col("vec_id").alias("va"),
+        F.col("qvec").alias("qa"),
+        F.col("blk").alias("b1"),
+    ).join(F.broadcast(grid), "b1")
+    right = qb.select(
+        F.col("vec_id").alias("vb"),
+        F.col("qvec").alias("qb"),
+        F.col("blk").alias("b2"),
+    ).join(F.broadcast(grid), "b2")
+    half = (
+        left.join(right, ["b1", "b2"])
+        .where((F.col("b1") != F.col("b2")) | (F.col("va") < F.col("vb")))
+        .select("va", "vb", _mbm_pair_dot())
+    )
+    return half.unionByName(
+        half.select(F.col("vb").alias("va"), F.col("va").alias("vb"), "dot")
+    )
+
+
+def _mbm_ivf_dots(qv: DataFrame, nprobe: int = _MBM_IVF_NPROBE) -> DataFrame:
+    """IVF candidate enumeration — the X37 stored-index shape feeding
+    the mutual-rank filter (the scale path the exact leg's docstring
+    promised): label-cluster centroids (`label_centroids`), per-anchor
+    probe list of the ``nprobe`` best clusters (`ivf_assign`,
+    n_best=nprobe — exactly `ivf_knn_join`'s probe stage), and the
+    candidate join lands probe x assignment on the cluster key, so each
+    anchor scores only ~nprobe/n_clusters of the corpus. The dot is the
+    SAME exact quantized fold as the exact leg, so at
+    nprobe = n_clusters the candidate set degenerates to all ordered
+    pairs and the result is bit-equal to the exact leg (the X23
+    degeneracy pin, enforced by tests/test_mbm_ivf.py)."""
+    from ..operators.similarity import ivf_assign, label_centroids
+
+    vecs = qv.select("vec_id", "embedding", "label")
+    cents = label_centroids(vecs)
+    assign = ivf_assign(vecs, cents).select("vec_id", "assigned_label")
+    probe = ivf_assign(vecs, cents, n_best=nprobe).select(
+        "vec_id", "assigned_label"
+    )
+    qarr = qv.select("vec_id", "qvec")
+    left = probe.join(qarr, "vec_id").select(
+        F.col("vec_id").alias("va"),
+        F.col("qvec").alias("qa"),
+        "assigned_label",
+    )
+    right = assign.join(qarr, "vec_id").select(
+        F.col("vec_id").alias("vb"),
+        F.col("qvec").alias("qb"),
+        "assigned_label",
+    )
+    # vb holds exactly one assigned label and va probes nprobe DISTINCT
+    # labels, so each directed (va, vb) appears at most once — no dedup.
+    return (
+        left.join(right, "assigned_label")
+        .where(F.col("va") != F.col("vb"))
+        .select("va", "vb", _mbm_pair_dot())
+    )
+
+
+def _mbm_use_ivf(spark: SparkSession, sf_dir: str) -> bool:
+    """Leg selection: SPARK_GRAFT_MBM_MODE = exact | ivf | auto
+    (default auto: IVF once the anchor subset outgrows
+    _MBM_IVF_MIN_ANCHORS; the count is a parquet-metadata job, noise
+    next to the pair stage either leg runs)."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_MBM_MODE", "auto").strip().lower()
+    if mode in {"exact", "ivf"}:
+        return mode == "ivf"
+    total = load_table(spark, sf_dir, "embeddings").count()
+    return total // 5 >= _MBM_IVF_MIN_ANCHORS
 
 
 @declared_query(
@@ -583,86 +740,24 @@ def mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     X173 grid), so every dot product is an exact integer and the
     top-1 argmax (dot DESC, vec_id ASC) is total.
 
-    Scale shape (r9): the old form joined per-dimension rows on the
-    64-key dimension column and aggregated — 64 shuffled rows PER PAIR
-    (quadratic x 64; a 10x anchor probe measured 124x wall). Now each
-    anchor keeps its quantized vector as ONE array row, anchors hash
-    into _MBM_B = 8 blocks, and the pair space is enumerated through
-    the LITERAL (b1 <= b2) pair-block grid (B*(B+1)/2 = 36 rows,
-    broadcast — a bounded grid, never corpus-grain): left members join
-    the grid on b1, right members on b2, and the (b1, b2) equi-join
-    emits every unordered anchor pair exactly once (same-block pairs
-    deduped by va < vb), evenly spread over the grid keys. The dot is
-    an in-row aggregate(zip_with(...)) over the two arrays — one
-    codegen'd row per pair instead of 64 shuffled ones. The mirror
-    union restores both directions for the per-va argmax. The anchor
-    subset still bounds the quadratic honestly; at production scale
-    the pair enumeration swaps for the X37 IVF candidates with the
-    same mutual-rank filter on top."""
-    emb = load_table(spark, sf_dir, "embeddings").where(
-        F.col("vec_id") % 5 == 0
-    )
-    qv = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding",
-            lambda v: F.round(v.cast("double") * _MBM_Q, 0).cast("bigint"),
-        ).alias("qvec"),
-        F.pmod(F.xxhash64(F.col("vec_id")), F.lit(_MBM_B))
-        .cast("int")
-        .alias("blk"),
-    )
-    grid = spark.createDataFrame(
-        [(i, j) for i in range(_MBM_B) for j in range(i, _MBM_B)],
-        "b1 int, b2 int",
-    )
-    left = qv.select(
-        F.col("vec_id").alias("va"),
-        F.col("qvec").alias("qa"),
-        F.col("blk").alias("b1"),
-    ).join(F.broadcast(grid), "b1")
-    right = qv.select(
-        F.col("vec_id").alias("vb"),
-        F.col("qvec").alias("qb"),
-        F.col("blk").alias("b2"),
-    ).join(F.broadcast(grid), "b2")
-    half = (
-        left.join(right, ["b1", "b2"])
-        .where((F.col("b1") != F.col("b2")) | (F.col("va") < F.col("vb")))
-        .select(
-            "va",
-            "vb",
-            F.aggregate(
-                F.zip_with("qa", "qb", lambda x, y: x * y),
-                F.lit(0).cast("bigint"),
-                lambda acc, v: acc + v,
-            ).alias("dot"),
-        )
-    )
-    dots = half.unionByName(
-        half.select(
-            F.col("vb").alias("va"), F.col("va").alias("vb"), "dot"
-        )
-    )
-    w = Window.partitionBy("va").orderBy(F.desc("dot"), F.asc("vb"))
-    best = dots.withColumn("rn", F.row_number().over(w)).where(
-        F.col("rn") == 1
-    )
-    x = best.select(
-        F.col("va").alias("vec_a"),
-        F.col("vb").alias("vec_b"),
-        F.col("dot").alias("dot_q"),
-    )
-    y = best.select(
-        F.col("va").alias("vec_b2"), F.col("vb").alias("vec_a2")
-    )
-    return (
-        x.join(
-            y,
-            (F.col("vec_a") == F.col("vec_a2"))
-            & (F.col("vec_b") == F.col("vec_b2")),
-        )
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "dot_q")
-        .orderBy("vec_a")
-    )
+    Scale shape (r9 exact leg, r10 IVF leg): the exact leg enumerates
+    every unordered anchor pair through the literal (b1 <= b2)
+    pair-block grid (_mbm_exact_dots — 36 broadcast grid rows, one
+    codegen'd in-row dot per pair); honest but quadratic in anchors
+    (the 30x probe measured 346 s). Past _MBM_IVF_MIN_ANCHORS the
+    auto mode swaps the pair enumeration for the X37 IVF candidates
+    (_mbm_ivf_dots — label centroids, per-anchor nprobe-best probe
+    list, candidate join on the cluster key) with the SAME
+    mutual-rank filter and the SAME exact quantized dot on top, so
+    per-anchor work drops to ~nprobe/n_clusters of the corpus. At
+    nprobe = n_clusters the IVF leg is bit-equal to the exact leg
+    (tests/test_mbm_ivf.py pins it); at the default nprobe it is the
+    standard IVF recall trade, which is the point of the scale path.
+    Every fixture/oracle scale stays under the threshold, so parity
+    always exercises the exact leg."""
+    qv = _mbm_anchor_qvecs(spark, sf_dir)
+    if _mbm_use_ivf(spark, sf_dir):
+        dots = _mbm_ivf_dots(qv)
+    else:
+        dots = _mbm_exact_dots(spark, qv)
+    return _mbm_mutual_top1(dots)
