@@ -148,16 +148,19 @@ def _warehouse_root() -> str | None:
     return root
 
 
-def _durable_keys(sf_dir: str) -> tuple[str, str]:
+def _durable_keys(
+    sf_dir: str, source: str = "lineitem.parquet"
+) -> tuple[str, str]:
     """(sf_key, fingerprint): sf_key names the SOURCE DIRECTORY (one
     subtree per sf_dir — sf0.001/0.01/0.1 coexist), fingerprint names
-    its CONTENT (total bytes + max mtime_ns of the lineitem parquet
-    files) — a regenerated fixture gets a new fingerprint, and stale
-    fingerprints are cleaned only inside their own sf_key subtree."""
+    the CONTENT of ``source`` (total bytes + max mtime_ns of its
+    parquet files) — a regenerated fixture gets a new fingerprint, and
+    stale fingerprints are cleaned only inside their own sf_key
+    subtree."""
     import hashlib
 
     real = os.path.realpath(sf_dir)
-    path = os.path.join(real, "lineitem.parquet")
+    path = os.path.join(real, source)
     total, mtime = 0, 0
     if os.path.isfile(path):  # single-file parquet (the fixtures)
         st = os.stat(path)
@@ -173,35 +176,42 @@ def _durable_keys(sf_dir: str) -> tuple[str, str]:
     return sf_key, fp
 
 
-def _durable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame | None:
-    """Read-or-build the WAREHOUSE copy of the pair relation.
+def durable_read_or_build(
+    spark: SparkSession,
+    sf_dir: str,
+    family: str,
+    build_plan,
+    source: str = "lineitem.parquet",
+) -> DataFrame | None:
+    """Read-or-build a WAREHOUSE parquet copy of an expensive relation.
 
-    The X37 stored-index discipline made durable (VERDICT r8 #4): the
-    session cache above still serves every in-session consumer from
-    memory, but a FRESH session used to pay the full lineitem scan +
-    self-join (~2 s at sf0.1) before the first of the ~15 graph
-    queries. Here the pair relation is written ONCE per (sf_dir,
-    source-fingerprint) as parquet under ``warehouse/copurchase_pairs``
-    (crash-safe temp-dir + atomic rename, like
-    ``operators/maintenance.py``), and every later session just scans
-    it. At 100 TB this is exactly the durable edge-table artifact the
-    module docstring describes — bucketed by src on a real cluster;
-    locally a plain parquet directory. Returns None (caller falls back
-    to the in-memory plan) when the warehouse is disabled or
-    unwritable."""
+    The X37 stored-index discipline made durable (VERDICT r8 #4, made
+    generic for r9 #4's signature index): the relation is written ONCE
+    per (sf_dir, source-fingerprint) as parquet under
+    ``warehouse/<family>/<sf_key>/<fp>`` (crash-safe temp-dir + atomic
+    rename, like ``operators/maintenance.py``), and every later
+    session just scans it instead of re-deriving it from the fixture.
+    ``source`` names the fixture table whose bytes+mtime fingerprint
+    the artifact — a regenerated fixture self-invalidates, and stale
+    fingerprints are cleaned only inside their own sf_key subtree.
+    At 100 TB this is exactly the durable index-table artifact —
+    bucketed on its join key on a real cluster; locally a plain
+    parquet directory. Returns None (caller falls back to the
+    in-memory plan) when the warehouse is disabled
+    (``SPARK_GRAFT_EDGE_WAREHOUSE=0``) or unwritable."""
     root = _warehouse_root()
     if root is None:
         return None
     try:
-        sf_key, fp = _durable_keys(sf_dir)
-        base = os.path.join(root, "copurchase_pairs", sf_key)
+        sf_key, fp = _durable_keys(sf_dir, source=source)
+        base = os.path.join(root, family, sf_key)
         dst = os.path.join(base, fp)
         if not os.path.isdir(dst):
             import shutil
 
             os.makedirs(base, exist_ok=True)
             tmp = os.path.join(base, f".tmp-{fp}-{os.getpid()}")
-            _pairs_plan(spark, sf_dir).write.mode("overwrite").parquet(tmp)
+            build_plan().write.mode("overwrite").parquet(tmp)
             try:
                 os.rename(tmp, dst)  # atomic publish
             except OSError:
@@ -213,6 +223,19 @@ def _durable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame | None:
         return spark.read.parquet(dst)
     except Exception:
         return None
+
+
+def _durable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame | None:
+    """The warehouse copy of the co-purchase pair relation: a FRESH
+    session used to pay the full lineitem scan + self-join (~2 s at
+    sf0.1) before the first of the ~15 graph queries; now it scans the
+    stored pair table."""
+    return durable_read_or_build(
+        spark,
+        sf_dir,
+        "copurchase_pairs",
+        lambda: _pairs_plan(spark, sf_dir),
+    )
 
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

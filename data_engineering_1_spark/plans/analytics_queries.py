@@ -481,16 +481,14 @@ def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited sub-quadratic LSH/verify/CC stack (X3/X41); the survivor
     window partitions by component."""
     from ..operators.components import connected_components
-    from .dedup_queries import (
-        jaccard_pairs,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
+    from .dedup_queries import jaccard_pairs, lsh_candidate_pairs
+
+    from ..operators.sigcache import document_signatures
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
         docs,
-        lsh_candidate_pairs(minhash_signatures(docs)),
+        lsh_candidate_pairs(document_signatures(spark, sf_dir)),
         max_token_df_frac=0.5,
     ).filter(F.col("jaccard") >= 0.8)
     comp = connected_components(

@@ -946,7 +946,8 @@ def asof_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FP_TOKENS = 8
+# the oracle must hash exactly the prefix the stored index hashed
+from ..operators.sigcache import FP_TOKENS as _FP_TOKENS  # noqa: E402
 
 
 @declared_query(
@@ -975,14 +976,14 @@ def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the existing corpus' fingerprint index with ONE equi-join.
     At scale the corpus side is the persisted index table (X37's
     build/read pattern), bucketed on fp so the daily admission join is
-    shuffle-free (X24); it is never the corpus text itself."""
-    docs = load_table(spark, sf_dir, "documents")
-    f = docs.select(
-        "doc_id",
-        F.md5(
-            F.concat_ws(" ", F.slice(tokens("text"), 1, _FP_TOKENS))
-        ).alias("fp"),
-    )
+    shuffle-free (X24); it is never the corpus text itself — and since
+    r10 that is literally what runs: both sides read the durable
+    (doc_id, fp) index (`operators/sigcache.py::document_fingerprints`,
+    warehouse/doc_fingerprints), so a cold session never re-tokenizes
+    the corpus."""
+    from ..operators.sigcache import document_fingerprints
+
+    f = document_fingerprints(spark, sf_dir)
     corpus = (
         f.filter(F.col("doc_id") % 10 != 0).select("fp").distinct()
         .withColumn("__hit", F.lit(1))

@@ -18,7 +18,6 @@ from ..operators.dedup import (
     exact_dedup,
     jaccard_pairs,
     lsh_candidate_pairs,
-    minhash_signatures,
 )
 from .registry import declared_query
 
@@ -91,8 +90,9 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E7 MinHash-LSH candidate generation: 3-word shingles -> 4 banded
     md5 minhashes -> bucket equi-join. Candidate pairs come from a join on
     the tiny (band, minhash) key, not an O(n^2) scan."""
-    docs = load_table(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(minhash_signatures(docs))
+    from ..operators.sigcache import document_signatures
+
+    return lsh_candidate_pairs(document_signatures(spark, sf_dir))
 
 
 @declared_query(
@@ -134,8 +134,10 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join through per-doc hot arrays — an exact rewrite (same
     n_shared, same hash) that removes the skewed join groups a hot token
     creates at 100x corpus scale."""
+    from ..operators.sigcache import document_signatures
+
     docs = load_table(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(minhash_signatures(docs))
+    cands = lsh_candidate_pairs(document_signatures(spark, sf_dir))
     return jaccard_pairs(docs, cands, max_token_df_frac=0.5).filter(
         F.col("jaccard") >= 0.8
     )
@@ -268,10 +270,12 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkable against a recursive-CTE transitive closure."""
     from ..operators.components import connected_components
 
+    from ..operators.sigcache import document_signatures
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
         docs,
-        lsh_candidate_pairs(minhash_signatures(docs)),
+        lsh_candidate_pairs(document_signatures(spark, sf_dir)),
         max_token_df_frac=0.5,
     ).filter(F.col("jaccard") >= 0.8)
     comp = connected_components(

@@ -630,12 +630,13 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
-        minhash_signatures,
         tokens,
     )
 
+    from ..operators.sigcache import document_signatures
+
     docs = load_table(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    cand = lsh_candidate_pairs(document_signatures(spark, sf_dir))
     dt = (
         docs.select(
             "doc_id", F.explode(F.array_distinct(tokens("text"))).alias(

@@ -313,11 +313,12 @@ def lsh_quality_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the already-audited sub-quadratic joins; the final comparison
     is one full-outer join on the pair key plus a combinable
     aggregate."""
-    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from ..operators.dedup import lsh_candidate_pairs
     from .mlprep_queries import prefix_filter_jaccard_join
 
-    docs = load_table(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(minhash_signatures(docs)).withColumn(
+    from ..operators.sigcache import document_signatures
+
+    cand = lsh_candidate_pairs(document_signatures(spark, sf_dir)).withColumn(
         "in_cand", F.lit(1).cast("bigint")
     )
     truth = (

@@ -133,17 +133,14 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-quadratic E7 path; the audit itself is one groupBy(component)
     over |clustered docs| rows."""
     from ..operators.components import connected_components
-    from ..operators.dedup import (
-        jaccard_pairs,
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
+    from ..operators.dedup import jaccard_pairs, lsh_candidate_pairs
     from ..operators.sampling import train_test_split
+    from ..operators.sigcache import document_signatures
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = jaccard_pairs(
         docs,
-        lsh_candidate_pairs(minhash_signatures(docs)),
+        lsh_candidate_pairs(document_signatures(spark, sf_dir)),
         max_token_df_frac=0.5,
     ).filter(F.col("jaccard") >= 0.8)
     comp = connected_components(

@@ -769,13 +769,14 @@ def ensemble_neardup_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface."""
     from ..operators.dedup import (
         lsh_candidate_pairs,
-        minhash_signatures,
         simhash,
         simhash_neardup_pairs,
     )
 
+    from ..operators.sigcache import document_signatures
+
     docs = load_table(spark, sf_dir, "documents")
-    mh = lsh_candidate_pairs(minhash_signatures(docs)).select(
+    mh = lsh_candidate_pairs(document_signatures(spark, sf_dir)).select(
         "doc_a", "doc_b", F.lit("minhash").alias("method")
     )
     sh = simhash_neardup_pairs(simhash(docs), max_hamming=3).select(
@@ -830,10 +831,9 @@ def lsh_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared), split by the batch predicate after signing — same values
     the stored index would hold, since the banded minhash is
     deterministic."""
-    from ..operators.dedup import minhash_signatures
+    from ..operators.sigcache import document_signatures
 
-    docs = load_table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs)
+    sig = document_signatures(spark, sf_dir)
     new = sig.filter(F.col("doc_id") % _NEW_MOD == 0).select(
         F.col("doc_id").alias("new_doc"),
         "band",
