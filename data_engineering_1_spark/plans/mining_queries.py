@@ -827,9 +827,12 @@ def lsh_index_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     the persisted, (band, minhash)-bucketed signature table — corpus
     text is never re-read and never reshuffled; only the new batch is
     signed per ingest, and the join lands on the index's bucketing.
-    Here both sides come from one fixture scan (the signature stage is
-    shared), split by the batch predicate after signing — same values
-    the stored index would hold, since the banded minhash is
+    Since r10 that is literally what runs: both sides filter the
+    durable signature index
+    (`operators/sigcache.py::document_signatures`,
+    warehouse/lsh_signatures) — a cold session reads the stored
+    (band, minhash) table and never re-signs the corpus; the values
+    are identical by construction, since the banded minhash is
     deterministic."""
     from ..operators.sigcache import document_signatures
 
