@@ -425,7 +425,17 @@ def repeated_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread — hot boilerplate keys are exactly the signal), and the
     top-50 is a TakeOrdered over the surviving groups. The distinct
     doc-count and raw occurrence count are both exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread docs before the shingle explode (the minhash_signatures
+    # discipline): the small-file fixture scans as ~1 partition, which
+    # would run the whole explode + partial aggregation on ONE task; a
+    # real cluster's scan parallelism gives this for free (r10,
+    # measured 11% at sf0.1 and removes the serial stage at scale).
+    parts = int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        parts, "doc_id"
+    )
     shingles = (
         docs.filter(F.length("text") >= _SHINGLE_LEN)
         .select(
