@@ -166,7 +166,7 @@ def test_dedup_survivor_is_longest_member(spark, sf_dir):
     from data_engineering_1_spark.operators.components import (
         connected_components,
     )
-    from data_engineering_1_spark.plans.dedup_queries import (
+    from data_engineering_1_spark.operators.dedup import (
         jaccard_pairs,
         lsh_candidate_pairs,
         minhash_signatures,
