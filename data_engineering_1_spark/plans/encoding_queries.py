@@ -381,6 +381,21 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- X260: Brown's double exponential smoothing -------------------------------
 
 
+def _r6_exact(c):
+    """Round-to-6 through an exact integer: round(x*1e6) as BIGINT,
+    then one division. At 10x scale the smoothed levels reach ~1.5e8,
+    where plain ROUND(x, 6) asks for 15 significant digits — the
+    double's precision edge — and the two engines' double-ROUND
+    implementations disagree by 1 ulp on tie-adjacent values (4 of
+    2414 rows at the 10x sweep). The integer path is tie-free: x*1e6
+    is ONE identical IEEE multiply on identical bits, the half-up
+    integer round agrees across engines, and the final /1e6 divides
+    the same integer — bit-identical at any magnitude < 2^53/1e6."""
+    return (
+        F.round(c * 1000000, 0).cast("bigint") / F.lit(1000000.0)
+    ).cast("double")
+
+
 @declared_query(
     "brown_double_smoothing_daily",
     oracle=f"""
@@ -408,10 +423,12 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT day,
            CAST(ROUND(val, 6) AS DOUBLE) AS val,
-           CAST(ROUND(2 * s1 - s2, 6) AS DOUBLE) AS level,
-           CAST(ROUND(s1 - s2, 6) AS DOUBLE) AS trend,
-           CAST(ROUND((2 * s1 - s2) + 7 * (s1 - s2), 6) AS DOUBLE)
-               AS forecast_7d
+           CAST(CAST(ROUND((2 * s1 - s2) * 1000000) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS level,
+           CAST(CAST(ROUND((s1 - s2) * 1000000) AS BIGINT)
+                AS DOUBLE) / 1000000.0 AS trend,
+           CAST(CAST(ROUND(((2 * s1 - s2) + 7 * (s1 - s2)) * 1000000)
+                AS BIGINT) AS DOUBLE) / 1000000.0 AS forecast_7d
     FROM s2t ORDER BY day
     """,
 )
@@ -467,12 +484,11 @@ def brown_double_smoothing_daily(
     return s2t.select(
         "day",
         F.round("val", 6).alias("val"),
-        F.round(2 * F.col("s1") - F.col("s2"), 6).alias("level"),
-        F.round(F.col("s1") - F.col("s2"), 6).alias("trend"),
-        F.round(
+        _r6_exact(2 * F.col("s1") - F.col("s2")).alias("level"),
+        _r6_exact(F.col("s1") - F.col("s2")).alias("trend"),
+        _r6_exact(
             (2 * F.col("s1") - F.col("s2"))
-            + 7 * (F.col("s1") - F.col("s2")),
-            6,
+            + 7 * (F.col("s1") - F.col("s2"))
         ).alias("forecast_7d"),
     ).orderBy("day")
 
