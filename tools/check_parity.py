@@ -83,14 +83,34 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark("parity-check")
+    # 4g result cap: the gate COLLECTS both sides to compare, and the
+    # plain-stacked 10x fixture's output-bound queries (every part name
+    # has 9 verbatim clones, so the ER pair emitters legitimately
+    # return ~100x the rows) overflow the 1g default — a harness
+    # capacity knob, not an engine property.
+    spark = get_spark(
+        "parity-check",
+        extra_conf={"spark.driver.maxResultSize": "4g"},
+    )
     con = duck_connection(sf_dir)
     queries = registry.get_queries()
     oracles = registry.get_oracles()
     failed, ok, rows_only = [], [], []
+    import gc
+
     for name, fn in sorted(queries.items()):
         if only and name not in only:
             continue
+        # per-query gc (the bench.py r9 discipline): a long sweep
+        # accumulates py4j-referenced DataFrames whose JVM broadcasts/
+        # checkpoints the ContextCleaner can only free once Python
+        # drops the refs; collect each round so a 347-query sweep
+        # cannot build heap pressure. (Not a cure-all: the r10 10x
+        # sweep ALSO surfaced DuckDB-side oracle grinds — the naive
+        # SQL twins of the graph/itemset shapes can mis-plan at 10x
+        # and run for hours at full thread count; those are
+        # oracle-resource limits, recorded per query in round notes.)
+        gc.collect()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
