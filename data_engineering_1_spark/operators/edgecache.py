@@ -149,12 +149,16 @@ def _warehouse_root() -> str | None:
 
 
 def _durable_keys(
-    sf_dir: str, source: str = "lineitem.parquet"
+    sf_dir: str, source: str = "lineitem.parquet", version: str = ""
 ) -> tuple[str, str]:
     """(sf_key, fingerprint): sf_key names the SOURCE DIRECTORY (one
     subtree per sf_dir — sf0.001/0.01/0.1 coexist), fingerprint names
     the CONTENT of ``source`` (total bytes + max mtime_ns of its
-    parquet files) — a regenerated fixture gets a new fingerprint, and
+    parquet files) SALTED with the artifact's ``version`` string
+    (ADVICE r10: the stored relation bakes in operator parameters —
+    n_bands/shingle_k/FP_TOKENS/... — so a parameter change must read
+    as a new fingerprint, not silently serve the old layout). A
+    regenerated fixture OR a bumped version gets a new fingerprint;
     stale fingerprints are cleaned only inside their own sf_key
     subtree."""
     import hashlib
@@ -172,7 +176,7 @@ def _durable_keys(
                 total += st.st_size
                 mtime = max(mtime, st.st_mtime_ns)
     sf_key = hashlib.sha256(real.encode()).hexdigest()[:12]
-    fp = hashlib.sha256(f"{total}|{mtime}".encode()).hexdigest()[:16]
+    fp = hashlib.sha256(f"{total}|{mtime}|{version}".encode()).hexdigest()[:16]
     return sf_key, fp
 
 
@@ -182,6 +186,7 @@ def durable_read_or_build(
     family: str,
     build_plan,
     source: str = "lineitem.parquet",
+    version: str = "",
 ) -> DataFrame | None:
     """Read-or-build a WAREHOUSE parquet copy of an expensive relation.
 
@@ -192,24 +197,34 @@ def durable_read_or_build(
     rename, like ``operators/maintenance.py``), and every later
     session just scans it instead of re-deriving it from the fixture.
     ``source`` names the fixture table whose bytes+mtime fingerprint
-    the artifact — a regenerated fixture self-invalidates, and stale
-    fingerprints are cleaned only inside their own sf_key subtree.
-    At 100 TB this is exactly the durable index-table artifact —
-    bucketed on its join key on a real cluster; locally a plain
-    parquet directory. Returns None (caller falls back to the
+    the artifact, and ``version`` salts that fingerprint with the
+    operator parameters the artifact bakes in (ADVICE r10) — a
+    regenerated fixture or a parameter change self-invalidates, and
+    stale fingerprints are cleaned only inside their own sf_key
+    subtree. At 100 TB this is exactly the durable index-table
+    artifact — bucketed on its join key on a real cluster; locally a
+    plain parquet directory. Returns None (caller falls back to the
     in-memory plan) when the warehouse is disabled
     (``SPARK_GRAFT_EDGE_WAREHOUSE=0``) or unwritable."""
     root = _warehouse_root()
     if root is None:
         return None
     try:
-        sf_key, fp = _durable_keys(sf_dir, source=source)
+        sf_key, fp = _durable_keys(sf_dir, source=source, version=version)
         base = os.path.join(root, family, sf_key)
         dst = os.path.join(base, fp)
         if not os.path.isdir(dst):
             import shutil
 
             os.makedirs(base, exist_ok=True)
+            # GC breadcrumb (tools/warehouse_gc.py): record which source
+            # directory this sf_key hashes so orphaned subtrees (deleted
+            # test fixtures) are mechanically identifiable later.
+            try:
+                with open(os.path.join(base, "_SOURCE"), "w") as fh:
+                    fh.write(os.path.realpath(sf_dir))
+            except OSError:
+                pass
             tmp = os.path.join(base, f".tmp-{fp}-{os.getpid()}")
             build_plan().write.mode("overwrite").parquet(tmp)
             try:
@@ -218,7 +233,7 @@ def durable_read_or_build(
                 shutil.rmtree(tmp, ignore_errors=True)  # lost the race
             # best-effort: drop stale fingerprints of THIS source dir
             for old in os.listdir(base):
-                if old != fp and not old.startswith(".tmp-"):
+                if old != fp and old != "_SOURCE" and not old.startswith(".tmp-"):
                     shutil.rmtree(os.path.join(base, old), ignore_errors=True)
         return spark.read.parquet(dst)
     except Exception:
@@ -235,6 +250,7 @@ def _durable_pairs(spark: SparkSession, sf_dir: str) -> DataFrame | None:
         sf_dir,
         "copurchase_pairs",
         lambda: _pairs_plan(spark, sf_dir),
+        version="pairs-v1",  # schema (u,v), u<v, order-multiplicity rows
     )
 
 

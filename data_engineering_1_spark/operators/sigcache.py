@@ -42,32 +42,90 @@ from .edgecache import _cached, durable_read_or_build
 FP_TOKENS = 8  # first-k-token exact fingerprint (X108's constant)
 
 
-def _signatures_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sig_version() -> str:
+    """Fingerprint salt for the signature artifact (ADVICE r10): the
+    stored relation bakes in minhash_signatures' banding/shingle
+    defaults, so the salt is derived FROM those defaults — changing
+    any of them re-fingerprints every stored signature index. The
+    leading ``sig-v1`` covers algorithm changes the signature line
+    can't see (tokenizer, hash function)."""
+    import inspect
+
+    from .dedup import minhash_signatures
+
+    p = inspect.signature(minhash_signatures).parameters
+    return (
+        f"sig-v1:b{p['n_bands'].default}"
+        f"r{p['rows_per_band'].default}k{p['shingle_k'].default}"
+    )
+
+
+def _fp_version() -> str:
+    """Fingerprint salt for the admission-fingerprint artifact — the
+    prefix length is the one baked-in parameter."""
+    return f"fp-v1:k{FP_TOKENS}"
+
+
+def _write_parts(sf_dir: str, source: str = "documents.parquet") -> int:
+    """Write-side partition count for the warehouse artifacts, scaled
+    to the SOURCE size (~32 MB of source text per output partition)
+    instead of spark.sql.shuffle.partitions (ADVICE r10: fixture-sized
+    corpora persisted ~200 tiny files, inflating the cold FileScan the
+    warehouse exists to speed up). The expensive signing work inside
+    minhash_signatures stays spread at full parallelism; only the
+    final pre-write exchange lands on this count."""
+    import os
+
+    path = os.path.join(os.path.realpath(sf_dir), source)
+    total = 0
+    if os.path.isfile(path):
+        total = os.stat(path).st_size
+    else:
+        for droot, _, files in os.walk(path):
+            total += sum(
+                os.stat(os.path.join(droot, f)).st_size for f in files
+            )
+    return max(1, min(2048, total // (32 << 20) + 1))
+
+
+def _signatures_plan(
+    spark: SparkSession, sf_dir: str, write_parts: int | None = None
+) -> DataFrame:
     """The raw (doc_id, band, minhash) banded-signature plan — the
     expensive relation (tokenize -> shingle -> 8 md5 minhashes) the
     session cache and the durable warehouse both memoize. Written
     pre-spread on the (band, minhash) bucket key so the stored index's
-    layout matches the join it serves."""
+    layout matches the join it serves; the durable leg passes a
+    source-scaled partition count so fixtures persist a handful of
+    right-sized files."""
     from ..io import load_table
     from .dedup import minhash_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_signatures(docs).repartition("band", "minhash")
+    sigs = minhash_signatures(docs)
+    if write_parts is not None:
+        return sigs.repartition(write_parts, "band", "minhash")
+    return sigs.repartition("band", "minhash")
 
 
-def _fingerprints_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _fingerprints_plan(
+    spark: SparkSession, sf_dir: str, write_parts: int | None = None
+) -> DataFrame:
     """The raw (doc_id, fp) exact-fingerprint plan (md5 of the first
     FP_TOKENS tokens — X108's admission key)."""
     from ..io import load_table
     from .textanalysis import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
+    fps = docs.select(
         "doc_id",
         F.md5(
             F.concat_ws(" ", F.slice(tokens("text"), 1, FP_TOKENS))
         ).alias("fp"),
-    ).repartition("fp")
+    )
+    if write_parts is not None:
+        return fps.repartition(write_parts, "fp")
+    return fps.repartition("fp")
 
 
 def document_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,8 +141,11 @@ def document_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             sf_dir,
             "lsh_signatures",
-            lambda: _signatures_plan(spark, sf_dir),
+            lambda: _signatures_plan(
+                spark, sf_dir, write_parts=_write_parts(sf_dir)
+            ),
             source="documents.parquet",
+            version=_sig_version(),
         )
         return (
             durable
@@ -105,8 +166,11 @@ def document_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
             sf_dir,
             "doc_fingerprints",
-            lambda: _fingerprints_plan(spark, sf_dir),
+            lambda: _fingerprints_plan(
+                spark, sf_dir, write_parts=_write_parts(sf_dir)
+            ),
             source="documents.parquet",
+            version=_fp_version(),
         )
         return (
             durable

@@ -642,7 +642,7 @@ def _mbm_exact_dots(spark: SparkSession, qv: DataFrame) -> DataFrame:
     )
 
 
-def _mbm_ivf_dots(qv: DataFrame, nprobe: int = _MBM_IVF_NPROBE) -> DataFrame:
+def _mbm_ivf_dots(qv: DataFrame, nprobe: int | None = None) -> DataFrame:
     """IVF candidate enumeration — the X37 stored-index shape feeding
     the mutual-rank filter (the scale path the exact leg's docstring
     promised): label-cluster centroids (`label_centroids`), per-anchor
@@ -653,8 +653,14 @@ def _mbm_ivf_dots(qv: DataFrame, nprobe: int = _MBM_IVF_NPROBE) -> DataFrame:
     SAME exact quantized fold as the exact leg, so at
     nprobe = n_clusters the candidate set degenerates to all ordered
     pairs and the result is bit-equal to the exact leg (the X23
-    degeneracy pin, enforced by tests/test_mbm_ivf.py)."""
+    degeneracy pin, enforced by tests/test_mbm_ivf.py). ``nprobe``
+    defaults to the module global AT CALL TIME so test/operator
+    overrides of _MBM_IVF_NPROBE reach the declared query (ADVICE
+    r10)."""
     from ..operators.similarity import ivf_assign, label_centroids
+
+    if nprobe is None:
+        nprobe = _MBM_IVF_NPROBE
 
     vecs = qv.select("vec_id", "embedding", "label")
     cents = label_centroids(vecs)
@@ -682,18 +688,48 @@ def _mbm_ivf_dots(qv: DataFrame, nprobe: int = _MBM_IVF_NPROBE) -> DataFrame:
     )
 
 
+# auto-mode embedding counts, memoized per (applicationId, sf_dir) —
+# every other relation in the edgecache/sigcache discipline memoizes;
+# this one-row job should not re-run per invocation (ADVICE r10).
+_MBM_COUNT_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _mbm_embedding_count(spark: SparkSession, sf_dir: str) -> int:
+    import os
+
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    if key not in _MBM_COUNT_CACHE:
+        _MBM_COUNT_CACHE[key] = load_table(
+            spark, sf_dir, "embeddings"
+        ).count()
+    return _MBM_COUNT_CACHE[key]
+
+
 def _mbm_use_ivf(spark: SparkSession, sf_dir: str) -> bool:
     """Leg selection: SPARK_GRAFT_MBM_MODE = exact | ivf | auto
     (default auto: IVF once the anchor subset outgrows
-    _MBM_IVF_MIN_ANCHORS; the count is a parquet-metadata job, noise
-    next to the pair stage either leg runs)."""
+    _MBM_IVF_MIN_ANCHORS; the count is a memoized parquet-metadata
+    job). When auto takes the APPROXIMATE leg it says so out loud
+    (ADVICE r10): above the threshold the result is nprobe-bounded —
+    a declared-oracle comparison at that scale must force
+    SPARK_GRAFT_MBM_MODE=exact (tools/check_parity.py does)."""
     import os
+    import warnings
 
     mode = os.environ.get("SPARK_GRAFT_MBM_MODE", "auto").strip().lower()
     if mode in {"exact", "ivf"}:
         return mode == "ivf"
-    total = load_table(spark, sf_dir, "embeddings").count()
-    return total // 5 >= _MBM_IVF_MIN_ANCHORS
+    use = _mbm_embedding_count(spark, sf_dir) // 5 >= _MBM_IVF_MIN_ANCHORS
+    if use:
+        warnings.warn(
+            "mutual_best_match auto mode is taking the APPROXIMATE IVF "
+            f"leg (anchors >= {_MBM_IVF_MIN_ANCHORS}): pairs are mutual "
+            f"within nprobe={_MBM_IVF_NPROBE} probed clusters, not the "
+            "exact all-pairs result; set SPARK_GRAFT_MBM_MODE=exact to "
+            "force the quadratic leg (e.g. for oracle comparison)",
+            stacklevel=3,
+        )
+    return use
 
 
 @declared_query(

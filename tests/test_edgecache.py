@@ -113,6 +113,16 @@ def wh(tmp_path, monkeypatch):
     return root
 
 
+def _fps(path):
+    """Fingerprint subtrees only (skip the _SOURCE GC breadcrumb)."""
+    import os
+
+    return [
+        x for x in os.listdir(path)
+        if x != "_SOURCE" and not x.startswith(".tmp-")
+    ]
+
+
 def test_durable_pairs_value_equal_and_read_from_warehouse(
     spark, sf_dir, wh
 ):
@@ -129,7 +139,7 @@ def test_durable_pairs_value_equal_and_read_from_warehouse(
     base = wh / "copurchase_pairs"
     sf_keys = os.listdir(base)
     assert len(sf_keys) == 1
-    fps = os.listdir(base / sf_keys[0])
+    fps = _fps(base / sf_keys[0])
     assert len(fps) == 1 and not fps[0].startswith(".tmp-")
     # a FRESH session-cache entry reads the warehouse parquet, not the
     # lineitem self-join: the plan's file scan points at the warehouse
@@ -159,14 +169,14 @@ def test_durable_pairs_rebuild_on_source_change(spark, sf_dir, wh, tmp_path):
     (sf_key,) = [
         k
         for k in os.listdir(base)
-        if os.listdir(base / k)  # the alt dir's subtree
+        if _fps(base / k)  # the alt dir's subtree
     ]
-    (fp1,) = os.listdir(base / sf_key)
+    (fp1,) = _fps(base / sf_key)
     # "regenerate" the source: same bytes, new mtime -> new fingerprint
     edgecache.clear_cache()
     os.utime(alt / "lineitem.parquet")
     edgecache.copurchase_pairs(spark, str(alt)).count()
-    (fp2,) = os.listdir(base / sf_key)  # stale fingerprint evicted
+    (fp2,) = _fps(base / sf_key)  # stale fingerprint evicted
     assert fp2 != fp1
 
 
@@ -184,3 +194,16 @@ def test_warehouse_opt_out_keeps_selfjoin_build(
     # and the build is the in-memory self-join over the lineitem scan
     plan = p._jdf.queryExecution().executedPlan().toString()
     assert "lineitem" in plan
+
+
+def test_fingerprint_salted_by_version(sf_dir):
+    """ADVICE r10: stored artifacts bake in operator parameters, so the
+    fingerprint must change when the declared artifact version does —
+    same source, different version string, different fp."""
+    k1, f1 = edgecache._durable_keys(sf_dir, version="v1")
+    k2, f2 = edgecache._durable_keys(sf_dir, version="v2")
+    assert k1 == k2
+    assert f1 != f2
+    # and the unsalted legacy key differs from any salted one
+    _, f0 = edgecache._durable_keys(sf_dir)
+    assert f0 not in {f1, f2}

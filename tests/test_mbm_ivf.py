@@ -75,17 +75,41 @@ def test_leg_selection_auto_and_overrides(spark, sf_dir, monkeypatch):
 def test_declared_query_matches_forced_ivf_at_full_probe(
     spark, sf_dir, monkeypatch
 ):
-    """End-to-end: the declared query under the forced-IVF env (with
-    nprobe widened to n_clusters) equals its default exact run."""
+    """End-to-end: the DECLARED QUERY itself under the forced-IVF env
+    (with nprobe widened to n_clusters via the module global, which
+    _mbm_ivf_dots now reads at call time — ADVICE r10) equals its
+    default exact run. This pins the env-forced leg selection AND the
+    X23 degeneracy through the public entry point, not the internals."""
     monkeypatch.delenv("SPARK_GRAFT_MBM_MODE", raising=False)
     exact = _rows(iq.mutual_best_match(spark, sf_dir))
     monkeypatch.setenv("SPARK_GRAFT_MBM_MODE", "ivf")
-    n_clusters = 10  # the fixture's planted label clusters
+    n_clusters = iq._mbm_anchor_qvecs(spark, sf_dir).select(
+        "label"
+    ).distinct().count()
     monkeypatch.setattr(iq, "_MBM_IVF_NPROBE", n_clusters)
-    # the module default is read at call time through the keyword
-    # default, so patch the call path instead
-    qv = iq._mbm_anchor_qvecs(spark, sf_dir)
-    forced = _rows(
-        iq._mbm_mutual_top1(iq._mbm_ivf_dots(qv, nprobe=n_clusters))
-    )
+    forced = _rows(iq.mutual_best_match(spark, sf_dir))
     assert exact == forced
+    assert len(exact) > 0
+
+
+def test_auto_ivf_warns_and_memoizes_count(spark, sf_dir, monkeypatch):
+    """ADVICE r10: when auto mode takes the approximate leg it must say
+    so (the declared oracle stays exact above the threshold), and the
+    anchor-count job is memoized per (application, sf_dir) instead of
+    re-running per invocation."""
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_MBM_MODE", raising=False)
+    iq._MBM_COUNT_CACHE.clear()
+    monkeypatch.setattr(iq, "_MBM_IVF_MIN_ANCHORS", 1)
+    with pytest.warns(UserWarning, match="APPROXIMATE IVF"):
+        assert iq._mbm_use_ivf(spark, sf_dir) is True
+    key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
+    assert key in iq._MBM_COUNT_CACHE
+    cached = iq._MBM_COUNT_CACHE[key]
+    # second call reuses the memo (poison the cache and observe reuse)
+    iq._MBM_COUNT_CACHE[key] = cached + 1_000_000
+    with pytest.warns(UserWarning, match="APPROXIMATE IVF"):
+        iq._mbm_use_ivf(spark, sf_dir)
+    assert iq._MBM_COUNT_CACHE[key] == cached + 1_000_000
+    iq._MBM_COUNT_CACHE.clear()

@@ -34,6 +34,14 @@ def wh(tmp_path, monkeypatch):
     return root
 
 
+def _fps(path):
+    """Fingerprint subtrees only (skip the _SOURCE GC breadcrumb)."""
+    return [
+        x for x in os.listdir(path)
+        if x != "_SOURCE" and not x.startswith(".tmp-")
+    ]
+
+
 def test_signatures_value_equal_and_read_from_warehouse(spark, sf_dir, wh):
     direct = sorted(
         (r.doc_id, r.band, r.minhash)
@@ -46,7 +54,7 @@ def test_signatures_value_equal_and_read_from_warehouse(spark, sf_dir, wh):
     )
     base = wh / "lsh_signatures"
     (sf_key,) = os.listdir(base)
-    (fp,) = os.listdir(base / sf_key)
+    (fp,) = _fps(base / sf_key)
     assert not fp.startswith(".tmp-")
     # a fresh session-cache entry reads the stored index: no documents
     # scan, no tokenizer/shingle stage, no md5 rehash in the plan
@@ -87,11 +95,11 @@ def test_rebuild_on_source_change(spark, sf_dir, wh, tmp_path):
     sigcache.document_signatures(spark, str(alt)).count()
     base = wh / "lsh_signatures"
     (sf_key,) = os.listdir(base)
-    (fp1,) = os.listdir(base / sf_key)
+    (fp1,) = _fps(base / sf_key)
     edgecache.clear_cache()
     os.utime(alt / "documents.parquet")  # same bytes, new mtime
     sigcache.document_signatures(spark, str(alt)).count()
-    (fp2,) = os.listdir(base / sf_key)  # stale fingerprint evicted
+    (fp2,) = _fps(base / sf_key)  # stale fingerprint evicted
     assert fp2 != fp1
 
 
@@ -133,3 +141,33 @@ def test_consumers_skip_corpus_rescan_cold(spark, sf_dir, wh):
     plan = ing._jdf.queryExecution().executedPlan().toString()
     assert "md5" not in plan and "text" not in plan
     assert ing.count() > 0
+
+
+def test_version_salts_pin_operator_params(sf_dir):
+    """The signature artifact's fingerprint salt is derived from
+    minhash_signatures' banding/shingle defaults (ADVICE r10). Pinned
+    to the literal current values: changing any default must fail here,
+    forcing a conscious version acknowledgment (the salt then changes
+    with it, re-fingerprinting every stored index)."""
+    assert sigcache._sig_version() == "sig-v1:b4r2k3"
+    assert sigcache._fp_version() == "fp-v1:k8"
+
+
+def test_durable_write_is_source_scaled_not_shuffle_partitions(
+    spark, sf_dir, wh
+):
+    """ADVICE r10: fixture-sized corpora must not persist one file per
+    shuffle partition — the write-side partition count scales with the
+    source bytes (~32 MB per file), so the fixture artifact is a
+    handful of files, not ~32/200 tiny ones."""
+    assert sigcache._write_parts(sf_dir) <= 2
+    sigcache.document_signatures(spark, sf_dir).count()
+    base = wh / "lsh_signatures"
+    (sf_key,) = os.listdir(base)
+    (fp,) = _fps(base / sf_key)
+    parts = [
+        f
+        for f in os.listdir(base / sf_key / fp)
+        if f.startswith("part-")
+    ]
+    assert len(parts) <= 2
