@@ -355,12 +355,24 @@ def ivf_knn_join_mod100(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _ivf_index_dir(sf_dir: str) -> str:
     """Per-fixture stored-index location (spark-warehouse is the repo's
-    generated-artifact dir, gitignored)."""
+    generated-artifact dir, gitignored). Drops a _SOURCE breadcrumb so
+    tools/warehouse_gc.py can identify index tags whose fixture is
+    gone (every pytest tmp fixture otherwise leaves one forever)."""
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__)
     )))
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(repo, "spark-warehouse", "ivf_index", tag)
+    path = os.path.join(repo, "spark-warehouse", "ivf_index", tag)
+    try:
+        # always rewritten: same-basename fixtures share a tag, and the
+        # breadcrumb should name the LAST writer (GC deleting a tag a
+        # live fixture still uses is harmless — fingerprint.txt rebuilds)
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "_SOURCE"), "w") as fh:
+            fh.write(os.path.realpath(sf_dir))
+    except OSError:
+        pass
+    return path
 
 
 def _ivf_fingerprint(sf_dir: str) -> str:
