@@ -6,12 +6,34 @@ compares exactly. Use before declaring any query.
 
 Usage:
     python tools/check_parity.py [sf_dir] [query ...]
+    python tools/check_parity.py /tmp/sf1_synth --json parity_10x.json \
+        --oracle-timeout 300 --oracle-threads 8 --oracle-memory 24GB
+
+Scaled-fixture sweeps (VERDICT r10 #3): the r10 10x sweep stalled on
+DUCKDB-side oracle mis-plans (triple self-joins grinding 55+ min at
+full thread count, 78 GB spills), not on the engine. The harness now
+caps the oracle legs (PRAGMA threads / memory_limit / temp_directory),
+time-boxes each oracle via connection interrupt, and records
+``oracle_timeout`` / ``oracle_error`` as first-class verdicts with the
+documented resource/precondition classification attached — so one
+command generates the complete sweep artifact end-to-end. ``--json``
+merges into an existing artifact (resumable); ``--resume-from`` skips
+the alphabetical prefix.
+
+The harness forces SPARK_GRAFT_MBM_MODE=exact (unless already set):
+mutual_best_match's auto mode legitimately switches to approximate IVF
+candidates past 5k anchors, but its declared oracle is the exact
+all-pairs result — a parity run must compare exact against exact
+(ADVICE r10).
 """
 
 from __future__ import annotations
 
+import argparse
+import json
 import os
 import sys
+import threading
 import time
 import traceback
 
@@ -21,18 +43,98 @@ import pandas as pd
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# exact-vs-exact: see module docstring (must be set before plan import)
+os.environ.setdefault("SPARK_GRAFT_MBM_MODE", "exact")
+
 from data_engineering_1_spark.io import TABLES  # noqa: E402
 from data_engineering_1_spark.plans import registry  # noqa: E402
 from data_engineering_1_spark.session import get_spark  # noqa: E402
 
+# Documented classifications for scaled-fixture sweeps (NOTES_r10 §9 /
+# VERDICT r10): rows that fail AT 10x+ for reasons that are properties
+# of the naive DuckDB oracle twin or of the stacked fixture, not of the
+# engine. A mechanical verdict below still records what HAPPENED; the
+# classification explains the expected cause when it does.
+CLASSIFICATIONS: dict[str, str] = {
+    "clustering_coefficient_copurchase": (
+        "oracle-resource: DuckDB's triple self-join plan spills >78 GB "
+        "at 10x and exhausts disk (r10; Spark leg 9.05 s)"
+    ),
+    "itemset3_orders": (
+        "oracle-resource: DuckDB's triple self-join mis-plans at 10x "
+        "and ground 55+ min before being killed (r10; Spark leg 15.4 s)"
+    ),
+    "edit1_name_join": (
+        "oracle-resource: plain stacking gives every part name 9 "
+        "verbatim clones (~100x pair space); the DuckDB twin ground "
+        "past a 14-min solo box at 10x (r10; Spark leg completed)"
+    ),
+    "holm_bonferroni_tests": (
+        "precondition: the offline inverse-normal critical ladder is a "
+        "function of the m=25 nation test family; the stacked fixture's "
+        "m=250 violates it for Spark and DuckDB alike (r9)"
+    ),
+    "benjamini_hochberg_tests": (
+        "precondition: same m=25 critical ladder as holm_bonferroni "
+        "(r9)"
+    ),
+}
 
-def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+# Known-slow-but-finishing oracle legs get a wider box than the default
+# (measured r10: mutual_best_match's quadratic oracle 660 s at 10x,
+# ndcg_label_relevance 161 s).
+ORACLE_TIMEOUT_OVERRIDES: dict[str, float] = {
+    "mutual_best_match": 1200.0,
+    "ndcg_label_relevance": 600.0,
+}
+
+
+def duck_connection(args) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    if args.oracle_threads:
+        con.execute(f"PRAGMA threads={int(args.oracle_threads)}")
+    if args.oracle_memory:
+        con.execute(f"PRAGMA memory_limit='{args.oracle_memory}'")
+    if args.temp_dir:
+        os.makedirs(args.temp_dir, exist_ok=True)
+        con.execute(f"PRAGMA temp_directory='{args.temp_dir}'")
     for t in TABLES:
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{args.sf_dir}/{t}.parquet')"
         )
     return con
+
+
+def run_oracle(
+    con: duckdb.DuckDBPyConnection, sql: str, timeout: float
+) -> tuple[str, object]:
+    """Execute the oracle in a worker thread under a wall-clock box.
+    Returns ('ok', df) | ('error', exc_string) | ('timeout', None).
+    On timeout the connection is interrupted; the caller must rebuild
+    it (a grinding operator tree may not honor the interrupt
+    promptly)."""
+    result: dict[str, object] = {}
+
+    def work() -> None:
+        try:
+            result["df"] = con.execute(sql).df()
+        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
+            result["err"] = f"{type(exc).__name__}: {exc}"
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        try:
+            con.interrupt()
+        except Exception:
+            pass
+        t.join(30)
+        return "timeout", None
+    if "err" in result:
+        return "error", result["err"]
+    return "ok", result["df"]
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -80,9 +182,33 @@ def compare(name: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[st
     return problems
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("queries", nargs="*", help="subset of query names")
+    ap.add_argument("--json", dest="json_out", default=None,
+                    help="write/merge per-query verdict records here")
+    ap.add_argument("--oracle-timeout", type=float, default=None,
+                    help="per-oracle wall box in sec (default: none at "
+                         "fixture scale; overrides table always applies)")
+    ap.add_argument("--oracle-threads", type=int, default=8,
+                    help="PRAGMA threads for the oracle (0 = DuckDB "
+                         "default; r10's grinds ran at full width)")
+    ap.add_argument("--oracle-memory", default="24GB",
+                    help="PRAGMA memory_limit ('' = DuckDB default)")
+    ap.add_argument("--temp-dir", default=None,
+                    help="PRAGMA temp_directory for oracle spill")
+    ap.add_argument("--resume-from", default=None,
+                    help="skip queries alphabetically before this name")
+    ap.add_argument("--skip", default="",
+                    help="comma-separated query names to skip")
+    return ap.parse_args(argv)
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = parse_args(argv)
+    only = set(args.queries)
+    skip = {s for s in args.skip.split(",") if s}
     # 4g result cap: the gate COLLECTS both sides to compare, and the
     # plain-stacked 10x fixture's output-bound queries (every part name
     # has 9 verbatim clones, so the ER pair emitters legitimately
@@ -92,42 +218,113 @@ def main() -> int:
         "parity-check",
         extra_conf={"spark.driver.maxResultSize": "4g"},
     )
-    con = duck_connection(sf_dir)
+    con = duck_connection(args)
     queries = registry.get_queries()
     oracles = registry.get_oracles()
-    failed, ok, rows_only = [], [], []
+    failed, ok, rows_only, boxed = [], [], [], []
+    records: dict[str, dict] = {}
+    if args.json_out and os.path.exists(args.json_out):
+        with open(args.json_out) as fh:
+            records = {r["query"]: r for r in json.load(fh)["records"]}
     import gc
+
+    def save() -> None:
+        if not args.json_out:
+            return
+        payload = {
+            "sf_dir": os.path.realpath(args.sf_dir),
+            "oracle_caps": {
+                "threads": args.oracle_threads,
+                "memory_limit": args.oracle_memory,
+                "default_timeout_sec": args.oracle_timeout,
+                "timeout_overrides": ORACLE_TIMEOUT_OVERRIDES,
+            },
+            "records": sorted(records.values(), key=lambda r: r["query"]),
+        }
+        tmp = args.json_out + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(payload, fh, indent=1)
+        os.replace(tmp, args.json_out)
 
     for name, fn in sorted(queries.items()):
         if only and name not in only:
+            continue
+        if name in skip:
+            continue
+        if args.resume_from and name < args.resume_from:
             continue
         # per-query gc (the bench.py r9 discipline): a long sweep
         # accumulates py4j-referenced DataFrames whose JVM broadcasts/
         # checkpoints the ContextCleaner can only free once Python
         # drops the refs; collect each round so a 347-query sweep
-        # cannot build heap pressure. (Not a cure-all: the r10 10x
-        # sweep ALSO surfaced DuckDB-side oracle grinds — the naive
-        # SQL twins of the graph/itemset shapes can mis-plan at 10x
-        # and run for hours at full thread count; those are
-        # oracle-resource limits, recorded per query in round notes.)
+        # cannot build heap pressure.
         gc.collect()
+        rec: dict = {"query": name}
+        if name in CLASSIFICATIONS:
+            rec["classification"] = CLASSIFICATIONS[name]
         t0 = time.time()
         try:
-            sdf = fn(spark, sf_dir).toPandas()
+            sdf = fn(spark, args.sf_dir).toPandas()
         except Exception:
             print(f"[FAIL] {name}: spark raised\n{traceback.format_exc()}")
             failed.append(name)
+            rec.update(
+                verdict="spark_error",
+                error=traceback.format_exc(limit=3).strip().splitlines()[-1],
+                spark_sec=round(time.time() - t0, 1),
+            )
+            records[name] = rec
+            save()
             continue
+        rec["spark_sec"] = round(time.time() - t0, 1)
+        rec["rows_spark"] = len(sdf)
         if name not in oracles:
             rows_only.append(name)
-            print(f"[rows-only] {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")
+            print(f"[rows-only] {name}: {len(sdf)} rows ({rec['spark_sec']}s)")
+            rec["verdict"] = "rows_only"
+            records[name] = rec
+            save()
             continue
-        try:
-            ddf = con.execute(oracles[name]).df()
-        except Exception:
-            print(f"[FAIL] {name}: duckdb raised\n{traceback.format_exc()}")
+        timeout = ORACLE_TIMEOUT_OVERRIDES.get(name, args.oracle_timeout)
+        t1 = time.time()
+        if timeout:
+            status, payload = run_oracle(con, oracles[name], timeout)
+        else:
+            try:
+                status, payload = "ok", con.execute(oracles[name]).df()
+            except Exception as exc:  # noqa: BLE001
+                status, payload = "error", f"{type(exc).__name__}: {exc}"
+        rec["oracle_sec"] = round(time.time() - t1, 1)
+        if status == "timeout":
+            boxed.append(name)
+            note = " [documented]" if name in CLASSIFICATIONS else ""
+            print(
+                f"[oracle_timeout] {name}: oracle exceeded {timeout:.0f}s"
+                f"{note} (spark leg ok: {rec['rows_spark']} rows in "
+                f"{rec['spark_sec']}s)"
+            )
+            rec["verdict"] = "oracle_timeout"
+            rec["timeout_sec"] = timeout
+            records[name] = rec
+            save()
+            # the interrupted connection may be wedged mid-operator;
+            # rebuild so the rest of the sweep runs on a clean one
+            try:
+                con.close()
+            except Exception:
+                pass
+            con = duck_connection(args)
+            continue
+        if status == "error":
             failed.append(name)
+            print(f"[FAIL] {name}: duckdb raised {payload}")
+            rec["verdict"] = "oracle_error"
+            rec["error"] = str(payload)
+            records[name] = rec
+            save()
             continue
+        ddf = payload
+        rec["rows_oracle"] = len(ddf)
         problems = compare(name, sdf, ddf)
         hard = [p for p in problems if not p.startswith("dtype-diff")]
         if hard:
@@ -135,16 +332,26 @@ def main() -> int:
             print(f"[FAIL] {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             for p in problems:
                 print(f"       - {p}")
+            rec["verdict"] = "value_mismatch"
+            rec["problems"] = hard[:5]
         else:
             ok.append(name)
             warn = "; ".join(p for p in problems if p.startswith("dtype-diff"))
             extra = f" [{warn}]" if warn else ""
             print(f"[ok]   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s){extra}")
+            rec["verdict"] = "ok"
+        records[name] = rec
+        save()
     print(
-        f"\n{len(ok)} ok, {len(failed)} failed, {len(rows_only)} rows-only "
-        f"of {len(queries)} declared"
+        f"\n{len(ok)} ok, {len(failed)} failed, {len(boxed)} oracle-boxed, "
+        f"{len(rows_only)} rows-only of {len(queries)} declared"
     )
-    return 1 if failed else 0
+    # boxed rows are oracle-resource limits, not engine failures — but
+    # an UNDOCUMENTED box on a fixture-scale sweep should read as red
+    undocumented_box = [n for n in boxed if n not in CLASSIFICATIONS]
+    if undocumented_box:
+        print(f"undocumented oracle timeouts: {undocumented_box}")
+    return 1 if (failed or undocumented_box) else 0
 
 
 if __name__ == "__main__":
