@@ -732,6 +732,45 @@ def _mbm_use_ivf(spark: SparkSession, sf_dir: str) -> bool:
     return use
 
 
+def mbm_ivf_pair_recall(
+    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+) -> DataFrame:
+    """Evaluation query for the MBM IVF swap (VERDICT r10 #4 — the
+    X174 discipline applied to X184): pair recall of the IVF leg
+    against the exact leg's mutual-best pairs on the SAME anchors.
+    One row: (nprobe, n_exact, n_ivf, n_common, recall) with recall =
+    |IVF ∩ exact| / |exact| rounded 6. Not a declared query (it prices
+    an approximation, there is no oracle to match) — it is the
+    measurement behind the documented default nprobe: run it at the
+    scales where auto takes the IVF leg (tools/mbm_recall.py drives
+    10x/30x) and pick nprobe from the curve."""
+    if nprobe is None:
+        nprobe = _MBM_IVF_NPROBE
+    qv = _mbm_anchor_qvecs(spark, sf_dir)
+    exact = _mbm_mutual_top1(_mbm_exact_dots(spark, qv)).select(
+        "vec_a", "vec_b"
+    )
+    ivf = _mbm_mutual_top1(_mbm_ivf_dots(qv, nprobe)).select(
+        "vec_a", "vec_b"
+    )
+    common = exact.join(ivf, ["vec_a", "vec_b"], "inner")
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(ivf.agg(F.count("*").alias("n_ivf")))
+        .crossJoin(common.agg(F.count("*").alias("n_common")))
+        .select(
+            F.lit(nprobe).alias("nprobe"),
+            "n_exact",
+            "n_ivf",
+            "n_common",
+            F.round(
+                F.col("n_common") / F.greatest(F.col("n_exact"), F.lit(1)),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
 @declared_query(
     "mutual_best_match",
     oracle=f"""

@@ -113,3 +113,26 @@ def test_auto_ivf_warns_and_memoizes_count(spark, sf_dir, monkeypatch):
         iq._mbm_use_ivf(spark, sf_dir)
     assert iq._MBM_COUNT_CACHE[key] == cached + 1_000_000
     iq._MBM_COUNT_CACHE.clear()
+
+
+def test_pair_recall_evaluation_query(spark, sf_dir):
+    """VERDICT r10 #4: the recall of the IVF leg is MEASURED, not
+    asserted — mbm_ivf_pair_recall prices IVF pairs against the exact
+    leg's. Pins: at nprobe = n_clusters recall is exactly 1 (the X23
+    degeneracy through the evaluation query), and at nprobe=1 the
+    result is a valid (n_common <= n_ivf/n_exact, recall in [0,1])
+    measurement."""
+    from data_engineering_1_spark.plans import integrity_queries as iq
+
+    n_clusters = iq._mbm_anchor_qvecs(spark, sf_dir).select(
+        "label"
+    ).distinct().count()
+    full = iq.mbm_ivf_pair_recall(spark, sf_dir, nprobe=n_clusters).first()
+    assert full.n_exact > 0
+    assert full.n_ivf == full.n_exact == full.n_common
+    assert full.recall == 1.0
+
+    one = iq.mbm_ivf_pair_recall(spark, sf_dir, nprobe=1).first()
+    assert one.nprobe == 1
+    assert 0 <= one.n_common <= min(one.n_ivf, one.n_exact)
+    assert 0.0 <= one.recall <= 1.0
