@@ -265,12 +265,13 @@ def main(argv: list[str] | None = None) -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, args.sf_dir).toPandas()
-        except Exception:
+        except Exception as exc:  # noqa: BLE001 — recorded, not hidden
             print(f"[FAIL] {name}: spark raised\n{traceback.format_exc()}")
             failed.append(name)
+            msg = str(exc).strip().splitlines()
             rec.update(
                 verdict="spark_error",
-                error=traceback.format_exc(limit=3).strip().splitlines()[-1],
+                error=f"{type(exc).__name__}: {msg[0][:300] if msg else ''}",
                 spark_sec=round(time.time() - t0, 1),
             )
             records[name] = rec
