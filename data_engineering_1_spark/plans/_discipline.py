@@ -71,3 +71,69 @@ def o_avg6(expr: str, scale: int = 2) -> str:
         f"CAST(ROUND(CAST(SUM(CAST({expr} AS DECIMAL(18,{scale}))) AS DOUBLE)"
         f" / COUNT({expr}), 6) AS DOUBLE)"
     )
+
+
+def r6_exact(c: Column) -> Column:
+    """Round-to-6 through an exact integer: round(x*1e6) as BIGINT, then
+    one division. Found at 10x fixture volume (r10
+    brown_double_smoothing_daily, r11 price_volume_mix): once a value
+    reaches ~1e8-1e9, plain ROUND(x, 6) asks for 15-16 significant
+    digits — the double's precision edge — and the two engines' double
+    ROUND implementations disagree by 1 ulp on tie-adjacent values. The
+    integer path is tie-free: x*1e6 is ONE identical IEEE multiply on
+    identical input bits, the half-up integer round agrees across
+    engines, and the final /1e6 divides the same integer —
+    bit-identical at any magnitude < 2^53/1e6 (~9.0e9)."""
+    return (
+        F.round(c * 1000000, 0).cast("bigint") / F.lit(1000000.0)
+    ).cast("double")
+
+
+def o_r6_exact(expr: str) -> str:
+    """DuckDB fragment mirroring r6_exact (DuckDB ROUND(x) is
+    half-away-from-zero = Spark HALF_UP on both signs)."""
+    return (
+        f"CAST(CAST(ROUND(({expr}) * 1000000) AS BIGINT) AS DOUBLE)"
+        " / 1000000.0"
+    )
+
+
+def r6_fp(colname: str, fp: int) -> Column:
+    """round(s / fp, 6) for an exact INTEGER column s (|s| < 2^63),
+    computed entirely in integer space: half-away-from-zero integer
+    division by fp/1e6, then one exact double division by 1e6.
+
+    Why not r6_exact on s/fp: once |s| passes 2^53 (~9e15), the
+    int->double conversion itself skews — DuckDB's int128->double
+    composes two roundings (upper*2^64 + lower) while Spark's
+    BigDecimal.doubleValue rounds once, so the two engines hand ROUND
+    different input bits (found at the r11 30x probe of
+    price_volume_mix: sums ~7.8e17, 1-ulp quotient skew = 2 units in
+    the 6th decimal). The integer divide never leaves exact space;
+    the quotient q6 = round(s/fp * 1e6) stays exact in a double up to
+    2^53, i.e. |s/fp| up to ~9.0e9.
+
+    Takes a column NAME (the exact sum must be aliased in a prior
+    agg/select) because integer DIV is expression-level in Spark SQL."""
+    d, half = fp // 1_000_000, fp // 2_000_000
+    if d * 1_000_000 != fp:
+        raise ValueError("fp must be a multiple of 1e6")
+    return F.expr(
+        f"CAST(CASE WHEN {colname} >= 0"
+        f" THEN ({colname} + {half}) DIV {d}"
+        f" ELSE -((-{colname} + {half}) DIV {d}) END AS DOUBLE)"
+        " / 1000000.0"
+    )
+
+
+def o_r6_fp(expr: str, fp: int) -> str:
+    """DuckDB fragment mirroring r6_fp. Operands are made non-negative
+    before the integer division so floor-vs-truncate semantics can't
+    diverge between the engines."""
+    d, half = fp // 1_000_000, fp // 2_000_000
+    return (
+        f"CAST(CASE WHEN ({expr}) >= 0"
+        f" THEN (CAST(({expr}) AS BIGINT) + {half}) // {d}"
+        f" ELSE -((CAST(-({expr}) AS BIGINT) + {half}) // {d})"
+        f" END AS DOUBLE) / 1000000.0"
+    )

@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ._discipline import r6_exact
 from .registry import declared_query
 
 _FH_BUCKETS = 128
@@ -381,19 +382,10 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- X260: Brown's double exponential smoothing -------------------------------
 
 
-def _r6_exact(c):
-    """Round-to-6 through an exact integer: round(x*1e6) as BIGINT,
-    then one division. At 10x scale the smoothed levels reach ~1.5e8,
-    where plain ROUND(x, 6) asks for 15 significant digits — the
-    double's precision edge — and the two engines' double-ROUND
-    implementations disagree by 1 ulp on tie-adjacent values (4 of
-    2414 rows at the 10x sweep). The integer path is tie-free: x*1e6
-    is ONE identical IEEE multiply on identical bits, the half-up
-    integer round agrees across engines, and the final /1e6 divides
-    the same integer — bit-identical at any magnitude < 2^53/1e6."""
-    return (
-        F.round(c * 1000000, 0).cast("bigint") / F.lit(1000000.0)
-    ).cast("double")
+# Round-to-6 through an exact integer — promoted to the shared
+# discipline module in r11 after the same 1-ulp cross-engine ROUND tie
+# resurfaced in price_volume_mix at 10x; see _discipline.r6_exact.
+_r6_exact = r6_exact
 
 
 @declared_query(

@@ -72,10 +72,15 @@ from .registry import declared_query
                CAST(SUM(det_num) AS BIGINT) AS ssum
         FROM det GROUP BY dow
     ), resid AS (
+        -- integer half-away-from-zero: round_half_up(a/b) = (2a+b)//2b
+        -- (tie-free; the rational num/(7k) hits true .5 ties often)
         SELECT det.d, det.cnt,
-               CAST(ROUND(CAST(det.det_num * seas.k - seas.ssum
-                               AS DOUBLE) / (7 * seas.k), 6)
-                    * 1000000 AS BIGINT) AS r_i
+               CAST(CASE WHEN det.det_num * seas.k - seas.ssum >= 0
+                    THEN (2 * (det.det_num * seas.k - seas.ssum)
+                          * 1000000 + 7 * seas.k) // (14 * seas.k)
+                    ELSE -((2 * (seas.ssum - det.det_num * seas.k)
+                          * 1000000 + 7 * seas.k) // (14 * seas.k))
+                    END AS BIGINT) AS r_i
         FROM det JOIN seas ON det.dow = seas.dow
     ), st AS (
         -- tight decimal widths so every product stays <= 38 digits
@@ -152,21 +157,22 @@ def stl_residual_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.sum("det_num").cast("bigint").alias("ssum"),
     )
+    # r_i = round(num/(7k), 6) * 1e6 computed ENTIRELY in integer
+    # space: num/(7k) is an exact rational with a small denominator,
+    # so true x.xxxxxx5 ties are COMMON — at 10x two of them landed on
+    # opposite sides of the engines' double ROUND (r11 sweep). Integer
+    # half-away-from-zero division is tie-free by construction:
+    # round_half_up(a/b) = (2a + b) DIV 2b for a, b > 0.
     resid = det.join(F.broadcast(seas), "dow").select(
         "d",
         "cnt",
-        (
-            F.round(
-                (F.col("det_num") * F.col("k") - F.col("ssum")).cast(
-                    "double"
-                )
-                / (7 * F.col("k")),
-                6,
-            )
-            * 1000000
-        )
-        .cast("bigint")
-        .alias("r_i"),
+        F.expr(
+            "CAST(CASE WHEN det_num * k - ssum >= 0"
+            " THEN (2 * (det_num * k - ssum) * 1000000 + 7 * k)"
+            "      DIV (14 * k)"
+            " ELSE -((2 * (ssum - det_num * k) * 1000000 + 7 * k)"
+            "      DIV (14 * k)) END AS BIGINT)"
+        ).alias("r_i"),
     )
     st = resid.agg(
         F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),

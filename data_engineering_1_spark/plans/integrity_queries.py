@@ -543,7 +543,16 @@ _MBM_B = 8  # anchor pair-join blocks; the grid has B*(B+1)/2 = 36 keys
 # so every oracle/parity check runs the exact leg; the 30x probe and
 # production scales take the IVF leg.
 _MBM_IVF_MIN_ANCHORS = 5_000
-_MBM_IVF_NPROBE = 2  # of the fixture's 10 label clusters
+# Learned coarse quantizer (r11): _MBM_IVF_K k-means cells fitted on
+# the anchors themselves, replacing r10's label-column centroids. The
+# r11 recall measurement (tools/mbm_recall.py, 30x perturbed fixture)
+# showed WHY: label cells are a degenerate quantizer once the data
+# stops following the label column — pair recall at the old default
+# (nprobe=2 of 10 label cells) was 0.34. Learned cells respect the
+# actual geometry, so high-similarity mutual pairs co-locate.
+# nprobe=4 of 32 cells is picked from the re-measured curve (NOTES_r11).
+_MBM_IVF_K = 32
+_MBM_IVF_NPROBE = 4  # of _MBM_IVF_K learned cells
 
 
 def _mbm_anchor_qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,25 +654,32 @@ def _mbm_exact_dots(spark: SparkSession, qv: DataFrame) -> DataFrame:
 def _mbm_ivf_dots(qv: DataFrame, nprobe: int | None = None) -> DataFrame:
     """IVF candidate enumeration — the X37 stored-index shape feeding
     the mutual-rank filter (the scale path the exact leg's docstring
-    promised): label-cluster centroids (`label_centroids`), per-anchor
-    probe list of the ``nprobe`` best clusters (`ivf_assign`,
+    promised): _MBM_IVF_K k-means cells LEARNED on the anchors
+    (`kmeans_lloyd`, deterministic seed + exact-decimal updates),
+    per-anchor probe list of the ``nprobe`` best cells (`ivf_assign`,
     n_best=nprobe — exactly `ivf_knn_join`'s probe stage), and the
-    candidate join lands probe x assignment on the cluster key, so each
-    anchor scores only ~nprobe/n_clusters of the corpus. The dot is the
+    candidate join lands probe x assignment on the cell key, so each
+    anchor scores only ~nprobe/_MBM_IVF_K of the corpus. The dot is the
     SAME exact quantized fold as the exact leg, so at
-    nprobe = n_clusters the candidate set degenerates to all ordered
-    pairs and the result is bit-equal to the exact leg (the X23
-    degeneracy pin, enforced by tests/test_mbm_ivf.py). ``nprobe``
-    defaults to the module global AT CALL TIME so test/operator
-    overrides of _MBM_IVF_NPROBE reach the declared query (ADVICE
-    r10)."""
-    from ..operators.similarity import ivf_assign, label_centroids
+    nprobe = _MBM_IVF_K every surviving cell is probed, the candidate
+    set degenerates to all ordered pairs, and the result is bit-equal
+    to the exact leg (the X23 degeneracy pin, enforced by
+    tests/test_mbm_ivf.py). Learned cells replaced r10's label-column
+    centroids after the 30x recall measurement (see _MBM_IVF_K note).
+    ``nprobe`` defaults to the module global AT CALL TIME so
+    test/operator overrides of _MBM_IVF_NPROBE reach the declared query
+    (ADVICE r10)."""
+    from ..operators.clustering import kmeans_lloyd
+    from ..operators.similarity import ivf_assign
 
     if nprobe is None:
         nprobe = _MBM_IVF_NPROBE
 
-    vecs = qv.select("vec_id", "embedding", "label")
-    cents = label_centroids(vecs)
+    vecs = qv.select("vec_id", "embedding")
+    _, km_cents = kmeans_lloyd(vecs, k=_MBM_IVF_K, n_iter=3)
+    cents = km_cents.select(
+        "label", "pos", F.col("val").alias("centroid_val")
+    )
     assign = ivf_assign(vecs, cents).select("vec_id", "assigned_label")
     probe = ivf_assign(vecs, cents, n_best=nprobe).select(
         "vec_id", "assigned_label"
@@ -724,7 +740,8 @@ def _mbm_use_ivf(spark: SparkSession, sf_dir: str) -> bool:
         warnings.warn(
             "mutual_best_match auto mode is taking the APPROXIMATE IVF "
             f"leg (anchors >= {_MBM_IVF_MIN_ANCHORS}): pairs are mutual "
-            f"within nprobe={_MBM_IVF_NPROBE} probed clusters, not the "
+            f"within nprobe={_MBM_IVF_NPROBE} of {_MBM_IVF_K} learned cells, "
+            "not the "
             "exact all-pairs result; set SPARK_GRAFT_MBM_MODE=exact to "
             "force the quadratic leg (e.g. for oracle comparison)",
             stacklevel=3,
@@ -818,11 +835,11 @@ def mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd in-row dot per pair); honest but quadratic in anchors
     (the 30x probe measured 346 s). Past _MBM_IVF_MIN_ANCHORS the
     auto mode swaps the pair enumeration for the X37 IVF candidates
-    (_mbm_ivf_dots — label centroids, per-anchor nprobe-best probe
+    (_mbm_ivf_dots — learned k-means cells, per-anchor nprobe-best probe
     list, candidate join on the cluster key) with the SAME
     mutual-rank filter and the SAME exact quantized dot on top, so
-    per-anchor work drops to ~nprobe/n_clusters of the corpus. At
-    nprobe = n_clusters the IVF leg is bit-equal to the exact leg
+    per-anchor work drops to ~nprobe/_MBM_IVF_K of the corpus. At
+    nprobe = _MBM_IVF_K the IVF leg is bit-equal to the exact leg
     (tests/test_mbm_ivf.py pins it); at the default nprobe it is the
     standard IVF recall trade, which is the point of the scale path.
     Every fixture/oracle scale stays under the threshold, so parity

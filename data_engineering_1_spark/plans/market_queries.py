@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ._discipline import r6_fp
 from .registry import declared_query
 
 # Fixed-point unit-price scale: price_fp = cents * 1e6 DIV qty.
@@ -344,24 +345,47 @@ def hhi_brand_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m AS month,
            CAST(SUM(matched) AS BIGINT) AS matched_parts,
-           CAST(ROUND(SUM(CAST(price_fx AS DECIMAL(38,0)))
-                      / {100 * _PRICE_FP}.0, 6) AS DOUBLE)
+           CAST(CASE WHEN SUM(CAST(price_fx AS DECIMAL(38,0))) >= 0
+                THEN (CAST(SUM(CAST(price_fx AS DECIMAL(38,0)))
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
+                ELSE -((CAST(-SUM(CAST(price_fx AS DECIMAL(38,0)))
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
+                END AS DOUBLE) / 1000000.0
                AS price_effect,
-           CAST(ROUND(SUM(CAST(vol_fx AS DECIMAL(38,0)))
-                      / {100 * _PRICE_FP}.0, 6) AS DOUBLE)
+           CAST(CASE WHEN SUM(CAST(vol_fx AS DECIMAL(38,0))) >= 0
+                THEN (CAST(SUM(CAST(vol_fx AS DECIMAL(38,0)))
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
+                ELSE -((CAST(-SUM(CAST(vol_fx AS DECIMAL(38,0)))
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
+                END AS DOUBLE) / 1000000.0
                AS volume_effect,
-           CAST(ROUND(SUM(CAST(cross_fx AS DECIMAL(38,0)))
-                      / {100 * _PRICE_FP}.0, 6) AS DOUBLE)
+           CAST(CASE WHEN SUM(CAST(cross_fx AS DECIMAL(38,0))) >= 0
+                THEN (CAST(SUM(CAST(cross_fx AS DECIMAL(38,0)))
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
+                ELSE -((CAST(-SUM(CAST(cross_fx AS DECIMAL(38,0)))
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
+                END AS DOUBLE) / 1000000.0
                AS cross_effect,
-           CAST(ROUND(SUM(CAST(new_fx AS DECIMAL(38,0)))
-                      / {100 * _PRICE_FP}.0, 6) AS DOUBLE)
+           CAST(CASE WHEN SUM(CAST(new_fx AS DECIMAL(38,0))) >= 0
+                THEN (CAST(SUM(CAST(new_fx AS DECIMAL(38,0)))
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
+                ELSE -((CAST(-SUM(CAST(new_fx AS DECIMAL(38,0)))
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
+                END AS DOUBLE) / 1000000.0
                AS new_parts_effect,
-           CAST(ROUND(SUM(CAST(disc_fx AS DECIMAL(38,0)))
-                      / {100 * _PRICE_FP}.0, 6) AS DOUBLE)
+           CAST(CASE WHEN SUM(CAST(disc_fx AS DECIMAL(38,0))) >= 0
+                THEN (CAST(SUM(CAST(disc_fx AS DECIMAL(38,0)))
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
+                ELSE -((CAST(-SUM(CAST(disc_fx AS DECIMAL(38,0)))
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
+                END AS DOUBLE) / 1000000.0
                AS discontinued_effect,
-           CAST(ROUND(SUM(CAST(price_fx AS DECIMAL(38,0))
-                          + vol_fx + cross_fx + new_fx + disc_fx)
-                      / {100 * _PRICE_FP}.0, 6) AS DOUBLE)
+           CAST(CASE WHEN SUM(CAST(price_fx AS DECIMAL(38,0)) + vol_fx + cross_fx + new_fx + disc_fx) >= 0
+                THEN (CAST(SUM(CAST(price_fx AS DECIMAL(38,0)) + vol_fx + cross_fx + new_fx + disc_fx)
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
+                ELSE -((CAST(-SUM(CAST(price_fx AS DECIMAL(38,0)) + vol_fx + cross_fx + new_fx + disc_fx)
+                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
+                END AS DOUBLE) / 1000000.0
                AS total_change
     FROM fx
     WHERE m > (SELECT MIN(m) FROM pmp)
@@ -430,48 +454,54 @@ def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = pmp.agg(
         F.min("m").alias("mn"), F.max("m").alias("mx")
     )
-    den = float(100 * _PRICE_FP)
+    den = 100 * _PRICE_FP
 
-    def eff(col, name):
-        return F.round(
-            F.sum(F.col(col).cast("decimal(38,0)")) / den, 6
-        ).alias(name)
+    # Exact integer sums first (BIGINT — the 30x probe's largest is
+    # ~7.8e17, far under 2^63), then round-to-6 WITHOUT ever casting
+    # the huge integer to double: at 10x plain ROUND(x, 6) tie-skewed
+    # by 1 ulp, and past 2^53 (30x) the int->double conversion itself
+    # skews (DuckDB's int128->double composes two roundings). The
+    # half-away-from-zero integer divide in _discipline.r6_fp never
+    # leaves exact space — see its docstring.
+    def s(col, name):
+        return (
+            F.sum(F.col(col).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias(name)
+        )
 
-    return (
+    sums = (
         fx.crossJoin(F.broadcast(bounds))
         .where((F.col("m") > F.col("mn")) & (F.col("m") <= F.col("mx")))
         .groupBy("m")
         .agg(
             F.sum("matched").cast("bigint").alias("matched_parts"),
-            eff("price_fx", "price_effect"),
-            eff("vol_fx", "volume_effect"),
-            eff("cross_fx", "cross_effect"),
-            eff("new_fx", "new_parts_effect"),
-            eff("disc_fx", "discontinued_effect"),
-            F.round(
-                F.sum(
-                    F.col("price_fx").cast("decimal(38,0)")
-                    + F.col("vol_fx")
-                    + F.col("cross_fx")
-                    + F.col("new_fx")
-                    + F.col("disc_fx")
-                )
-                / den,
-                6,
-            ).alias("total_change"),
+            s("price_fx", "s_price"),
+            s("vol_fx", "s_vol"),
+            s("cross_fx", "s_cross"),
+            s("new_fx", "s_new"),
+            s("disc_fx", "s_disc"),
+            F.sum(
+                F.col("price_fx").cast("decimal(38,0)")
+                + F.col("vol_fx")
+                + F.col("cross_fx")
+                + F.col("new_fx")
+                + F.col("disc_fx")
+            )
+            .cast("bigint")
+            .alias("s_total"),
         )
-        .select(
-            F.col("m").alias("month"),
-            "matched_parts",
-            "price_effect",
-            "volume_effect",
-            "cross_effect",
-            "new_parts_effect",
-            "discontinued_effect",
-            "total_change",
-        )
-        .orderBy("month")
     )
+    return sums.select(
+        F.col("m").alias("month"),
+        "matched_parts",
+        r6_fp("s_price", den).alias("price_effect"),
+        r6_fp("s_vol", den).alias("volume_effect"),
+        r6_fp("s_cross", den).alias("cross_effect"),
+        r6_fp("s_new", den).alias("new_parts_effect"),
+        r6_fp("s_disc", den).alias("discontinued_effect"),
+        r6_fp("s_total", den).alias("total_change"),
+    ).orderBy("month")
 
 
 # ---- X248: net revenue retention cohorts -----------------------------------

@@ -1321,9 +1321,13 @@ def sql_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "winsorize_event_values",
     oracle="""
     WITH bounds AS (
+        -- bounds rounded 6 BEFORE use: the two engines' interpolation
+        -- formulas (a + f*(b-a) vs (1-f)*a + f*b) differ in the last
+        -- ulp once 10x group sizes make f non-dyadic (r11 sweep, 97
+        -- rows); identically-rounded bounds clip identically
         SELECT event_type,
-               quantile_cont(value, 0.01) AS p01,
-               quantile_cont(value, 0.99) AS p99
+               ROUND(quantile_cont(value, 0.01), 6) AS p01,
+               ROUND(quantile_cont(value, 0.99), 6) AS p99
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
@@ -1339,17 +1343,19 @@ def sql_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorization / outlier clipping (X91): the feature-cleaning
     staple — clamp each value into its group's [p1, p99] band. The
-    per-group bounds are EXACT interpolated percentiles (the X18
-    surface, already proven to interpolate identically to DuckDB's
-    quantile_cont on doubles), computed once per group and broadcast
-    back; the clip itself is an in-row least/greatest. Emitted for a
-    deterministic id slice to bound output volume. Clamping is pure
-    selection/comparison of existing doubles — no float arithmetic to
-    diverge."""
+    per-group bounds are interpolated percentiles (the X18 surface)
+    ROUNDED 6 before use — the engines' interpolation formulas skew by
+    1 ulp at 10x group sizes, so raw bounds are NOT cross-engine-exact
+    (r11 10x sweep) — computed once per group and broadcast back; the
+    clip itself is an in-row least/greatest over identically-rounded
+    operands. Emitted for a deterministic id slice to bound output
+    volume."""
     ev = load_table(spark, sf_dir, "events")
+    # round-6 the interpolated bounds before any use — see the oracle
+    # comment (1-ulp interpolation skew at 10x group sizes)
     bounds = ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.01)").alias("p01"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
     )
     e = ev.where(F.col("event_id") % 37 == 0)
     return e.join(F.broadcast(bounds), "event_type").select(

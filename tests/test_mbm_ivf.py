@@ -1,11 +1,14 @@
 """mutual_best_match IVF scale path (VERDICT r9 #2).
 
 The exact leg enumerates every anchor pair (honest quadratic); the IVF
-leg feeds the SAME mutual-rank filter from X37-style candidates (label
-centroids -> per-anchor nprobe-best probe list -> candidate join on
-the cluster key). These tests pin:
+leg feeds the SAME mutual-rank filter from X37-style candidates
+(learned k-means cells -> per-anchor nprobe-best probe list ->
+candidate join on the cell key; label centroids until the r11 recall
+measurement showed they degenerate off-label — see _MBM_IVF_K). These
+tests pin:
 
-1. the X23 degeneracy — at nprobe = n_clusters the IVF leg is
+1. the X23 degeneracy — at nprobe = _MBM_IVF_K (every surviving cell
+   probed) the IVF leg is
    bit-equal to the exact leg (all ordered pairs survive the probe
    cut, so only the enumeration route differs);
 2. the default-nprobe leg still produces structurally-valid output
@@ -32,15 +35,16 @@ def _rows(df):
 
 
 def test_ivf_degenerates_to_exact_at_full_probe(spark, sf_dir, qv):
-    n_clusters = qv.select("label").distinct().count()
     exact = _rows(iq._mbm_mutual_top1(iq._mbm_exact_dots(spark, qv)))
-    ivf = _rows(iq._mbm_mutual_top1(iq._mbm_ivf_dots(qv, nprobe=n_clusters)))
+    ivf = _rows(
+        iq._mbm_mutual_top1(iq._mbm_ivf_dots(qv, nprobe=iq._MBM_IVF_K))
+    )
     assert exact == ivf
     assert len(exact) > 0  # the pin is vacuous on an empty result
 
 
 def test_default_nprobe_output_is_valid_mutual_set(spark, sf_dir, qv):
-    dots = iq._mbm_ivf_dots(qv)  # default nprobe < n_clusters
+    dots = iq._mbm_ivf_dots(qv)  # default nprobe < _MBM_IVF_K
     out = iq._mbm_mutual_top1(dots).collect()
     assert len(out) > 0
     seen = set()
@@ -76,17 +80,14 @@ def test_declared_query_matches_forced_ivf_at_full_probe(
     spark, sf_dir, monkeypatch
 ):
     """End-to-end: the DECLARED QUERY itself under the forced-IVF env
-    (with nprobe widened to n_clusters via the module global, which
+    (with nprobe widened to _MBM_IVF_K via the module global, which
     _mbm_ivf_dots now reads at call time — ADVICE r10) equals its
     default exact run. This pins the env-forced leg selection AND the
     X23 degeneracy through the public entry point, not the internals."""
     monkeypatch.delenv("SPARK_GRAFT_MBM_MODE", raising=False)
     exact = _rows(iq.mutual_best_match(spark, sf_dir))
     monkeypatch.setenv("SPARK_GRAFT_MBM_MODE", "ivf")
-    n_clusters = iq._mbm_anchor_qvecs(spark, sf_dir).select(
-        "label"
-    ).distinct().count()
-    monkeypatch.setattr(iq, "_MBM_IVF_NPROBE", n_clusters)
+    monkeypatch.setattr(iq, "_MBM_IVF_NPROBE", iq._MBM_IVF_K)
     forced = _rows(iq.mutual_best_match(spark, sf_dir))
     assert exact == forced
     assert len(exact) > 0
@@ -118,16 +119,15 @@ def test_auto_ivf_warns_and_memoizes_count(spark, sf_dir, monkeypatch):
 def test_pair_recall_evaluation_query(spark, sf_dir):
     """VERDICT r10 #4: the recall of the IVF leg is MEASURED, not
     asserted — mbm_ivf_pair_recall prices IVF pairs against the exact
-    leg's. Pins: at nprobe = n_clusters recall is exactly 1 (the X23
+    leg's. Pins: at nprobe = _MBM_IVF_K recall is exactly 1 (the X23
     degeneracy through the evaluation query), and at nprobe=1 the
     result is a valid (n_common <= n_ivf/n_exact, recall in [0,1])
     measurement."""
     from data_engineering_1_spark.plans import integrity_queries as iq
 
-    n_clusters = iq._mbm_anchor_qvecs(spark, sf_dir).select(
-        "label"
-    ).distinct().count()
-    full = iq.mbm_ivf_pair_recall(spark, sf_dir, nprobe=n_clusters).first()
+    full = iq.mbm_ivf_pair_recall(
+        spark, sf_dir, nprobe=iq._MBM_IVF_K
+    ).first()
     assert full.n_exact > 0
     assert full.n_ivf == full.n_exact == full.n_common
     assert full.recall == 1.0

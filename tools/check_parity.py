@@ -84,11 +84,26 @@ CLASSIFICATIONS: dict[str, str] = {
 # (measured r10: mutual_best_match's quadratic oracle 660 s at 10x,
 # ndcg_label_relevance 161 s).
 ORACLE_TIMEOUT_OVERRIDES: dict[str, float] = {
-    "mutual_best_match": 1200.0,
+    # quadratic all-pairs twin: 660 s at 10x uncapped (32 threads, r10);
+    # scales ~linearly with 1/threads under the capped oracle
+    "mutual_best_match": 3600.0,
     "ndcg_label_relevance": 600.0,
     # recursive-CTE frontier relaxation: completes at 10x (r10 sweep)
     # but needs ~5-10 min under the capped 8-thread oracle
     "cheapest_path_copurchase": 1200.0,
+    # quadratic signature-overlap twin: completed at 10x in r10's
+    # uncapped sweep; needs past 300s at threads=8
+    "containment_pairs_docs": 900.0,
+    # ER stack twin (detect+cluster+fuse in one recursive SQL):
+    # completed at 10x in r10's uncapped sweep; >300s at threads=8
+    "golden_record_fusion": 900.0,
+    # iterative k-core peel twin (recursive CTE): completed at 10x in
+    # r10's uncapped sweep; >300s at threads=8
+    "kcore_copurchase": 900.0,
+    # temporal BFS / triangle-orientation twins: completed at 10x in
+    # r10's uncapped sweep; >300s at threads=8
+    "temporal_reach_parts": 900.0,
+    "triangle_count_copurchase": 900.0,
 }
 
 

@@ -42,7 +42,7 @@ def main(argv: list[str] | None = None) -> int:
     # once so each nprobe pays only its own candidate join
     qv = iq._mbm_anchor_qvecs(spark, args.sf_dir).persist()
     n_anchors = qv.count()
-    n_clusters = qv.select("label").distinct().count()
+    n_cells = iq._MBM_IVF_K
 
     t0 = time.time()
     exact = (
@@ -76,7 +76,7 @@ def main(argv: list[str] | None = None) -> int:
     result = {
         "sf_dir": os.path.realpath(args.sf_dir),
         "n_anchors": n_anchors,
-        "n_clusters": n_clusters,
+        "n_cells": n_cells,
         "exact_leg_sec": exact_sec,
         "default_nprobe": iq._MBM_IVF_NPROBE,
         "points": points,
