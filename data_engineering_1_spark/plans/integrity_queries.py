@@ -537,20 +537,27 @@ def kcore_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MBM_Q = 1_000_000
 _MBM_B = 8  # anchor pair-join blocks; the grid has B*(B+1)/2 = 36 keys
-# auto mode switches the pair enumeration from the exact block grid to
-# IVF candidates once the anchor set outgrows the honest quadratic
-# (VERDICT r9 #2). The fixtures (<= 12k embeddings at 10x) stay exact,
-# so every oracle/parity check runs the exact leg; the 30x probe and
-# production scales take the IVF leg.
+# Leg policy (r11, measurement-driven reversal of r10's auto swap):
+# the IVF leg's pair recall is a property of the CORPUS, not the
+# operator — tools/mbm_recall.py measured recall 1.0 (any nprobe) on
+# the 10x plain-stacked fixture, where mutual pairs are true
+# near-duplicates sharing cells, but only 0.20-0.49 (nprobe 2-8, both
+# label-column and learned k-means cells) on the 30x
+# constant-duplicate-density fixture, whose decorrelated space has no
+# structure a coarse quantizer can exploit (the standard
+# high-dimensional IVF recall@1 failure). Auto mode therefore NEVER
+# silently serves the approximation: past _MBM_IVF_MIN_ANCHORS it
+# stays exact and warns that the quadratic leg is engaged, pointing at
+# the opt-in. SPARK_GRAFT_MBM_MODE=ivf enables the IVF leg for corpora
+# whose recall has been MEASURED acceptable with tools/mbm_recall.py
+# (near-dup-structured corpora — the production bitext/near-dup mining
+# case — measure 1.0 and run 2.9x faster at 30x).
 _MBM_IVF_MIN_ANCHORS = 5_000
-# Learned coarse quantizer (r11): _MBM_IVF_K k-means cells fitted on
-# the anchors themselves, replacing r10's label-column centroids. The
-# r11 recall measurement (tools/mbm_recall.py, 30x perturbed fixture)
-# showed WHY: label cells are a degenerate quantizer once the data
-# stops following the label column — pair recall at the old default
-# (nprobe=2 of 10 label cells) was 0.34. Learned cells respect the
-# actual geometry, so high-similarity mutual pairs co-locate.
-# nprobe=4 of 32 cells is picked from the re-measured curve (NOTES_r11).
+# The coarse quantizer is _MBM_IVF_K k-means cells fitted on the
+# anchors themselves (r11; r10 used the fixture's label column, which
+# does not exist in production corpora). nprobe=4 of 32 cells is the
+# measured curve's knee on the stacked fixture; on decorrelated data
+# no small nprobe is acceptable — see the policy note above.
 _MBM_IVF_K = 32
 _MBM_IVF_NPROBE = 4  # of _MBM_IVF_K learned cells
 
@@ -722,31 +729,38 @@ def _mbm_embedding_count(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _mbm_use_ivf(spark: SparkSession, sf_dir: str) -> bool:
-    """Leg selection: SPARK_GRAFT_MBM_MODE = exact | ivf | auto
-    (default auto: IVF once the anchor subset outgrows
-    _MBM_IVF_MIN_ANCHORS; the count is a memoized parquet-metadata
-    job). When auto takes the APPROXIMATE leg it says so out loud
-    (ADVICE r10): above the threshold the result is nprobe-bounded —
-    a declared-oracle comparison at that scale must force
-    SPARK_GRAFT_MBM_MODE=exact (tools/check_parity.py does)."""
+    """Leg selection: SPARK_GRAFT_MBM_MODE = exact | ivf | auto.
+
+    Auto (the default) ALWAYS runs the exact leg — the r11 recall
+    measurement showed the IVF approximation's pair recall is
+    corpus-dependent (1.0 on near-dup-structured data, 0.2-0.5 on
+    decorrelated data; see the module policy note), so silently
+    swapping semantics on a size threshold serves wrong-ish answers on
+    exactly the corpora that can't tolerate it. Past
+    _MBM_IVF_MIN_ANCHORS auto warns that the quadratic leg is engaged
+    at scale and points at the measured opt-in (the count is a
+    memoized parquet-metadata job). SPARK_GRAFT_MBM_MODE=ivf is the
+    explicit opt-in for corpora whose recall tools/mbm_recall.py has
+    measured acceptable."""
     import os
     import warnings
 
     mode = os.environ.get("SPARK_GRAFT_MBM_MODE", "auto").strip().lower()
     if mode in {"exact", "ivf"}:
         return mode == "ivf"
-    use = _mbm_embedding_count(spark, sf_dir) // 5 >= _MBM_IVF_MIN_ANCHORS
-    if use:
+    if _mbm_embedding_count(spark, sf_dir) // 5 >= _MBM_IVF_MIN_ANCHORS:
         warnings.warn(
-            "mutual_best_match auto mode is taking the APPROXIMATE IVF "
-            f"leg (anchors >= {_MBM_IVF_MIN_ANCHORS}): pairs are mutual "
-            f"within nprobe={_MBM_IVF_NPROBE} of {_MBM_IVF_K} learned cells, "
-            "not the "
-            "exact all-pairs result; set SPARK_GRAFT_MBM_MODE=exact to "
-            "force the quadratic leg (e.g. for oracle comparison)",
+            "mutual_best_match is running the EXACT quadratic leg on "
+            f">= {_MBM_IVF_MIN_ANCHORS} anchors. The IVF leg "
+            f"(SPARK_GRAFT_MBM_MODE=ivf; nprobe={_MBM_IVF_NPROBE} of "
+            f"{_MBM_IVF_K} learned cells) is faster but APPROXIMATE, "
+            "and its pair recall is corpus-dependent — measure it on "
+            "YOUR corpus with tools/mbm_recall.py before opting in "
+            "(near-dup-structured corpora measure 1.0; decorrelated "
+            "ones 0.2-0.5)",
             stacklevel=3,
         )
-    return use
+    return False
 
 
 def mbm_ivf_pair_recall(
@@ -833,17 +847,18 @@ def mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     every unordered anchor pair through the literal (b1 <= b2)
     pair-block grid (_mbm_exact_dots — 36 broadcast grid rows, one
     codegen'd in-row dot per pair); honest but quadratic in anchors
-    (the 30x probe measured 346 s). Past _MBM_IVF_MIN_ANCHORS the
-    auto mode swaps the pair enumeration for the X37 IVF candidates
-    (_mbm_ivf_dots — learned k-means cells, per-anchor nprobe-best probe
-    list, candidate join on the cluster key) with the SAME
-    mutual-rank filter and the SAME exact quantized dot on top, so
-    per-anchor work drops to ~nprobe/_MBM_IVF_K of the corpus. At
-    nprobe = _MBM_IVF_K the IVF leg is bit-equal to the exact leg
-    (tests/test_mbm_ivf.py pins it); at the default nprobe it is the
-    standard IVF recall trade, which is the point of the scale path.
-    Every fixture/oracle scale stays under the threshold, so parity
-    always exercises the exact leg."""
+    (the 30x probe measured 346 s). SPARK_GRAFT_MBM_MODE=ivf opts in
+    to the X37 IVF candidate enumeration (_mbm_ivf_dots — learned
+    k-means cells, per-anchor nprobe-best probe list, candidate join
+    on the cell key) with the SAME mutual-rank filter and the SAME
+    exact quantized dot on top, so per-anchor work drops to
+    ~nprobe/_MBM_IVF_K of the corpus. At nprobe = _MBM_IVF_K the IVF
+    leg is bit-equal to the exact leg (tests/test_mbm_ivf.py pins it);
+    at the default nprobe it is the standard IVF recall trade, whose
+    recall is CORPUS-DEPENDENT — measured 1.0 on near-dup-structured
+    data and 0.2-0.5 on decorrelated data (tools/mbm_recall.py, the
+    r11 curves), which is why auto mode never takes it silently (see
+    _mbm_use_ivf). Parity always exercises the exact leg."""
     qv = _mbm_anchor_qvecs(spark, sf_dir)
     if _mbm_use_ivf(spark, sf_dir):
         dots = _mbm_ivf_dots(qv)

@@ -13,9 +13,9 @@ tests pin:
    cut, so only the enumeration route differs);
 2. the default-nprobe leg still produces structurally-valid output
    (mutual within its own candidate set, vec_a < vec_b, exact dots);
-3. leg selection — fixtures stay exact in auto mode, the env override
-   forces each leg, and the auto threshold flips at
-   _MBM_IVF_MIN_ANCHORS.
+3. leg selection — auto mode is ALWAYS exact (warning past the
+   anchor threshold — the r11 measured-recall policy), and the env
+   override forces each leg.
 """
 
 from __future__ import annotations
@@ -93,24 +93,27 @@ def test_declared_query_matches_forced_ivf_at_full_probe(
     assert len(exact) > 0
 
 
-def test_auto_ivf_warns_and_memoizes_count(spark, sf_dir, monkeypatch):
-    """ADVICE r10: when auto mode takes the approximate leg it must say
-    so (the declared oracle stays exact above the threshold), and the
-    anchor-count job is memoized per (application, sf_dir) instead of
-    re-running per invocation."""
+def test_auto_stays_exact_at_scale_warns_and_memoizes(
+    spark, sf_dir, monkeypatch
+):
+    """r11 policy (measurement-driven reversal of r10's auto swap):
+    auto mode NEVER silently serves the approximate leg — above the
+    anchor threshold it stays exact and warns, pointing at the
+    measured opt-in (tools/mbm_recall.py). The anchor-count job stays
+    memoized per (application, sf_dir)."""
     import os
 
     monkeypatch.delenv("SPARK_GRAFT_MBM_MODE", raising=False)
     iq._MBM_COUNT_CACHE.clear()
     monkeypatch.setattr(iq, "_MBM_IVF_MIN_ANCHORS", 1)
-    with pytest.warns(UserWarning, match="APPROXIMATE IVF"):
-        assert iq._mbm_use_ivf(spark, sf_dir) is True
+    with pytest.warns(UserWarning, match="EXACT quadratic leg"):
+        assert iq._mbm_use_ivf(spark, sf_dir) is False
     key = (spark.sparkContext.applicationId, os.path.realpath(sf_dir))
     assert key in iq._MBM_COUNT_CACHE
     cached = iq._MBM_COUNT_CACHE[key]
     # second call reuses the memo (poison the cache and observe reuse)
     iq._MBM_COUNT_CACHE[key] = cached + 1_000_000
-    with pytest.warns(UserWarning, match="APPROXIMATE IVF"):
+    with pytest.warns(UserWarning, match="EXACT quadratic leg"):
         iq._mbm_use_ivf(spark, sf_dir)
     assert iq._MBM_COUNT_CACHE[key] == cached + 1_000_000
     iq._MBM_COUNT_CACHE.clear()

@@ -21,10 +21,10 @@ merges into an existing artifact (resumable); ``--resume-from`` skips
 the alphabetical prefix.
 
 The harness forces SPARK_GRAFT_MBM_MODE=exact (unless already set):
-mutual_best_match's auto mode legitimately switches to approximate IVF
-candidates past 5k anchors, but its declared oracle is the exact
-all-pairs result — a parity run must compare exact against exact
-(ADVICE r10).
+mutual_best_match's auto mode stays exact since r11 (the measured
+recall reversal), but a stray ivf opt-in in the environment would
+compare the approximate leg against the exact oracle — a parity run
+must compare exact against exact (ADVICE r10).
 """
 
 from __future__ import annotations

@@ -6,9 +6,12 @@ The r10 swap pinned bit-equality at nprobe = n_clusters and measured
 SPEED at the default nprobe, but the recall trade at that default was
 asserted, never measured. This tool runs
 ``plans.integrity_queries.mbm_ivf_pair_recall`` over a ladder of
-nprobe values at the given fixture (use the 10x/30x synthetic fixtures,
-where auto mode actually takes the IVF leg) and emits one JSON line per
-point — the curve the documented default nprobe is picked from.
+nprobe values at the given fixture (use the 10x/30x synthetic
+fixtures, and YOUR corpus before opting in to
+SPARK_GRAFT_MBM_MODE=ivf) and emits one JSON line per point — the
+curve that decided the r11 leg policy: recall 1.0 on the 10x stacked
+fixture (near-dup-structured), 0.2-0.5 on the 30x decorrelated one,
+hence auto mode never takes the IVF leg silently.
 
 Usage:
     python tools/mbm_recall.py [sf_dir] [--nprobes 1,2,3,5,10]
