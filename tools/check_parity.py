@@ -69,6 +69,18 @@ CLASSIFICATIONS: dict[str, str] = {
         "verbatim clones (~100x pair space); the DuckDB twin ground "
         "past a 14-min solo box at 10x (r10; Spark leg completed)"
     ),
+    "kcore_copurchase": (
+        "oracle-resource: the recursive k-core unroll spills past the "
+        "79 GB of free disk at 10x under BOTH 24 GB/8-thread and "
+        "100 GB/32-thread oracle caps (r11; Spark leg 4.5 s; r10's "
+        "uncapped pass had more RAM headroom before spill started)"
+    ),
+    "triangle_count_copurchase": (
+        "oracle-resource: the triangle triple self-join twin spills "
+        "past free disk at 10x under both capped and full-width "
+        "oracles (r11; Spark leg 17.6 s; same class as "
+        "clustering_coefficient)"
+    ),
     "holm_bonferroni_tests": (
         "precondition: the offline inverse-normal critical ladder is a "
         "function of the m=25 nation test family; the stacked fixture's "
@@ -100,10 +112,9 @@ ORACLE_TIMEOUT_OVERRIDES: dict[str, float] = {
     # iterative k-core peel twin (recursive CTE): completed at 10x in
     # r10's uncapped sweep; >300s at threads=8
     "kcore_copurchase": 900.0,
-    # temporal BFS / triangle-orientation twins: completed at 10x in
-    # r10's uncapped sweep; >300s at threads=8
-    "temporal_reach_parts": 900.0,
-    "triangle_count_copurchase": 900.0,
+    # temporal BFS twin: exact at 10x in 382s at full oracle width
+    # (r11 solo); give it the wide box so capped sweeps can finish it
+    "temporal_reach_parts": 1800.0,
 }
 
 
