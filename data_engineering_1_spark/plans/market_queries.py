@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ._discipline import r6_fp
+from ._discipline import o_r6_fp, r6_fp
 from .registry import declared_query
 
 # Fixed-point unit-price scale: price_fp = cents * 1e6 DIV qty.
@@ -318,6 +318,14 @@ def hhi_brand_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---- X247: price-volume-mix revenue bridge ---------------------------------
 
 
+def _o_fx_effect(expr: str) -> str:
+    """Oracle effect dollars: exact DECIMAL(38,0) sum of the fixed-point
+    effect, rounded-to-6 via the integer-exact path (o_r6_fp — the same
+    discipline the Spark leg uses; ADVICE r11 replaced six hand-inlined
+    copies of this stanza with the shared helper)."""
+    return o_r6_fp(f"SUM(CAST({expr} AS DECIMAL(38,0)))", 100 * _PRICE_FP)
+
+
 @declared_query(
     "price_volume_mix",
     oracle=f"""
@@ -345,47 +353,12 @@ def hhi_brand_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT m AS month,
            CAST(SUM(matched) AS BIGINT) AS matched_parts,
-           CAST(CASE WHEN SUM(CAST(price_fx AS DECIMAL(38,0))) >= 0
-                THEN (CAST(SUM(CAST(price_fx AS DECIMAL(38,0)))
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
-                ELSE -((CAST(-SUM(CAST(price_fx AS DECIMAL(38,0)))
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
-                END AS DOUBLE) / 1000000.0
-               AS price_effect,
-           CAST(CASE WHEN SUM(CAST(vol_fx AS DECIMAL(38,0))) >= 0
-                THEN (CAST(SUM(CAST(vol_fx AS DECIMAL(38,0)))
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
-                ELSE -((CAST(-SUM(CAST(vol_fx AS DECIMAL(38,0)))
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
-                END AS DOUBLE) / 1000000.0
-               AS volume_effect,
-           CAST(CASE WHEN SUM(CAST(cross_fx AS DECIMAL(38,0))) >= 0
-                THEN (CAST(SUM(CAST(cross_fx AS DECIMAL(38,0)))
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
-                ELSE -((CAST(-SUM(CAST(cross_fx AS DECIMAL(38,0)))
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
-                END AS DOUBLE) / 1000000.0
-               AS cross_effect,
-           CAST(CASE WHEN SUM(CAST(new_fx AS DECIMAL(38,0))) >= 0
-                THEN (CAST(SUM(CAST(new_fx AS DECIMAL(38,0)))
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
-                ELSE -((CAST(-SUM(CAST(new_fx AS DECIMAL(38,0)))
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
-                END AS DOUBLE) / 1000000.0
-               AS new_parts_effect,
-           CAST(CASE WHEN SUM(CAST(disc_fx AS DECIMAL(38,0))) >= 0
-                THEN (CAST(SUM(CAST(disc_fx AS DECIMAL(38,0)))
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
-                ELSE -((CAST(-SUM(CAST(disc_fx AS DECIMAL(38,0)))
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
-                END AS DOUBLE) / 1000000.0
-               AS discontinued_effect,
-           CAST(CASE WHEN SUM(CAST(price_fx AS DECIMAL(38,0)) + vol_fx + cross_fx + new_fx + disc_fx) >= 0
-                THEN (CAST(SUM(CAST(price_fx AS DECIMAL(38,0)) + vol_fx + cross_fx + new_fx + disc_fx)
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000}
-                ELSE -((CAST(-SUM(CAST(price_fx AS DECIMAL(38,0)) + vol_fx + cross_fx + new_fx + disc_fx)
-                      AS BIGINT) + {50 * _PRICE_FP // 1000000}) // {100 * _PRICE_FP // 1000000})
-                END AS DOUBLE) / 1000000.0
+           {_o_fx_effect("price_fx")} AS price_effect,
+           {_o_fx_effect("vol_fx")} AS volume_effect,
+           {_o_fx_effect("cross_fx")} AS cross_effect,
+           {_o_fx_effect("new_fx")} AS new_parts_effect,
+           {_o_fx_effect("disc_fx")} AS discontinued_effect,
+           {_o_fx_effect("price_fx + vol_fx + cross_fx + new_fx + disc_fx")}
                AS total_change
     FROM fx
     WHERE m > (SELECT MIN(m) FROM pmp)

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..operators.textanalysis import tokens
+from ._discipline import o_r6_exact, r6_exact
 from .registry import declared_query
 from .text_queries import _O_TOK
 
@@ -1319,15 +1320,19 @@ def sql_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @declared_query(
     "winsorize_event_values",
-    oracle="""
+    oracle=f"""
     WITH bounds AS (
         -- bounds rounded 6 BEFORE use: the two engines' interpolation
         -- formulas (a + f*(b-a) vs (1-f)*a + f*b) differ in the last
         -- ulp once 10x group sizes make f non-dyadic (r11 sweep, 97
-        -- rows); identically-rounded bounds clip identically
+        -- rows); identically-rounded bounds clip identically. Rounded
+        -- via the tie-free integer path (o_r6_exact), not plain
+        -- ROUND(x,6) — bounds 1 ulp apart pre-round could still round
+        -- to different 6-decimal values when straddling a rounding
+        -- boundary at large magnitudes (ADVICE r11)
         SELECT event_type,
-               ROUND(quantile_cont(value, 0.01), 6) AS p01,
-               ROUND(quantile_cont(value, 0.99), 6) AS p99
+               {o_r6_exact("quantile_cont(value, 0.01)")} AS p01,
+               {o_r6_exact("quantile_cont(value, 0.99)")} AS p99
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
@@ -1352,10 +1357,12 @@ def winsorize_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume."""
     ev = load_table(spark, sf_dir, "events")
     # round-6 the interpolated bounds before any use — see the oracle
-    # comment (1-ulp interpolation skew at 10x group sizes)
+    # comment (1-ulp interpolation skew at 10x group sizes); r6_exact,
+    # not plain F.round, so the round itself can't re-introduce a
+    # cross-engine tie at large magnitudes (ADVICE r11)
     bounds = ev.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.01)"), 6).alias("p01"),
-        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        r6_exact(F.expr("percentile(value, 0.01)")).alias("p01"),
+        r6_exact(F.expr("percentile(value, 0.99)")).alias("p99"),
     )
     e = ev.where(F.col("event_id") % 37 == 0)
     return e.join(F.broadcast(bounds), "event_type").select(

@@ -7,7 +7,8 @@ compares exactly. Use before declaring any query.
 Usage:
     python tools/check_parity.py [sf_dir] [query ...]
     python tools/check_parity.py /tmp/sf1_synth --json parity_10x.json \
-        --oracle-timeout 300 --oracle-threads 8 --oracle-memory 24GB
+        --oracle-timeout 300 --oracle-threads 8 --oracle-memory 24GB \
+        --allow-documented
 
 Scaled-fixture sweeps (VERDICT r10 #3): the r10 10x sweep stalled on
 DUCKDB-side oracle mis-plans (triple self-joins grinding 55+ min at
@@ -32,6 +33,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import re
 import sys
 import threading
 import time
@@ -91,6 +93,52 @@ CLASSIFICATIONS: dict[str, str] = {
         "(r9)"
     ),
 }
+
+# Failure-mode gating (ADVICE r11): a classification may only excuse
+# the failure SHAPE it documents. oracle-resource rows are excused for
+# oracle_timeout or a resource-shaped oracle_error (spill disk / OOM);
+# precondition rows for the documented raise on EITHER engine.
+# value_mismatch and an oracle-resource row's spark_error stay red
+# unconditionally — a real parity regression in a classified query can
+# no longer hide behind its classification.
+CLASSIFICATION_KIND: dict[str, str] = {
+    "clustering_coefficient_copurchase": "oracle-resource",
+    "itemset3_orders": "oracle-resource",
+    "edit1_name_join": "oracle-resource",
+    "kcore_copurchase": "oracle-resource",
+    "triangle_count_copurchase": "oracle-resource",
+    "holm_bonferroni_tests": "precondition",
+    "benjamini_hochberg_tests": "precondition",
+}
+
+_RESOURCE_ERR_RX = re.compile(
+    r"no space left|out of memory|memory limit|cannot allocate"
+    r"|OutOfMemory|failed to allocate",
+    re.I,
+)
+# both precondition rows are the m=25 inverse-normal critical ladder:
+# the stacked fixture's m=250 indexes past the 25-element array on
+# both engines (NOTES_r10 §9)
+_PRECONDITION_ERR_RX = re.compile(
+    r"INVALID_ARRAY_INDEX|out of bounds|index .* out of range", re.I
+)
+
+
+def classification_excuses(name: str, verdict: str, error: str) -> bool:
+    """True iff the failure matches its classification's documented
+    shape — the only case ``--allow-documented`` may excuse."""
+    kind = CLASSIFICATION_KIND.get(name)
+    if kind == "oracle-resource":
+        if verdict == "oracle_timeout":
+            return True
+        return verdict == "oracle_error" and bool(
+            _RESOURCE_ERR_RX.search(error)
+        )
+    if kind == "precondition":
+        return verdict in ("spark_error", "oracle_error") and bool(
+            _PRECONDITION_ERR_RX.search(error)
+        )
+    return False
 
 # Known-slow-but-finishing oracle legs get a wider box than the default
 # (measured r10: mutual_best_match's quadratic oracle 660 s at 10x,
@@ -237,6 +285,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                     help="PRAGMA temp_directory for oracle spill")
     ap.add_argument("--resume-from", default=None,
                     help="skip queries alphabetically before this name")
+    ap.add_argument("--allow-documented", action="store_true",
+                    help="scaled-sweep mode: a CLASSIFIED query failing "
+                         "in exactly its documented shape (resource rows: "
+                         "oracle_timeout / spill-or-OOM oracle_error; "
+                         "precondition rows: the m=25 ladder raise) does "
+                         "not redden the exit code. Default OFF — at "
+                         "driver-fixture scale every classified row must "
+                         "pass outright, and value_mismatch is never "
+                         "excused anywhere (ADVICE r11)")
     ap.add_argument("--skip", default="",
                     help="comma-separated query names to skip")
     return ap.parse_args(argv)
@@ -392,15 +449,24 @@ def main(argv: list[str] | None = None) -> int:
         save()
     # Classified rows that fail for exactly their documented reason are
     # the EXPECTED outcome of a SCALED sweep (precondition rows raise on
-    # the stacked fixture every time; oracle-resource rows time out) —
-    # report them separately so the one-command artifact run exits green
-    # unless something UNDOCUMENTED broke. At driver-fixture scale every
-    # classified row passes outright, so the tolerance applies only off
-    # /root/testdata — a classified row failing at sf0.01 stays red.
-    scaled = not os.path.realpath(args.sf_dir).startswith("/root/testdata")
-    documented = [n for n in failed if scaled and n in CLASSIFICATIONS]
+    # the stacked fixture every time; oracle-resource rows time out or
+    # spill out) — with --allow-documented they're reported separately
+    # so the one-command artifact run exits green unless something
+    # UNDOCUMENTED broke. The excuse is gated on the failure SHAPE
+    # matching the classification (ADVICE r11): a value_mismatch — or a
+    # kcore spark_error — stays red even on a classified row, and
+    # without the flag every classified row must pass outright.
+    def _excused(n: str) -> bool:
+        if not args.allow_documented:
+            return False
+        r = records.get(n, {})
+        return classification_excuses(
+            n, r.get("verdict", ""), r.get("error", "")
+        )
+
+    documented = [n for n in failed if _excused(n)]
     undocumented_fail = [n for n in failed if n not in documented]
-    undocumented_box = [n for n in boxed if n not in CLASSIFICATIONS]
+    undocumented_box = [n for n in boxed if not _excused(n)]
     print(
         f"\n{len(ok)} ok, {len(undocumented_fail)} failed, "
         f"{len(boxed)} oracle-boxed, {len(documented)} documented-"
