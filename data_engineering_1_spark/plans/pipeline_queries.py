@@ -1013,25 +1013,86 @@ def embedding_covariance_8d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@declared_query("kmeans_assignments")  # rows-only: iterative float algorithm
+def _o_kmeans_round(i: int) -> str:
+    """One unrolled Lloyd round as oracle CTEs: assignment distances
+    under centroid table c{i-1} (exact integer sums of squares, argmin
+    tie-broken by label), then the grid-mean centroid update c{i}
+    (half-away-from-zero integer division — the r6_fp rounding)."""
+    return f"""a{i} AS (
+        SELECT q.vec_id, c.label,
+               SUM((q.v - c.val) * (q.v - c.val)) AS dist
+        FROM q JOIN c{i - 1} c ON q.pos = c.pos
+        GROUP BY q.vec_id, c.label
+    ), l{i} AS (
+        SELECT vec_id, label FROM (
+            SELECT vec_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, label) AS rn
+            FROM a{i}) WHERE rn = 1
+    ), c{i} AS (
+        SELECT l.label, q.pos,
+               CASE WHEN SUM(q.v) >= 0
+                    THEN (2 * SUM(q.v) + COUNT(*)) // (2 * COUNT(*))
+                    ELSE -((-2 * SUM(q.v) + COUNT(*)) // (2 * COUNT(*)))
+               END AS val
+        FROM l{i} l JOIN q USING (vec_id)
+        GROUP BY l.label, q.pos
+    )"""
+
+
+@declared_query(
+    "kmeans_assignments",
+    oracle=f"""
+    WITH q AS (
+        -- 1e6-grid quantization: one identical IEEE multiply + the
+        -- half-away-from-zero round both engines share; everything
+        -- after this is exact BIGINT arithmetic (VERDICT r11 #3)
+        SELECT vec_id, d.d AS pos,
+               CAST(ROUND(CAST(embedding[d.d] AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d
+    ), seed AS (
+        SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8
+    ), c0 AS (
+        SELECT CAST(DENSE_RANK() OVER (ORDER BY q.vec_id) - 1 AS INT)
+                   AS label,
+               q.pos, q.v AS val
+        FROM seed s JOIN q USING (vec_id)
+    ), {_o_kmeans_round(1)}, {_o_kmeans_round(2)}, af AS (
+        SELECT q.vec_id, c.label,
+               SUM((q.v - c.val) * (q.v - c.val)) AS dist
+        FROM q JOIN c2 c ON q.pos = c.pos
+        GROUP BY q.vec_id, c.label
+    )
+    SELECT vec_id, CAST(label AS INT) AS label FROM (
+        SELECT vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, label) AS rn
+        FROM af) WHERE rn = 1
+    """,
+)
 def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lloyd's k-means (X67), declared rows-only: two iterations from
-    the deterministic lowest-id seed over the embeddings table,
-    emitting (vec_id, label). No DuckDB oracle by design — the
-    in-row assignment distances are float reductions whose
-    cross-engine last-ulp differences could legitimately flip a
-    boundary assignment; the operator is instead pinned by
-    tests/test_clustering.py against an independent numpy Lloyd
-    implementation (assignment equality + SSE monotonicity + the
-    no-shuffle assignment plan). WITHIN Spark the result is
-    partitioning-independent: the centroid update sums exactly in
-    DECIMAL(38,20) before the single division (ADVICE r4), so the
-    determinism audit's 32-vs-7-partition run covers this query for
-    real, not by fixture luck."""
-    from ..operators.clustering import kmeans_lloyd
+    """Lloyd's k-means (X67): two iterations from the deterministic
+    lowest-id seed over the embeddings table, emitting (vec_id,
+    label) — hash-matched against an unrolled DuckDB twin since r12.
+
+    Rows-only until r11 because the float variant's in-row distance
+    reductions could legitimately flip a boundary assignment in the
+    last ulp between engines. The declared query now runs the GRID
+    variant (operators/clustering.kmeans_lloyd_grid): inputs quantized
+    once to the 1e6 integer grid, after which every distance and
+    centroid update is exact BIGINT arithmetic with the r6_fp
+    half-away-from-zero mean rounding — bit-identical labels on both
+    engines, boundary vectors included, at any fixture scale. The
+    full-float kmeans_lloyd stays the library operator (MBM quantizer,
+    tests/test_clustering.py numpy pins); the grid twin is pinned
+    against it by test (labels agree on the fixture) so the oracle
+    upgrade did not change the clustering."""
+    from ..operators.clustering import kmeans_lloyd_grid
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _ = kmeans_lloyd(emb, k=8, n_iter=2)
+    assigned, _ = kmeans_lloyd_grid(emb, k=8, n_iter=2)
     return assigned.select("vec_id", "label")
 
 

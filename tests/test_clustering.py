@@ -105,3 +105,60 @@ def test_kmeans_assignment_never_shuffles_vectors(spark, sf_dir):
     assert "hashpartitioning(vec_id" not in plan
     assert "hashpartitioning(embedding" not in plan
     assert "SortAggregate" not in plan
+
+
+def _numpy_lloyd_grid(X, ids, k, iters):
+    """Independent integer-grid Lloyd: quantize to the 1e6 grid, exact
+    integer distances, half-away-from-zero integer mean."""
+    order = np.argsort(ids)
+    Q = np.round(X.astype(np.float64) * 1_000_000).astype(np.int64)
+    cent = Q[order[:k]].copy()
+
+    def _assign(c):
+        d = ((Q[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # np argmin breaks ties to lowest label
+
+    lab = None
+    for _ in range(iters):
+        lab = _assign(cent)
+        nxt = []
+        for j in sorted(set(lab.tolist())):
+            s = Q[lab == j].sum(axis=0)
+            n = int((lab == j).sum())
+            q = np.where(
+                s >= 0, (2 * s + n) // (2 * n), -((-2 * s + n) // (2 * n))
+            )
+            nxt.append(q)
+        cent = np.array(nxt, dtype=np.int64)
+    return _assign(cent)
+
+
+def test_kmeans_grid_matches_numpy_grid_reference(spark, sf_dir):
+    """The hash-matchable grid variant (VERDICT r11 #3) must agree
+    EXACTLY with an independent integer Lloyd — no tolerance, no
+    boundary allowance: that exactness is the whole point."""
+    from data_engineering_1_spark.operators.clustering import kmeans_lloyd_grid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+
+    got, _ = kmeans_lloyd_grid(emb, k=K, n_iter=2)
+    got_rows = {r["vec_id"]: r["label"] for r in got.collect()}
+    want = _numpy_lloyd_grid(X, ids, K, 2)
+    assert all(got_rows[int(v)] == want[i] for i, v in enumerate(ids))
+
+
+def test_kmeans_grid_agrees_with_float_variant(spark, sf_dir):
+    """The grid quantization (<=5e-7 per component) must not CHANGE
+    the clustering on the fixture — the declared query's oracle
+    upgrade (rows-only -> hash-matched) kept the answer."""
+    from data_engineering_1_spark.operators.clustering import kmeans_lloyd_grid
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    f, _ = kmeans_lloyd(emb, k=K, n_iter=2)
+    g, _ = kmeans_lloyd_grid(emb, k=K, n_iter=2)
+    fl = {r["vec_id"]: r["label"] for r in f.collect()}
+    gl = {r["vec_id"]: r["label"] for r in g.collect()}
+    assert fl == gl
