@@ -57,6 +57,13 @@ from data_engineering_1_spark.session import get_spark  # noqa: E402
 # of the naive DuckDB oracle twin or of the stacked fixture, not of the
 # engine. A mechanical verdict below still records what HAPPENED; the
 # classification explains the expected cause when it does.
+#
+# The four oracle-resource rows are additionally VALUE-verified at
+# scale by tools/verify_staged.py (r12): the same relations with
+# intermediates staged as temp tables execute in seconds where the
+# monolithic CTE spills — parity_staged_10x.json records all four
+# value-exact at 10x, and tests/test_verify_staged.py pins
+# staged == naive at fixture scale.
 CLASSIFICATIONS: dict[str, str] = {
     "clustering_coefficient_copurchase": (
         "oracle-resource: DuckDB's triple self-join plan spills >78 GB "
