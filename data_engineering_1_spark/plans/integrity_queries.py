@@ -711,6 +711,58 @@ def _mbm_ivf_dots(qv: DataFrame, nprobe: int | None = None) -> DataFrame:
     )
 
 
+def _mbm_ivf_rescore_dots(qv: DataFrame, nprobe: int | None = None) -> DataFrame:
+    """IVF MULTI-PROBE candidate enumeration + exact rescore (VERDICT
+    r11 #4 — the X112 coarse-candidates/exact-rescore shape applied to
+    MBM's recall problem): BOTH sides of the candidate join expand to
+    their ``nprobe`` best cells, so a pair becomes a candidate when the
+    two probe lists intersect ANYWHERE — where _mbm_ivf_dots demands
+    the single assigned cell of vb be among va's probes. On
+    decorrelated corpora that one-sided test is exactly what collapses
+    (the r11 curves: recall 0.28 at nprobe=1 because mutual-best pairs
+    straddle cell boundaries); two near vectors' top-nprobe cell RANK
+    lists overlap far more reliably than their argmin cells coincide —
+    see the r12 curve in mbm_recall_curves.json for the measured
+    recall on the 30x decorrelated fixture.
+
+    Cost: candidates ~ N^2 * nprobe^2 / K ordered pairs (nprobe=4,
+    K=32: HALF the exact leg's), each scored with the same exact
+    quantized fold — the 'rescore' is exact, so the only approximation
+    is candidate RECALL, never score error. A pair sharing several
+    probed cells is emitted once per shared cell; duplicates carry the
+    identical exact dot, so the downstream argmax is unaffected and a
+    distinct() shuffle would cost more than the duplicate folds."""
+    from ..operators.clustering import kmeans_lloyd
+    from ..operators.similarity import ivf_assign
+
+    if nprobe is None:
+        nprobe = _MBM_IVF_NPROBE
+    vecs = qv.select("vec_id", "embedding")
+    _, km_cents = kmeans_lloyd(vecs, k=_MBM_IVF_K, n_iter=3)
+    cents = km_cents.select(
+        "label", "pos", F.col("val").alias("centroid_val")
+    )
+    probe = ivf_assign(vecs, cents, n_best=nprobe).select(
+        "vec_id", "assigned_label"
+    )
+    qarr = qv.select("vec_id", "qvec")
+    left = probe.join(qarr, "vec_id").select(
+        F.col("vec_id").alias("va"),
+        F.col("qvec").alias("qa"),
+        "assigned_label",
+    )
+    right = probe.join(qarr, "vec_id").select(
+        F.col("vec_id").alias("vb"),
+        F.col("qvec").alias("qb"),
+        "assigned_label",
+    )
+    return (
+        left.join(right, "assigned_label")
+        .where(F.col("va") != F.col("vb"))
+        .select("va", "vb", _mbm_pair_dot())
+    )
+
+
 # auto-mode embedding counts, memoized per (applicationId, sf_dir) —
 # every other relation in the edgecache/sigcache discipline memoizes;
 # this one-row job should not re-run per invocation (ADVICE r10).
@@ -728,43 +780,57 @@ def _mbm_embedding_count(spark: SparkSession, sf_dir: str) -> int:
     return _MBM_COUNT_CACHE[key]
 
 
-def _mbm_use_ivf(spark: SparkSession, sf_dir: str) -> bool:
-    """Leg selection: SPARK_GRAFT_MBM_MODE = exact | ivf | auto.
+def _mbm_leg(spark: SparkSession, sf_dir: str) -> str:
+    """Leg selection: SPARK_GRAFT_MBM_MODE =
+    exact | ivf | ivf-rescore | auto.
 
     Auto (the default) ALWAYS runs the exact leg — the r11 recall
-    measurement showed the IVF approximation's pair recall is
-    corpus-dependent (1.0 on near-dup-structured data, 0.2-0.5 on
+    measurement showed the one-sided IVF approximation's pair recall
+    is corpus-dependent (1.0 on near-dup-structured data, 0.2-0.5 on
     decorrelated data; see the module policy note), so silently
     swapping semantics on a size threshold serves wrong-ish answers on
     exactly the corpora that can't tolerate it. Past
     _MBM_IVF_MIN_ANCHORS auto warns that the quadratic leg is engaged
-    at scale and points at the measured opt-in (the count is a
-    memoized parquet-metadata job). SPARK_GRAFT_MBM_MODE=ivf is the
-    explicit opt-in for corpora whose recall tools/mbm_recall.py has
-    measured acceptable."""
+    at scale and points at the measured opt-ins (the count is a
+    memoized parquet-metadata job). SPARK_GRAFT_MBM_MODE=ivf-rescore
+    (r12) is the recommended opt-in — the symmetric multi-probe
+    candidates recover recall on decorrelated corpora at roughly half
+    the exact leg's pair count; =ivf keeps the cheaper one-sided probe
+    for corpora whose recall tools/mbm_recall.py has measured 1.0."""
     import os
     import warnings
 
     mode = os.environ.get("SPARK_GRAFT_MBM_MODE", "auto").strip().lower()
-    if mode in {"exact", "ivf"}:
-        return mode == "ivf"
+    mode = mode.replace("_", "-")
+    if mode in {"exact", "ivf", "ivf-rescore"}:
+        return mode
     if _mbm_embedding_count(spark, sf_dir) // 5 >= _MBM_IVF_MIN_ANCHORS:
         warnings.warn(
             "mutual_best_match is running the EXACT quadratic leg on "
-            f">= {_MBM_IVF_MIN_ANCHORS} anchors. The IVF leg "
-            f"(SPARK_GRAFT_MBM_MODE=ivf; nprobe={_MBM_IVF_NPROBE} of "
-            f"{_MBM_IVF_K} learned cells) is faster but APPROXIMATE, "
-            "and its pair recall is corpus-dependent — measure it on "
-            "YOUR corpus with tools/mbm_recall.py before opting in "
-            "(near-dup-structured corpora measure 1.0; decorrelated "
-            "ones 0.2-0.5)",
+            f">= {_MBM_IVF_MIN_ANCHORS} anchors. The approximate legs "
+            f"(SPARK_GRAFT_MBM_MODE=ivf-rescore or ivf; "
+            f"nprobe={_MBM_IVF_NPROBE} of {_MBM_IVF_K} learned cells) "
+            "are faster but their pair recall is corpus-dependent — "
+            "measure it on YOUR corpus with tools/mbm_recall.py before "
+            "opting in (see mbm_recall_curves.json: one-sided ivf "
+            "collapses to 0.2-0.5 on decorrelated corpora while "
+            "measuring 1.0 on near-dup-structured ones; ivf-rescore's "
+            "curve is recorded alongside)",
             stacklevel=3,
         )
-    return False
+    return "exact"
+
+
+def _mbm_use_ivf(spark: SparkSession, sf_dir: str) -> bool:
+    """Back-compat boolean view of _mbm_leg (pre-r12 callers/tests)."""
+    return _mbm_leg(spark, sf_dir) == "ivf"
 
 
 def mbm_ivf_pair_recall(
-    spark: SparkSession, sf_dir: str, nprobe: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    nprobe: int | None = None,
+    leg: str = "ivf",
 ) -> DataFrame:
     """Evaluation query for the MBM IVF swap (VERDICT r10 #4 — the
     X174 discipline applied to X184): pair recall of the IVF leg
@@ -777,11 +843,16 @@ def mbm_ivf_pair_recall(
     10x/30x) and pick nprobe from the curve."""
     if nprobe is None:
         nprobe = _MBM_IVF_NPROBE
+    dots_fn = (
+        _mbm_ivf_rescore_dots
+        if leg.replace("_", "-") == "ivf-rescore"
+        else _mbm_ivf_dots
+    )
     qv = _mbm_anchor_qvecs(spark, sf_dir)
     exact = _mbm_mutual_top1(_mbm_exact_dots(spark, qv)).select(
         "vec_a", "vec_b"
     )
-    ivf = _mbm_mutual_top1(_mbm_ivf_dots(qv, nprobe)).select(
+    ivf = _mbm_mutual_top1(dots_fn(qv, nprobe)).select(
         "vec_a", "vec_b"
     )
     common = exact.join(ivf, ["vec_a", "vec_b"], "inner")
@@ -860,8 +931,11 @@ def mutual_best_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     r11 curves), which is why auto mode never takes it silently (see
     _mbm_use_ivf). Parity always exercises the exact leg."""
     qv = _mbm_anchor_qvecs(spark, sf_dir)
-    if _mbm_use_ivf(spark, sf_dir):
+    leg = _mbm_leg(spark, sf_dir)
+    if leg == "ivf":
         dots = _mbm_ivf_dots(qv)
+    elif leg == "ivf-rescore":
+        dots = _mbm_ivf_rescore_dots(qv)
     else:
         dots = _mbm_exact_dots(spark, qv)
     return _mbm_mutual_top1(dots)

@@ -652,6 +652,60 @@ def run_foreach_batch_rollup(
         q.stop()
 
 
+def start_rollup_stream(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    value_col: str = "value",
+    trigger_interval: str = "500 milliseconds",
+):
+    """Sustained-rate incremental-MV maintenance (X46's soak shape,
+    VERDICT r11 #6): per-batch partials land as an ``__epoch=<id>``
+    PARTITION via dynamic partition overwrite, instead of MERGEing
+    into the whole table. run_foreach_batch_rollup's upsert re-reads
+    and rewrites the entire partials table every epoch — fine for the
+    availableNow catch-up it models, but O(total table) per batch, so
+    per-batch latency GROWS linearly under a sustained trigger. The
+    partition write is O(batch) forever: a replayed batchId overwrites
+    exactly its own partition (same idempotence argument — the partial
+    rows re-derive identically), and read_rollup's fold is unchanged
+    because the partials stay per-epoch disjoint. Returns the started
+    StreamingQuery; the caller owns stop().
+
+    100 TB story: this is the shape that survives — the MV ingests at
+    O(input) regardless of MV age, and a periodic compact_parquet /
+    fold of old epochs (X35 maintenance) bounds partition count
+    without changing read results."""
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        partial = (
+            batch_df.groupBy(*key_cols)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(
+                    F.coalesce(F.col(value_col), F.lit(0.0)).cast(
+                        "decimal(18,2)"
+                    )
+                ).alias("sum_value"),
+            )
+            .withColumn("__epoch", F.lit(int(epoch_id)))
+        )
+        (
+            partial.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(table_path)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=trigger_interval)
+        .start()
+    )
+
+
 def read_rollup(
     spark: SparkSession, table_path: str, key_cols: list[str]
 ) -> DataFrame:

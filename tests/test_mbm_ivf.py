@@ -139,3 +139,57 @@ def test_pair_recall_evaluation_query(spark, sf_dir):
     assert one.nprobe == 1
     assert 0 <= one.n_common <= min(one.n_ivf, one.n_exact)
     assert 0.0 <= one.recall <= 1.0
+
+
+def test_rescore_degenerates_to_exact_at_full_probe(spark, sf_dir, qv):
+    """The r12 multi-probe rescore leg inherits the X23 degeneracy: at
+    nprobe = _MBM_IVF_K both probe lists cover every surviving cell,
+    every ordered pair is a candidate, and the exact rescore makes the
+    result bit-equal to the exact leg (duplicate candidates carry the
+    identical exact dot, so the argmax is unchanged)."""
+    exact = _rows(iq._mbm_mutual_top1(iq._mbm_exact_dots(spark, qv)))
+    rescore = _rows(
+        iq._mbm_mutual_top1(
+            iq._mbm_ivf_rescore_dots(qv, nprobe=iq._MBM_IVF_K)
+        )
+    )
+    assert exact == rescore
+    assert len(exact) > 0
+
+
+def test_rescore_recall_dominates_one_sided_probe(spark, sf_dir, qv):
+    """The rescore leg's candidate set is a SUPERSET of the one-sided
+    leg's at the same nprobe (vb's assigned cell is its rank-1 probe),
+    so its pair recall can only be >= — the structural fact behind the
+    r12 measurement. Verified on the fixture's directed candidate
+    sets."""
+    nprobe = 2
+    one = {(r.va, r.vb) for r in iq._mbm_ivf_dots(qv, nprobe).collect()}
+    multi = {
+        (r.va, r.vb)
+        for r in iq._mbm_ivf_rescore_dots(qv, nprobe).collect()
+    }
+    assert one <= multi
+    assert len(multi) >= len(one) > 0
+
+
+def test_leg_selection_ivf_rescore_mode(spark, sf_dir, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_MBM_MODE", "ivf-rescore")
+    assert iq._mbm_leg(spark, sf_dir) == "ivf-rescore"
+    assert iq._mbm_use_ivf(spark, sf_dir) is False  # rescore != ivf
+    monkeypatch.setenv("SPARK_GRAFT_MBM_MODE", "ivf_rescore")
+    assert iq._mbm_leg(spark, sf_dir) == "ivf-rescore"
+
+
+def test_declared_query_matches_forced_rescore_at_full_probe(
+    spark, sf_dir, monkeypatch
+):
+    """End-to-end through the declared query: forced ivf-rescore at
+    full probe width equals the default exact run."""
+    monkeypatch.delenv("SPARK_GRAFT_MBM_MODE", raising=False)
+    exact = _rows(iq.mutual_best_match(spark, sf_dir))
+    monkeypatch.setenv("SPARK_GRAFT_MBM_MODE", "ivf-rescore")
+    monkeypatch.setattr(iq, "_MBM_IVF_NPROBE", iq._MBM_IVF_K)
+    forced = _rows(iq.mutual_best_match(spark, sf_dir))
+    assert exact == forced
+    assert len(exact) > 0

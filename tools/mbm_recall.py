@@ -38,6 +38,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.1")
     ap.add_argument("--nprobes", default="1,2,3,5,10")
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument("--leg", default="ivf", choices=["ivf", "ivf-rescore"],
+                    help="candidate scheme to price: one-sided probe "
+                         "(ivf) or symmetric multi-probe + exact "
+                         "rescore (ivf-rescore, r12)")
     args = ap.parse_args(argv)
 
     spark = get_spark("mbm-recall")
@@ -57,10 +61,15 @@ def main(argv: list[str] | None = None) -> int:
     exact_sec = round(time.time() - t0, 1)
 
     points = []
+    dots_fn = (
+        iq._mbm_ivf_rescore_dots
+        if args.leg == "ivf-rescore"
+        else iq._mbm_ivf_dots
+    )
     for nprobe in (int(x) for x in args.nprobes.split(",") if x):
         t0 = time.time()
         ivf = (
-            iq._mbm_mutual_top1(iq._mbm_ivf_dots(qv, nprobe))
+            iq._mbm_mutual_top1(dots_fn(qv, nprobe))
             .select("vec_a", "vec_b")
         )
         n_ivf = ivf.count()
@@ -78,6 +87,7 @@ def main(argv: list[str] | None = None) -> int:
 
     result = {
         "sf_dir": os.path.realpath(args.sf_dir),
+        "leg": args.leg,
         "n_anchors": n_anchors,
         "n_cells": n_cells,
         "exact_leg_sec": exact_sec,
