@@ -706,6 +706,104 @@ def start_rollup_stream(
     )
 
 
+_FOLD_STAGE = ".fold_stage"  # dot-prefixed: invisible to Spark readers
+
+
+def _fold_commit(table_path: str) -> int:
+    """Complete a staged fold (the commit half of fold_rollup_epochs,
+    also the RECOVERY entry for a crashed one). The stage dir holds the
+    folded parquet plus _MANIFEST.json naming the epochs it replaces
+    and the base epoch it becomes. Steps are individually atomic
+    renames, and the stage stays dot-hidden until every superseded
+    partition is hidden — so NO crash point ever exposes a double
+    count to readers (mid-commit readers can transiently UNDERcount,
+    which re-running this function heals)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    stage = _os.path.join(table_path, _FOLD_STAGE)
+    with open(_os.path.join(stage, "_MANIFEST.json")) as fh:
+        manifest = _json.load(fh)
+    base, old = manifest["base"], manifest["old"]
+    for e in old:
+        src = _os.path.join(table_path, f"__epoch={e}")
+        if _os.path.exists(src):  # idempotent across recovery re-runs
+            _os.rename(src, _os.path.join(table_path, f".trash_epoch={e}"))
+    dst = _os.path.join(table_path, f"__epoch={base}")
+    if not _os.path.exists(dst):
+        _os.rename(stage, dst)
+    elif _os.path.exists(stage):  # re-run after a crash past the rename
+        _shutil.rmtree(stage, ignore_errors=True)
+    for e in old:
+        _shutil.rmtree(
+            _os.path.join(table_path, f".trash_epoch={e}"),
+            ignore_errors=True,
+        )
+    return len(old)
+
+
+def fold_rollup_epochs(
+    spark: SparkSession,
+    table_path: str,
+    key_cols: list[str],
+    keep_last_n: int = 10,
+) -> int:
+    """Compact an epoch-partitioned rollup table: fold every partition
+    older than the newest ``keep_last_n`` epochs into ONE base
+    partition (__epoch = the oldest folded id), leaving read_rollup's
+    result unchanged (counts and decimal sums are re-aggregable, so
+    folding partials is exact). Returns the number of epochs folded.
+
+    This is the periodic maintenance start_rollup_stream's docstring
+    promises: the streaming sink appends O(batch) partitions forever;
+    this fold bounds the partition count without touching the recent
+    epochs a replayed batch could still overwrite (a restarted query
+    replays at most the last uncommitted epoch, so any keep_last_n >= 1
+    is replay-safe; older epochs are committed by definition).
+
+    Crash discipline (plain parquet has no ACID; this is the manifest
+    protocol a transactional format would give for free): the fold is
+    STAGED under a dot-hidden dir with a manifest of the epochs it
+    replaces, superseded partitions are hidden by atomic renames, and
+    only then does the stage rename into place. A crash at any point
+    leaves either the original table, a transient undercount, or the
+    folded table — never a double count — and re-running this function
+    detects the leftover stage and completes the commit."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+
+    stage = _os.path.join(table_path, _FOLD_STAGE)
+    if _os.path.exists(_os.path.join(stage, "_MANIFEST.json")):
+        return _fold_commit(table_path)  # recover a crashed fold first
+    _shutil.rmtree(stage, ignore_errors=True)  # stage w/o manifest: junk
+
+    cur = spark.read.parquet(table_path)
+    epochs = sorted(
+        r["__epoch"] for r in cur.select("__epoch").distinct().collect()
+    )
+    old = [int(e) for e in epochs[: max(0, len(epochs) - keep_last_n)]]
+    if len(old) < 2:
+        return 0  # nothing worth folding
+    base = min(old)
+    # files in a partition dir carry only the non-partition columns;
+    # the dir NAME supplies __epoch once the stage renames into place
+    (
+        cur.where(F.col("__epoch").isin(old))
+        .groupBy(*key_cols)
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    with open(_os.path.join(stage, "_MANIFEST.json"), "w") as fh:
+        _json.dump({"base": base, "old": old}, fh)
+    return _fold_commit(table_path)
+
+
 def read_rollup(
     spark: SparkSession, table_path: str, key_cols: list[str]
 ) -> DataFrame:

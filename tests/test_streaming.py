@@ -1263,3 +1263,99 @@ def test_epoch_partitioned_rollup_matches_batch_and_replay(
     )
     after = sorted(map(tuple, spark.read.parquet(table).collect()))
     assert before == after
+
+
+def _write_epoch_table(spark, table, n_epochs=6, keys=4):
+    for e in range(n_epochs):
+        df = spark.createDataFrame(
+            [(k, 10 + k + e, 1.5 * (k + 1)) for k in range(keys)],
+            "user_id bigint, n_rows bigint, sum_value double",
+        ).withColumn(
+            "sum_value", F.col("sum_value").cast("decimal(18,2)")
+        ).withColumn("__epoch", F.lit(e))
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(table)
+        )
+
+
+def test_fold_rollup_epochs_preserves_read_and_bounds_partitions(
+    spark, tmp_path
+):
+    """The epoch fold (r12 MV maintenance): folding all but the newest
+    keep_last_n epochs into one base partition leaves read_rollup's
+    totals bit-identical and shrinks the partition count — the
+    compaction that bounds the streaming sink's partition growth."""
+    table = str(tmp_path / "fold_mv")
+    _write_epoch_table(spark, table, n_epochs=6)
+    before = sorted(
+        map(tuple, sp.read_rollup(spark, table, ["user_id"]).collect())
+    )
+    n = sp.fold_rollup_epochs(spark, table, ["user_id"], keep_last_n=2)
+    assert n == 4
+    after = sorted(
+        map(tuple, sp.read_rollup(spark, table, ["user_id"]).collect())
+    )
+    assert before == after
+    eps = sorted(
+        r["__epoch"]
+        for r in spark.read.parquet(table).select("__epoch")
+        .distinct().collect()
+    )
+    assert eps == [0, 4, 5]  # base epoch 0 + the two kept
+    # idempotent: a second fold with nothing old enough is a no-op
+    assert sp.fold_rollup_epochs(spark, table, ["user_id"], keep_last_n=2) == 0
+
+
+def test_fold_rollup_epochs_recovers_crashed_commit(spark, tmp_path):
+    """Crash discipline: a fold that died mid-commit (stage written,
+    manifest present, SOME superseded partitions already hidden) is
+    completed by the next fold_rollup_epochs call, and the recovered
+    table reads identically. No crash point exposes a double count:
+    the stage stays dot-hidden until every old partition is hidden."""
+    import json
+
+    table = str(tmp_path / "fold_crash_mv")
+    _write_epoch_table(spark, table, n_epochs=6)
+    before = sorted(
+        map(tuple, sp.read_rollup(spark, table, ["user_id"]).collect())
+    )
+    # hand-build the staged fold of epochs 0-3 (what the fold writes)
+    old = [0, 1, 2, 3]
+    stage = os.path.join(table, sp._FOLD_STAGE)
+    (
+        spark.read.parquet(table)
+        .where(F.col("__epoch").isin(old))
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_value").alias("sum_value"),
+        )
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    with open(os.path.join(stage, "_MANIFEST.json"), "w") as fh:
+        json.dump({"base": 0, "old": old}, fh)
+    # simulate the crash: only ONE superseded partition got hidden
+    os.rename(
+        os.path.join(table, "__epoch=1"),
+        os.path.join(table, ".trash_epoch=1"),
+    )
+    # mid-crash readers see an UNDERcount (epoch 1 hidden), never a
+    # double count (the stage is dot-hidden)
+    mid = sp.read_rollup(spark, table, ["user_id"]).agg(
+        F.sum("n_rows")
+    ).collect()[0][0]
+    full = sum(r[1] for r in before)
+    assert mid < full
+    # recovery: the next fold call completes the crashed commit
+    n = sp.fold_rollup_epochs(spark, table, ["user_id"], keep_last_n=2)
+    assert n == len(old)
+    after = sorted(
+        map(tuple, sp.read_rollup(spark, table, ["user_id"]).collect())
+    )
+    assert before == after
+    assert not os.path.exists(stage)
+    assert not any(p.startswith(".trash") for p in os.listdir(table))
