@@ -648,8 +648,16 @@ def _mbm_exact_dots(spark: SparkSession, qv: DataFrame) -> DataFrame:
         F.col("qvec").alias("qb"),
         F.col("blk").alias("b2"),
     ).join(F.broadcast(grid), "b2")
+    # SHUFFLE_HASH, explicitly: the whole point of the (b1, b2) grid is
+    # to SPREAD the quadratic pair work over 36 shuffle keys. Left to
+    # itself, AQE can estimate the right side under the broadcast
+    # threshold and broadcast it — which keeps LEFT's partitioning, and
+    # a single-file parquet fixture arrives as ONE partition, so the
+    # entire O(N^2) dot computation serializes into one task (found
+    # r12: the 30x fixture's 72M-pair exact leg sat 35+ min in a
+    # 1-task stage; 36-way shuffled it finishes in minutes).
     half = (
-        left.join(right, ["b1", "b2"])
+        left.join(right.hint("SHUFFLE_HASH"), ["b1", "b2"])
         .where((F.col("b1") != F.col("b2")) | (F.col("va") < F.col("vb")))
         .select("va", "vb", _mbm_pair_dot())
     )
@@ -704,8 +712,11 @@ def _mbm_ivf_dots(qv: DataFrame, nprobe: int | None = None) -> DataFrame:
     )
     # vb holds exactly one assigned label and va probes nprobe DISTINCT
     # labels, so each directed (va, vb) appears at most once — no dedup.
+    # SHUFFLE_HASH for the same reason as _mbm_exact_dots: the cell key
+    # must SPREAD the candidate work; a broadcast would serialize it
+    # into the left side's (possibly single) input partition.
     return (
-        left.join(right, "assigned_label")
+        left.join(right.hint("SHUFFLE_HASH"), "assigned_label")
         .where(F.col("va") != F.col("vb"))
         .select("va", "vb", _mbm_pair_dot())
     )
@@ -756,8 +767,10 @@ def _mbm_ivf_rescore_dots(qv: DataFrame, nprobe: int | None = None) -> DataFrame
         F.col("qvec").alias("qb"),
         "assigned_label",
     )
+    # SHUFFLE_HASH: same single-task broadcast hazard as the other two
+    # candidate joins — the cell key must spread the pair work
     return (
-        left.join(right, "assigned_label")
+        left.join(right.hint("SHUFFLE_HASH"), "assigned_label")
         .where(F.col("va") != F.col("vb"))
         .select("va", "vb", _mbm_pair_dot())
     )

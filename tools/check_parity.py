@@ -292,6 +292,10 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
                     help="PRAGMA temp_directory for oracle spill")
     ap.add_argument("--resume-from", default=None,
                     help="skip queries alphabetically before this name")
+    ap.add_argument("--stop-before", default=None,
+                    help="stop at this name (exclusive) — with "
+                         "--resume-from, lets one sweep be split into "
+                         "alphabet ranges run in parallel and merged")
     ap.add_argument("--allow-documented", action="store_true",
                     help="scaled-sweep mode: a CLASSIFIED query failing "
                          "in exactly its documented shape (resource rows: "
@@ -359,6 +363,8 @@ def main(argv: list[str] | None = None) -> int:
             continue
         if args.resume_from and name < args.resume_from:
             continue
+        if args.stop_before and name >= args.stop_before:
+            break
         # per-query gc (the bench.py r9 discipline): a long sweep
         # accumulates py4j-referenced DataFrames whose JVM broadcasts/
         # checkpoints the ContextCleaner can only free once Python
