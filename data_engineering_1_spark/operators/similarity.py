@@ -253,24 +253,42 @@ def label_centroids(
     """Per-label elementwise mean as (label, pos, centroid_val) rows.
 
     posexplode fans out to one row per element; the groupBy(label, pos)
-    aggregate sums DECIMAL(18,8)-cast elements (exact) and divides by the
-    count — deterministic under any shuffle order, unlike a double sum.
-    """
+    aggregate sums 1e8-GRID BIGINT quantized elements (exact and
+    order-free) and the round-6 mean is one half-away-from-zero integer
+    division — fully cross-engine-exact.
+
+    Why the grid and not a float->DECIMAL(18,8) cast (the pre-r12
+    shape): the engines CONVERT floats to decimals differently — Spark
+    goes through the double's shortest string representation, DuckDB
+    through the full binary value — so a float whose 9th decimal digit
+    straddles a x.xxxxxxxx5 tie casts to decimals 1e-8 apart, and one
+    such component shifted an exact 30x dot sum across a round-6
+    boundary (the r12 sweep's ivf_assignment catch). round(x * 1e8) is
+    ONE identical IEEE multiply + the shared half-away integer round:
+    no string/binary ambiguity exists after it."""
     exploded = vectors.select(
         F.col(label_col),
         F.posexplode(vec_col).alias("pos0", "val"),
     ).select(
         label_col,
         (F.col("pos0") + 1).cast("int").alias("pos"),
-        F.col("val").cast("decimal(18,8)").alias("val_dec"),
+        F.round(F.col("val").cast("double") * 100000000, 0)
+        .cast("bigint")
+        .alias("val_q"),
+    )
+    # centroid6 = round_half_away(s / (1e8 n) * 1e6) = halfaway(s, 100n)
+    mean6 = F.expr(
+        "CAST(CASE WHEN s >= 0 THEN (2 * s + 100 * n) DIV (200 * n)"
+        " ELSE -((-2 * s + 100 * n) DIV (200 * n)) END AS DOUBLE)"
+        " / 1000000.0"
     )
     return (
         exploded.groupBy(label_col, "pos")
         .agg(
-            F.round(
-                F.sum("val_dec").cast("double") / F.count("val_dec"), 6
-            ).alias("centroid_val")
+            F.sum("val_q").alias("s"),
+            F.count("val_q").alias("n"),
         )
+        .select(label_col, "pos", mean6.alias("centroid_val"))
     )
 
 
@@ -294,6 +312,15 @@ def ivf_assign(
     cross with a tiny broadcast; the only shuffle left is the argmax).
     Centroids arrive as (label, pos, centroid_val) from label_centroids.
     """
+    # vectors quantize to the 1e8 grid, centroids (already on the 1e6
+    # grid from label_centroids' round-6 mean, or quantized here for
+    # arbitrary float centroids like kmeans_lloyd's — the same round-6
+    # the old decimal(12,6) cast applied) to the 1e6 grid: after that
+    # every dot is an exact BIGINT and the argmax is tie-free across
+    # engines. The r12 30x sweep caught the previous float->decimal
+    # cast diverging 1e-8 between engines (string-repr vs binary
+    # conversion) and tie-splitting the round-6 output — see
+    # label_centroids' docstring.
     cent_arrays = centroids.groupBy(
         F.col(label_col).alias("centroid_label")
     ).agg(
@@ -301,7 +328,9 @@ def ivf_assign(
             F.array_sort(
                 F.collect_list(F.struct(F.col("pos"), F.col("centroid_val")))
             ),
-            lambda s: s["centroid_val"].cast("decimal(12,6)"),
+            lambda s: F.round(
+                s["centroid_val"].cast("double") * 1000000, 0
+            ).cast("bigint"),
         ).alias("__cent")
     )
     dots = vectors.select(id_col, vec_col).crossJoin(
@@ -313,26 +342,28 @@ def ivf_assign(
             F.zip_with(
                 F.col(vec_col),
                 F.col("__cent"),
-                lambda x, y: x.cast("decimal(18,8)") * y,
+                lambda x, y: F.round(x.cast("double") * 100000000, 0)
+                .cast("bigint")
+                * y,
             ),
-            F.lit(0).cast("decimal(38,14)"),
-            # decimal + widens precision; the cast keeps the accumulator
-            # type closed (values are <<10^24, so it never truncates)
-            lambda acc, v: (acc + v).cast("decimal(38,14)"),
-        )
-        .cast("double")
-        .alias("dot"),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("dote"),
     )
     w = Window.partitionBy(id_col).orderBy(
-        F.desc("dot"), F.asc("centroid_label")
+        F.desc("dote"), F.asc("centroid_label")
     )
     ranked = dots.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= n_best
     )
+    # dote is the dot scaled by 1e14; round-6 dollars via the r6_fp
+    # half-away-from-zero integer division (never leaves exact space)
+    from ..plans._discipline import r6_fp
+
     cols = [
         F.col(id_col),
         F.col("centroid_label").alias("assigned_label"),
-        F.round("dot", 6).alias("dot"),
+        r6_fp("dote", 100_000_000_000_000).alias("dot"),
     ]
     if n_best > 1:
         # multi-probe callers (ivf_topk_search) need the probe order

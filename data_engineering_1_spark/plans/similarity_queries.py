@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.vector import o_cosine, o_dot, o_norm, vec_dot, vec_norm
 from ..io import load_table
+from ._discipline import o_r6_fp
 from ..operators.similarity import (
     ivf_assign,
     knn_join,
@@ -23,13 +24,39 @@ from ..operators.similarity import (
 )
 from .registry import declared_query
 
+# Centroids and centroid dots on the INTEGER GRID (r12). The pre-r12
+# float->DECIMAL(18,8) casts diverged between engines on floats whose
+# 9th decimal digit straddles a tie (Spark converts through the
+# double's shortest string representation, DuckDB through the full
+# binary value), and one such 1e-8 skew pushed an exact 30x dot sum
+# across a round-6 boundary (the sweep's ivf_assignment catch).
+# round(x * 1e8) is one identical IEEE multiply + the shared half-away
+# integer round; everything after it is exact BIGINT arithmetic on
+# both engines, and the ranking windows order by the exact integer dot
+# ("dote") so argmax ties are impossible by construction.
 _O_CENTROIDS = """
         SELECT label, CAST(i AS INTEGER) AS pos,
-               CAST(ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(18,8)))
-                               AS DOUBLE) / COUNT(*), 6) AS DOUBLE)
-                   AS centroid_val
-        FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
-        GROUP BY label, i
+               CAST(CASE WHEN s >= 0 THEN (2 * s + 100 * n) // (200 * n)
+                    ELSE -((-2 * s + 100 * n) // (200 * n)) END AS DOUBLE)
+                   / 1000000.0 AS centroid_val
+        FROM (
+            SELECT label, i,
+                   SUM(CAST(ROUND(CAST(embedding[i] AS DOUBLE)
+                                  * 100000000) AS BIGINT)) AS s,
+                   COUNT(*) AS n
+            FROM embeddings CROSS JOIN generate_series(1, 64) AS t(i)
+            GROUP BY label, i
+        )
+"""
+
+_O_DOTS = """
+        SELECT e.vec_id, c.label AS centroid_label,
+               SUM(CAST(ROUND(CAST(e.embedding[c.pos] AS DOUBLE)
+                              * 100000000) AS BIGINT)
+                   * CAST(ROUND(c.centroid_val * 1000000) AS BIGINT))
+                   AS dote
+        FROM embeddings e CROSS JOIN cent c
+        GROUP BY e.vec_id, c.label
 """
 
 
@@ -179,19 +206,14 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cent AS (
         {_O_CENTROIDS}
     ), dots AS (
-        SELECT e.vec_id, c.label AS centroid_label,
-               CAST(SUM(CAST(e.embedding[c.pos] AS DECIMAL(18,8))
-                        * CAST(c.centroid_val AS DECIMAL(12,6)))
-                    AS DOUBLE) AS dot
-        FROM embeddings e CROSS JOIN cent c
-        GROUP BY e.vec_id, c.label
+        {_O_DOTS}
     )
     SELECT vec_id, assigned_label, dot
     FROM (
         SELECT vec_id, centroid_label AS assigned_label,
-               CAST(ROUND(dot, 6) AS DOUBLE) AS dot,
+               {o_r6_fp("dote", 100_000_000_000_000)} AS dot,
                row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY dot DESC, centroid_label) AS rn
+                                  ORDER BY dote DESC, centroid_label) AS rn
         FROM dots
     ) t
     WHERE rn = 1
@@ -212,24 +234,19 @@ def ivf_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cent AS (
         {_O_CENTROIDS}
     ), dots AS (
-        SELECT e.vec_id, c.label AS centroid_label,
-               CAST(SUM(CAST(e.embedding[c.pos] AS DECIMAL(18,8))
-                        * CAST(c.centroid_val AS DECIMAL(12,6)))
-                    AS DOUBLE) AS dot
-        FROM embeddings e CROSS JOIN cent c
-        GROUP BY e.vec_id, c.label
+        {_O_DOTS}
     ), assign AS (
         SELECT vec_id, centroid_label AS assigned_label
         FROM (
             SELECT vec_id, centroid_label,
                    row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dot DESC, centroid_label) AS rn
+                                      ORDER BY dote DESC, centroid_label) AS rn
             FROM dots
         ) t WHERE rn = 1
     ), probe AS (
         SELECT centroid_label FROM dots
         WHERE vec_id = 0
-        ORDER BY dot DESC, centroid_label
+        ORDER BY dote DESC, centroid_label
         LIMIT 2
     ), q AS (
         SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0
@@ -274,18 +291,13 @@ def ivf_topk_search_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH cent AS (
         {_O_CENTROIDS}
     ), dots AS (
-        SELECT e.vec_id, c.label AS centroid_label,
-               CAST(SUM(CAST(e.embedding[c.pos] AS DECIMAL(18,8))
-                        * CAST(c.centroid_val AS DECIMAL(12,6)))
-                    AS DOUBLE) AS dot
-        FROM embeddings e CROSS JOIN cent c
-        GROUP BY e.vec_id, c.label
+        {_O_DOTS}
     ), assign AS (
         SELECT vec_id, centroid_label AS assigned_label
         FROM (
             SELECT vec_id, centroid_label,
                    row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dot DESC, centroid_label) AS rn
+                                      ORDER BY dote DESC, centroid_label) AS rn
             FROM dots
         ) t WHERE rn = 1
     ), probes AS (
@@ -293,7 +305,7 @@ def ivf_topk_search_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (
             SELECT vec_id, centroid_label,
                    row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dot DESC, centroid_label) AS rn
+                                      ORDER BY dote DESC, centroid_label) AS rn
             FROM dots WHERE vec_id % 100 = 0
         ) t WHERE rn <= 2
     ), qs AS (
@@ -390,24 +402,19 @@ def _ivf_fingerprint(sf_dir: str) -> str:
     WITH cent AS (
         {_O_CENTROIDS}
     ), dots AS (
-        SELECT e.vec_id, c.label AS centroid_label,
-               CAST(SUM(CAST(e.embedding[c.pos] AS DECIMAL(18,8))
-                        * CAST(c.centroid_val AS DECIMAL(12,6)))
-                    AS DOUBLE) AS dot
-        FROM embeddings e CROSS JOIN cent c
-        GROUP BY e.vec_id, c.label
+        {_O_DOTS}
     ), assign AS (
         SELECT vec_id, centroid_label AS assigned_label
         FROM (
             SELECT vec_id, centroid_label,
                    row_number() OVER (PARTITION BY vec_id
-                                      ORDER BY dot DESC, centroid_label) AS rn
+                                      ORDER BY dote DESC, centroid_label) AS rn
             FROM dots
         ) t WHERE rn = 1
     ), probe AS (
         SELECT centroid_label FROM dots
         WHERE vec_id = 0
-        ORDER BY dot DESC, centroid_label
+        ORDER BY dote DESC, centroid_label
         LIMIT 2
     ), q AS (
         SELECT embedding AS query_vec FROM embeddings WHERE vec_id = 0

@@ -42,7 +42,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="candidate scheme to price: one-sided probe "
                          "(ivf) or symmetric multi-probe + exact "
                          "rescore (ivf-rescore, r12)")
+    ap.add_argument("--cells", type=int, default=None,
+                    help="override _MBM_IVF_K (number of learned "
+                         "k-means cells) for this measurement — prices "
+                         "coarser/finer quantizers on the same corpus")
     args = ap.parse_args(argv)
+    if args.cells:
+        iq._MBM_IVF_K = args.cells
 
     spark = get_spark("mbm-recall")
     # the anchor/quantize stage is shared by every point — persist it
