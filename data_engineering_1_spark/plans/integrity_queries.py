@@ -806,10 +806,14 @@ def _mbm_leg(spark: SparkSession, sf_dir: str) -> str:
     _MBM_IVF_MIN_ANCHORS auto warns that the quadratic leg is engaged
     at scale and points at the measured opt-ins (the count is a
     memoized parquet-metadata job). SPARK_GRAFT_MBM_MODE=ivf-rescore
-    (r12) is the recommended opt-in — the symmetric multi-probe
-    candidates recover recall on decorrelated corpora at roughly half
-    the exact leg's pair count; =ivf keeps the cheaper one-sided probe
-    for corpora whose recall tools/mbm_recall.py has measured 1.0."""
+    (r12) is the higher-recall opt-in — symmetric multi-probe
+    candidates recover recall on decorrelated corpora (measured
+    0.95-0.97 at nprobe 5/K=32 and 7/K=64 on the 30x fixture, vs
+    0.2-0.5 one-sided), though at 12k anchors candidate duplication
+    keeps its wall AT OR ABOVE the exact leg's — it pays off on
+    clustered corpora or anchor counts where N^2 dwarfs the index
+    cost; =ivf keeps the cheapest one-sided probe for corpora whose
+    recall tools/mbm_recall.py has measured 1.0."""
     import os
     import warnings
 
@@ -827,8 +831,8 @@ def _mbm_leg(spark: SparkSession, sf_dir: str) -> str:
             "measure it on YOUR corpus with tools/mbm_recall.py before "
             "opting in (see mbm_recall_curves.json: one-sided ivf "
             "collapses to 0.2-0.5 on decorrelated corpora while "
-            "measuring 1.0 on near-dup-structured ones; ivf-rescore's "
-            "curve is recorded alongside)",
+            "measuring 1.0 on near-dup-structured ones; ivf-rescore "
+            "measures 0.95-0.97 there at nprobe 5/K=32 or 7/K=64)",
             stacklevel=3,
         )
     return "exact"
