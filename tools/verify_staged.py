@@ -41,15 +41,11 @@ sys.path.insert(0, REPO)
 from tools.check_parity import compare, duck_connection  # noqa: E402
 
 
-def _ensure_copurchase_graph(con: duckdb.DuckDBPyConnection) -> None:
-    """Stage the shared co-purchase graph pipeline: distinct incidence,
-    simple undirected edges, degrees, the (degree, id)-oriented edge
-    list, and the degree-oriented triangle enumeration. Mirrors the
-    naive oracles' CTEs (mlprep/evalops/integrity *_queries.py) table
-    by table; materializing each step is what keeps DuckDB's memory
-    bounded where the one-statement plan spilled."""
+def _ensure_copurchase_base(con: duckdb.DuckDBPyConnection) -> None:
+    """Distinct incidence, simple undirected edges, degrees — the base
+    every co-purchase staged twin shares."""
     have = {r[0] for r in con.execute("SHOW TABLES").fetchall()}
-    if "tri" in have:
+    if "deg" in have:
         return
     con.execute(
         "CREATE TEMP TABLE items AS "
@@ -67,6 +63,39 @@ def _ensure_copurchase_graph(con: duckdb.DuckDBPyConnection) -> None:
         "(SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) "
         "GROUP BY node"
     )
+
+
+def _ensure_copurchase_directed(con: duckdb.DuckDBPyConnection) -> None:
+    """Directed distinct edge list + the top-degree anchor set the
+    link-prediction twins share (equals the naive oracles' sedges /
+    anchors CTEs: und is already the distinct u<v pair set, so its
+    two-direction union IS DISTINCT(edges))."""
+    _ensure_copurchase_base(con)
+    have = {r[0] for r in con.execute("SHOW TABLES").fetchall()}
+    if "sedges" in have:
+        return
+    con.execute(
+        "CREATE TEMP TABLE sedges AS "
+        "SELECT u AS src, v AS dst FROM und "
+        "UNION ALL SELECT v AS src, u AS dst FROM und"
+    )
+    con.execute(
+        "CREATE TEMP TABLE anchors AS "
+        "SELECT node AS a, d FROM deg ORDER BY d DESC, node LIMIT 30"
+    )
+
+
+def _ensure_copurchase_graph(con: duckdb.DuckDBPyConnection) -> None:
+    """Stage the shared co-purchase graph pipeline: distinct incidence,
+    simple undirected edges, degrees, the (degree, id)-oriented edge
+    list, and the degree-oriented triangle enumeration. Mirrors the
+    naive oracles' CTEs (mlprep/evalops/integrity *_queries.py) table
+    by table; materializing each step is what keeps DuckDB's memory
+    bounded where the one-statement plan spilled."""
+    _ensure_copurchase_base(con)
+    have = {r[0] for r in con.execute("SHOW TABLES").fetchall()}
+    if "tri" in have:
+        return
     con.execute(
         """CREATE TEMP TABLE oriented AS
         SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END
@@ -182,11 +211,195 @@ def staged_kcore(con: duckdb.DuckDBPyConnection, k: int = 100,
     return con.execute(" UNION ALL ".join(stats) + " ORDER BY round").df()
 
 
+def staged_khop(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    """3-round BFS frontier, one temp table per round (the naive twin
+    nests the rounds inside one operator tree and spills; each round
+    here is a bounded |frontier edges| join + MIN fold). The naive
+    oracle's edges multiset reduces to sedges under MIN(hop)."""
+    _ensure_copurchase_directed(con)
+    con.execute(
+        "CREATE TEMP TABLE kh_d0 AS "
+        "SELECT node, CAST(0 AS BIGINT) AS hop FROM "
+        "(SELECT DISTINCT src AS node FROM sedges) WHERE node % 100 = 0"
+    )
+    for i in (1, 2, 3):
+        con.execute(
+            f"""CREATE TEMP TABLE kh_d{i} AS
+            SELECT node, CAST(MIN(hop) AS BIGINT) AS hop FROM (
+                SELECT node, hop FROM kh_d{i - 1}
+                UNION ALL
+                SELECT e.dst AS node, p.hop + 1 AS hop
+                FROM sedges e JOIN kh_d{i - 1} p ON e.src = p.node) t
+            GROUP BY node"""
+        )
+    return con.execute(
+        "SELECT hop, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        "CAST(SUM(node) AS BIGINT) AS node_checksum "
+        "FROM kh_d3 GROUP BY hop ORDER BY hop"
+    ).df()
+
+
+def staged_cheapest_path(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    """3-round min-plus relaxation over weighted co-purchase edges,
+    one temp table per round (mirrors integrity's d0..d3 CTEs; weights
+    from the pair-count table, cost duplicates irrelevant under MIN)."""
+    _ensure_copurchase_base(con)
+    con.execute(
+        "CREATE TEMP TABLE cp_pw AS "
+        "SELECT a.l_partkey AS u, b.l_partkey AS v, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM items a JOIN items b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+        "GROUP BY 1, 2"
+    )
+    con.execute(
+        "CREATE TEMP TABLE cp_edges AS "
+        "SELECT u AS src, v AS dst, CAST(101 - LEAST(CAST(100 AS BIGINT),"
+        " cnt) AS BIGINT) AS cost FROM cp_pw "
+        "UNION ALL SELECT v, u, CAST(101 - LEAST(CAST(100 AS BIGINT),"
+        " cnt) AS BIGINT) FROM cp_pw"
+    )
+    con.execute(
+        "CREATE TEMP TABLE cp_d0 AS "
+        "SELECT node, CAST(0 AS BIGINT) AS dist FROM "
+        "(SELECT DISTINCT src AS node FROM cp_edges) WHERE node % 100 = 0"
+    )
+    for i in (1, 2, 3):
+        con.execute(
+            f"""CREATE TEMP TABLE cp_d{i} AS
+            SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM cp_d{i - 1}
+                UNION ALL
+                SELECT e.dst AS node, p.dist + e.cost AS dist
+                FROM cp_edges e JOIN cp_d{i - 1} p ON e.src = p.node) t
+            GROUP BY node"""
+        )
+    return con.execute(
+        "SELECT dist, CAST(COUNT(*) AS BIGINT) AS n_nodes, "
+        "CAST(SUM(node) AS BIGINT) AS node_checksum "
+        "FROM cp_d3 GROUP BY dist ORDER BY dist"
+    ).df()
+
+
+def staged_reach_2hop(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    _ensure_copurchase_directed(con)
+    con.execute(
+        "CREATE TEMP TABLE r2_na AS "
+        "SELECT an.a, an.d, e.dst AS z FROM anchors an "
+        "JOIN sedges e ON e.src = an.a"
+    )
+    con.execute(
+        "CREATE TEMP TABLE r2_two AS "
+        "SELECT DISTINCT na.a, e2.dst AS v "
+        "FROM r2_na na JOIN sedges e2 ON e2.src = na.z "
+        "WHERE e2.dst <> na.a"
+    )
+    return con.execute(
+        """WITH strict2 AS (
+            SELECT t.a, CAST(COUNT(*) AS BIGINT) AS n2
+            FROM r2_two t
+            LEFT JOIN r2_na nb ON nb.a = t.a AND nb.z = t.v
+            WHERE nb.z IS NULL
+            GROUP BY t.a
+        )
+        SELECT an.a AS part_key, an.d AS n_1hop,
+               COALESCE(s.n2, 0) AS n_2hop_strict,
+               an.d + COALESCE(s.n2, 0) AS reach,
+               CAST(ROUND(CAST(COALESCE(s.n2, 0) AS DOUBLE)
+                          / an.d, 6) AS DOUBLE) AS expansion
+        FROM anchors an LEFT JOIN strict2 s ON an.a = s.a
+        ORDER BY reach DESC, part_key"""
+    ).df()
+
+
+def staged_adamic_adar(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    _ensure_copurchase_directed(con)
+    con.execute(
+        "CREATE TEMP TABLE aa_na AS "
+        "SELECT an.a, e.dst AS z FROM anchors an "
+        "JOIN sedges e ON e.src = an.a"
+    )
+    con.execute(
+        "CREATE TEMP TABLE aa_wedge AS "
+        "SELECT na.a, e2.dst AS v, na.z "
+        "FROM aa_na na JOIN sedges e2 ON e2.src = na.z "
+        "WHERE e2.dst <> na.a"
+    )
+    return con.execute(
+        """WITH cand AS (
+            SELECT w.a, w.v, w.z FROM aa_wedge w
+            LEFT JOIN aa_na nb ON nb.a = w.a AND nb.z = w.v
+            WHERE nb.z IS NULL
+        ), aa AS (
+            SELECT c.a, c.v, CAST(COUNT(*) AS BIGINT) AS n_common,
+                   CAST(SUM(CAST(ROUND(1.0 / LN(d.d), 9)
+                                 AS DECIMAL(18,9))) AS DECIMAL(38,9))
+                       AS aa_exact
+            FROM cand c JOIN deg d ON c.z = d.node
+            GROUP BY 1, 2
+        )
+        SELECT a AS anchor, v AS candidate, n_common,
+               CAST(ROUND(CAST(aa_exact AS DOUBLE), 6) AS DOUBLE)
+                   AS aa_score
+        FROM aa ORDER BY aa_exact DESC, a, v LIMIT 30"""
+    ).df()
+
+
+def staged_label_prop(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    """2 synchronous label-propagation rounds, one (votes, best, state)
+    temp-table triple per round — the naive twin re-derives the whole
+    vote pipeline per round inside one statement."""
+    _ensure_copurchase_directed(con)
+    con.execute(
+        "CREATE TEMP TABLE lp_nodes AS "
+        "SELECT d.node AS node, "
+        "CASE WHEN d.node % 3 = 0 THEN 1 ELSE 0 END AS seeded, "
+        "CASE WHEN d.node % 3 = 0 THEN p.p_brand END AS seed_label "
+        "FROM deg d JOIN part p ON d.node = p.p_partkey"
+    )
+    con.execute(
+        "CREATE TEMP TABLE lp_l0 AS "
+        "SELECT node, seeded, seed_label AS label FROM lp_nodes"
+    )
+    for i in (1, 2):
+        con.execute(
+            f"""CREATE TEMP TABLE lp_l{i} AS
+            WITH v AS (
+                SELECT e.dst AS node, l.label,
+                       CAST(COUNT(*) AS BIGINT) AS votes
+                FROM sedges e JOIN lp_l{i - 1} l ON e.src = l.node
+                WHERE l.label IS NOT NULL
+                GROUP BY 1, 2
+            ), b AS (
+                SELECT node, label FROM (
+                    SELECT node, label,
+                           row_number() OVER (PARTITION BY node
+                                ORDER BY votes DESC, label) AS rn
+                    FROM v) WHERE rn = 1
+            )
+            SELECT n.node, n.seeded,
+                   CASE WHEN n.seeded = 1 THEN n.seed_label
+                        ELSE b.label END AS label
+            FROM lp_nodes n LEFT JOIN b ON n.node = b.node"""
+        )
+    return con.execute(
+        "SELECT COALESCE(label, '(unlabeled)') AS label, "
+        "CAST(COUNT(*) AS BIGINT) AS n_parts, "
+        "CAST(SUM(seeded) AS BIGINT) AS n_seeds "
+        "FROM lp_l2 GROUP BY 1 ORDER BY 1"
+    ).df()
+
+
 STAGED = {
     "triangle_count_copurchase": staged_triangle_count,
     "clustering_coefficient_copurchase": staged_clustering_coefficient,
     "itemset3_orders": staged_itemset3,
     "kcore_copurchase": staged_kcore,
+    "khop_copurchase_reach": staged_khop,
+    "cheapest_path_copurchase": staged_cheapest_path,
+    "reach_2hop_parts": staged_reach_2hop,
+    "adamic_adar_linkpred": staged_adamic_adar,
+    "label_prop_brands": staged_label_prop,
 }
 
 
