@@ -99,6 +99,39 @@ CLASSIFICATIONS: dict[str, str] = {
         "precondition: same m=25 critical ladder as holm_bonferroni "
         "(r9)"
     ),
+    # r12: 30x-measured resource rows. Each naive one-statement twin
+    # exhausts the box AT 30x even solo (disk spill past ~79 GB free /
+    # OOM at 90 GB memory_limit, full thread width) — and each is
+    # VALUE-verified at 30x by its staged twin (tools/verify_staged.py,
+    # parity_staged_30x.json: all exact, oracle legs 4-11 s).
+    "khop_copurchase_reach": (
+        "oracle-resource at 30x: the nested 3-round BFS twin spills "
+        "past free disk solo (r12); value-exact at 30x via the staged "
+        "round-by-round twin"
+    ),
+    "cheapest_path_copurchase": (
+        "oracle-resource at 30x: the nested min-plus relaxation twin "
+        "spills past free disk solo at 90GB/full width (r12); "
+        "value-exact at 30x via the staged round-by-round twin"
+    ),
+    "reach_2hop_parts": (
+        "oracle-resource at 30x under concurrency; value-exact at 30x "
+        "via the staged twin (r12)"
+    ),
+    "adamic_adar_linkpred": (
+        "oracle-resource at 30x: the wedge-join twin spills past free "
+        "disk (r12); value-exact at 30x via the staged twin"
+    ),
+    "label_prop_brands": (
+        "oracle-resource at 30x: the 2-round vote pipeline re-derived "
+        "inside one statement spills past free disk (r12); value-exact "
+        "at 30x via the staged twin"
+    ),
+    "golden_record_fusion": (
+        "oracle-resource at 30x: the one-statement ER stack twin "
+        "(detect+cluster+fuse) spills past free disk solo (r12); "
+        "value-exact at 10x in a widened box (r11 sweep, 430 s)"
+    ),
 }
 
 # Failure-mode gating (ADVICE r11): a classification may only excuse
@@ -114,6 +147,12 @@ CLASSIFICATION_KIND: dict[str, str] = {
     "edit1_name_join": "oracle-resource",
     "kcore_copurchase": "oracle-resource",
     "triangle_count_copurchase": "oracle-resource",
+    "khop_copurchase_reach": "oracle-resource",
+    "cheapest_path_copurchase": "oracle-resource",
+    "reach_2hop_parts": "oracle-resource",
+    "adamic_adar_linkpred": "oracle-resource",
+    "label_prop_brands": "oracle-resource",
+    "golden_record_fusion": "oracle-resource",
     "holm_bonferroni_tests": "precondition",
     "benjamini_hochberg_tests": "precondition",
 }
