@@ -390,6 +390,83 @@ def staged_label_prop(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
     ).df()
 
 
+def staged_pagerank(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    """2 fixed-point power-iteration rounds over the MULTISET edge
+    list (parallel co-purchase edges weight the flow — the naive twin
+    uses the non-distinct pairs, so the staged twin must too), one
+    temp table per round."""
+    _ensure_copurchase_base(con)
+    con.execute(
+        "CREATE TEMP TABLE pg_edges AS "
+        "WITH pairs AS (SELECT a.l_partkey AS u, b.l_partkey AS v "
+        "FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey "
+        "AND a.l_partkey < b.l_partkey) "
+        "SELECT u AS src, v AS dst FROM pairs "
+        "UNION ALL SELECT v, u FROM pairs"
+    )
+    con.execute(
+        "CREATE TEMP TABLE pg_deg AS SELECT src, "
+        "CAST(COUNT(*) AS BIGINT) AS outdeg FROM pg_edges GROUP BY src"
+    )
+    n = con.execute("SELECT COUNT(*) FROM pg_deg").fetchone()[0]
+    con.execute(
+        f"CREATE TEMP TABLE pg_pr0 AS SELECT src AS node, "
+        f"CAST(1000000000000000 // {n} AS BIGINT) AS rank_fp FROM pg_deg"
+    )
+    for i in (1, 2):
+        con.execute(
+            f"""CREATE TEMP TABLE pg_pr{i} AS
+            SELECT e.dst AS node,
+                   CAST((100 - 85) * 1000000000000000 // (100 * {n})
+                        + (SUM(p.rank_fp // d.outdeg) * 85) // 100
+                        AS BIGINT) AS rank_fp
+            FROM pg_edges e
+            JOIN pg_pr{i - 1} p ON e.src = p.node
+            JOIN pg_deg d ON e.src = d.src
+            GROUP BY e.dst"""
+        )
+    return con.execute(
+        "SELECT node AS part_key, rank_fp, "
+        "CAST(CAST(rank_fp AS DOUBLE) / 1e15 AS DOUBLE) AS pagerank "
+        "FROM pg_pr2 ORDER BY rank_fp DESC, part_key LIMIT 30"
+    ).df()
+
+
+def staged_ppr(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    """2 personalized-pagerank rounds from the min-id seed over the
+    DISTINCT edge list, teleport mass re-injected per round."""
+    _ensure_copurchase_directed(con)
+    con.execute(
+        "CREATE TEMP TABLE pp_deg AS SELECT src, "
+        "CAST(COUNT(*) AS BIGINT) AS outdeg FROM sedges GROUP BY src"
+    )
+    seed = con.execute("SELECT MIN(src) FROM sedges").fetchone()[0]
+    con.execute(
+        f"CREATE TEMP TABLE pp_r0 AS SELECT {seed} AS node, "
+        f"CAST(1000000000000000 AS BIGINT) AS rank_fp"
+    )
+    for i in (1, 2):
+        con.execute(
+            f"""CREATE TEMP TABLE pp_r{i} AS
+            SELECT node, CAST(SUM(rank_fp) AS BIGINT) AS rank_fp FROM (
+                SELECT {seed} AS node,
+                       CAST(15 * 1000000000000000 // 100 AS BIGINT)
+                           AS rank_fp
+                UNION ALL
+                SELECT e.dst AS node,
+                       (r.rank_fp // d.outdeg) * 85 // 100 AS rank_fp
+                FROM sedges e
+                JOIN pp_r{i - 1} r ON e.src = r.node
+                JOIN pp_deg d ON e.src = d.src
+            ) GROUP BY node"""
+        )
+    return con.execute(
+        "SELECT node AS part_key, rank_fp, "
+        "CAST(CAST(rank_fp AS DOUBLE) / 1e15 AS DOUBLE) AS ppr "
+        "FROM pp_r2 ORDER BY rank_fp DESC, part_key LIMIT 30"
+    ).df()
+
+
 STAGED = {
     "triangle_count_copurchase": staged_triangle_count,
     "clustering_coefficient_copurchase": staged_clustering_coefficient,
@@ -400,6 +477,8 @@ STAGED = {
     "reach_2hop_parts": staged_reach_2hop,
     "adamic_adar_linkpred": staged_adamic_adar,
     "label_prop_brands": staged_label_prop,
+    "pagerank_copurchase": staged_pagerank,
+    "ppr_seed_part": staged_ppr,
 }
 
 
