@@ -132,6 +132,15 @@ CLASSIFICATIONS: dict[str, str] = {
         "(detect+cluster+fuse) spills past free disk solo (r12); "
         "value-exact at 10x in a widened box (r11 sweep, 430 s)"
     ),
+    "pagerank_copurchase": (
+        "oracle-resource at 30x: the nested 2-round power-iteration "
+        "twin spills past free disk (r12); value-exact at 30x via the "
+        "staged round-by-round twin (8 s)"
+    ),
+    "ppr_seed_part": (
+        "oracle-resource at 30x: same nested-iteration family as "
+        "pagerank (r12); value-exact at 30x via the staged twin (5 s)"
+    ),
 }
 
 # Failure-mode gating (ADVICE r11): a classification may only excuse
@@ -153,6 +162,8 @@ CLASSIFICATION_KIND: dict[str, str] = {
     "adamic_adar_linkpred": "oracle-resource",
     "label_prop_brands": "oracle-resource",
     "golden_record_fusion": "oracle-resource",
+    "pagerank_copurchase": "oracle-resource",
+    "ppr_seed_part": "oracle-resource",
     "holm_bonferroni_tests": "precondition",
     "benjamini_hochberg_tests": "precondition",
 }
