@@ -467,6 +467,128 @@ def staged_ppr(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
     ).df()
 
 
+def staged_mutual_best_match(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    """The quadratic bitext-mining twin, blocked by va-bucket: the
+    one-statement twin's GROUP BY over ~N^2 * dim ordered-pair product
+    rows spills past free disk at 30x; per-va top-1 only needs ALL vb
+    for each va, so bucketing va partitions the work exactly — each of
+    the 16 buckets aggregates 1/16th of the pair space in RAM, best
+    rows accumulate into one |anchors|-row table, and the reciprocity
+    join runs over that tiny table. Same quantized grid, same
+    (dot DESC, vb) tie-break as the naive oracle."""
+    con.execute(
+        "CREATE TEMP TABLE mb_qd AS "
+        "SELECT vec_id, d.d, "
+        "CAST(ROUND(CAST(embedding[d.d] AS DOUBLE) * 1000000) AS BIGINT)"
+        " AS q FROM embeddings "
+        "CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS d) d "
+        "WHERE vec_id % 5 = 0"
+    )
+    con.execute("CREATE TEMP TABLE mb_best (va BIGINT, vb BIGINT, dot BIGINT)")
+    n_buckets = 16
+    for b in range(n_buckets):
+        con.execute(
+            f"""INSERT INTO mb_best
+            SELECT va, vb, dot FROM (
+                SELECT va, vb, dot,
+                       row_number() OVER (PARTITION BY va
+                                          ORDER BY dot DESC, vb) AS rn
+                FROM (
+                    SELECT a.vec_id AS va, b2.vec_id AS vb,
+                           CAST(SUM(a.q * b2.q) AS BIGINT) AS dot
+                    FROM mb_qd a JOIN mb_qd b2
+                      ON a.d = b2.d AND a.vec_id <> b2.vec_id
+                    WHERE (a.vec_id // 5) % {n_buckets} = {b}
+                    GROUP BY 1, 2)
+            ) WHERE rn = 1"""
+        )
+    return con.execute(
+        """SELECT x.va AS vec_a, x.vb AS vec_b, x.dot AS dot_q
+        FROM mb_best x JOIN mb_best y ON x.vb = y.va AND y.vb = x.va
+        WHERE x.va < x.vb ORDER BY vec_a"""
+    ).df()
+
+
+def staged_golden_record(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    """The ER stack (detect + cluster + fuse) staged: the fuzzy-match
+    block join materializes once, and the recursive reachability CTE —
+    whose frontier product is what spills at 30x — becomes a
+    min-label-propagation loop to fixpoint over temp tables (the same
+    component labels: min reachable id). Fusion aggregates unchanged."""
+    con.execute(
+        "CREATE TEMP TABLE gr_vpairs AS "
+        "SELECT a.p_partkey AS u, b.p_partkey AS v "
+        "FROM part a JOIN part b "
+        "ON a.p_brand = b.p_brand AND a.p_size = b.p_size "
+        "AND a.p_partkey < b.p_partkey "
+        "WHERE levenshtein(a.p_name, b.p_name) <= 5"
+    )
+    con.execute(
+        "CREATE TEMP TABLE gr_e AS SELECT u, v FROM gr_vpairs "
+        "UNION ALL SELECT v, u FROM gr_vpairs"
+    )
+    con.execute(
+        "CREATE TEMP TABLE gr_l0 AS "
+        "SELECT DISTINCT u AS node, u AS lbl FROM gr_e"
+    )
+    i = 0
+    while True:
+        i += 1
+        con.execute(
+            f"""CREATE TEMP TABLE gr_l{i} AS
+            SELECT node, MIN(lbl) AS lbl FROM (
+                SELECT node, lbl FROM gr_l{i - 1}
+                UNION ALL
+                SELECT e.v AS node, l.lbl
+                FROM gr_e e JOIN gr_l{i - 1} l ON e.u = l.node) t
+            GROUP BY node"""
+        )
+        changed = con.execute(
+            f"SELECT COUNT(*) FROM gr_l{i} a JOIN gr_l{i - 1} b "
+            f"USING (node) WHERE a.lbl <> b.lbl"
+        ).fetchone()[0]
+        if changed == 0 or i > 60:
+            break
+    con.execute(f"CREATE TEMP TABLE gr_comp AS SELECT node AS p_partkey, "
+                f"CAST(lbl AS BIGINT) AS cluster FROM gr_l{i}")
+    return con.execute(
+        """WITH members AS (
+            SELECT c.cluster, p.p_partkey, p.p_name, p.p_type,
+                   CAST(ROUND(p.p_retailprice * 100) AS BIGINT) AS cents
+            FROM gr_comp c JOIN part p ON c.p_partkey = p.p_partkey
+        ), type_votes AS (
+            SELECT cluster, p_type, CAST(COUNT(*) AS BIGINT) AS votes
+            FROM members GROUP BY 1, 2
+        ), fused_type AS (
+            SELECT cluster, p_type AS canonical_type FROM (
+                SELECT cluster, p_type,
+                       row_number() OVER (PARTITION BY cluster
+                           ORDER BY votes DESC, p_type) AS rn
+                FROM type_votes) WHERE rn = 1
+        ), fused_name AS (
+            SELECT cluster, p_name AS canonical_name FROM (
+                SELECT cluster, p_name,
+                       row_number() OVER (PARTITION BY cluster
+                           ORDER BY length(p_name) DESC, p_name) AS rn
+                FROM members) WHERE rn = 1
+        )
+        SELECT m.cluster,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               MAX(ft.canonical_type) AS canonical_type,
+               MAX(fn.canonical_name) AS canonical_name,
+               CAST(MIN(m.cents) AS BIGINT) AS min_cents,
+               CAST(MAX(m.cents) AS BIGINT) AS max_cents,
+               CAST(MAX(m.cents) - MIN(m.cents) AS BIGINT)
+                   AS price_spread_cents
+        FROM members m
+        JOIN fused_type ft ON m.cluster = ft.cluster
+        JOIN fused_name fn ON m.cluster = fn.cluster
+        GROUP BY m.cluster
+        HAVING COUNT(*) >= 2
+        ORDER BY m.cluster"""
+    ).df()
+
+
 STAGED = {
     "triangle_count_copurchase": staged_triangle_count,
     "clustering_coefficient_copurchase": staged_clustering_coefficient,
@@ -479,6 +601,8 @@ STAGED = {
     "label_prop_brands": staged_label_prop,
     "pagerank_copurchase": staged_pagerank,
     "ppr_seed_part": staged_ppr,
+    "mutual_best_match": staged_mutual_best_match,
+    "golden_record_fusion": staged_golden_record,
 }
 
 
