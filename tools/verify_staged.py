@@ -625,6 +625,27 @@ def main(argv: list[str] | None = None) -> int:
     queries = registry.get_queries()
     todo = args.queries or sorted(STAGED)
     records, failed = [], []
+
+    def _save() -> None:
+        if not args.json_out:
+            return
+        payload = {
+            "sf_dir": os.path.realpath(args.sf_dir),
+            "method": (
+                "staged DuckDB twins: same relations as the naive "
+                "declared oracles, intermediates materialized as temp "
+                "tables (bounded memory); value-exact compare via the "
+                "parity gate's normalize/compare"
+            ),
+            "oracle_caps": {
+                "threads": args.oracle_threads,
+                "memory_limit": args.oracle_memory,
+            },
+            "records": records,
+        }
+        with open(args.json_out, "w") as fh:
+            json.dump(payload, fh, indent=1)
+
     for name in todo:
         if name not in STAGED:
             print(f"[skip] {name}: no staged twin")
@@ -667,24 +688,9 @@ def main(argv: list[str] | None = None) -> int:
                 **({"problems": hard[:5]} if hard else {}),
             }
         )
+        _save()  # per-query: a crash mid-run keeps finished verdicts
         con.close()
     if args.json_out:
-        payload = {
-            "sf_dir": os.path.realpath(args.sf_dir),
-            "method": (
-                "staged DuckDB twins: same relations as the naive "
-                "declared oracles, intermediates materialized as temp "
-                "tables (bounded memory); value-exact compare via the "
-                "parity gate's normalize/compare"
-            ),
-            "oracle_caps": {
-                "threads": args.oracle_threads,
-                "memory_limit": args.oracle_memory,
-            },
-            "records": records,
-        }
-        with open(args.json_out, "w") as fh:
-            json.dump(payload, fh, indent=1)
         print(f"wrote {args.json_out}")
     return 1 if failed else 0
 
