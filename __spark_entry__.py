@@ -111,7 +111,7 @@ def _sampler_priority() -> tuple[str, ...]:
 # their official rows carry err="no_oracle" and must not be treated as
 # perpetual failures by the priority derivation.
 _ROWS_ONLY = frozenset(
-    {"approx_distinct_users", "approx_value_quantiles", "kmeans_assignments"}
+    {"approx_distinct_users", "approx_value_quantiles"}
 )
 
 _SAMPLER_PRIORITY = _sampler_priority()

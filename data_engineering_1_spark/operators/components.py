@@ -6,43 +6,53 @@ The reference stops at exact-hash dedup (no pair/cluster stage); this is
 deduplicated corpus once transitively-connected docs are grouped and one
 representative is kept per group.
 
-Spark-first design: iterative min-label propagation expressed as
-DataFrame joins, with the loop on the driver.
+Spark-first design: alternating large-star / small-star contraction
+(Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii, "Connected
+Components in MapReduce and Beyond", SoCC'14 — the same algorithm
+GraphFrames ships), expressed as DataFrame joins with the loop on the
+driver.
 
-- The symmetric edge list is built in ONE pass over the input
-  (explode of a 2-struct array, not a self-union): the upstream pipeline
-  that produced the pairs (LSH + Jaccard verify, typically the expensive
-  part) executes once, not once per union branch.
-- Each iteration is one equi-join (edges x labels on the edge endpoint)
-  plus one groupBy-min. The cached edge list is pre-hash-partitioned on
-  the join key, so per iteration only the (much smaller) label table
-  shuffles.
-- The iterative tail runs at a partition count sized to the EDGE LIST,
-  not the session default: a near-dup edge list is orders of magnitude
-  smaller than the corpus that produced it (365 edges from 5 k docs on
-  the fixture; the same ratio holds at 100 TB), and pushing a few
-  hundred surviving rows through 64-partition shuffles every round made
-  task-scheduling overhead dominate the loop. One partition per ~1 M
-  edges, clamped to the session ceiling, keeps each round dense while
-  still scaling out for billion-edge graphs.
-- Convergence is detected with a single scalar aggregate: labels only
-  ever DECREASE, so sum(label) is strictly monotone until the fixpoint
-  and "sum unchanged" <=> "no label changed". That same action
-  materializes the round's LAZY ``localCheckpoint`` — one job per
-  iteration total, instead of eager-checkpoint + convergence-check jobs.
-  The checkpoint truncates the logical plan each round; without it the
-  plan doubles per iteration and analysis time dominates by round ~10.
-  (On a real cluster with a checkpoint dir, ``checkpoint()`` to reliable
-  storage is the durable equivalent; local checkpoint is the right call
-  in local mode and keeps the operator self-contained.)
-- Iterations needed = cluster diameter, and near-dup clusters are
-  shallow (a dup cluster's diameter is rarely > 3-4 hops), so the loop
-  terminates in a handful of rounds. For adversarial graphs (long
-  chains) the alternating large-star/small-star formulation (Kiveris et
-  al., "Connected Components in MapReduce and Beyond", SoCC'14)
-  converges in O(log n) rounds at ~2x the per-round cost; plug it in
-  here if diameters grow — the contract (node -> min id in component)
-  is unchanged.
+- Each round runs one LARGE-STAR (every strictly-larger neighbor of u
+  is rewired to u's min neighbor) and one SMALL-STAR (every
+  smaller neighbor of u, and u itself, is rewired to u's min
+  neighbor). Both preserve connectivity exactly and strictly shrink
+  star heights; the alternation converges in O(log n) rounds on ANY
+  graph — including adversarial id layouts where plain min-label
+  propagation needs O(diameter) rounds. That is not theoretical: the
+  30x fuzzy-name ER graph (592k nodes, 1.9M edges, ids uncorrelated
+  with chain position) took >25 propagation rounds and the old
+  propagation loop, capped at 25, silently returned WRONG labels
+  (7411 components vs the 7391 fixpoint — caught by the staged parity
+  sweep). Star contraction lands the same graph in a handful of
+  rounds because rewiring hooks whole trees together instead of
+  walking labels one edge per round.
+- Every emitted edge satisfies child > parent, so each round's output
+  is a parent-pointer forest fragment; at the fixpoint the edge set is
+  a disjoint union of stars whose root IS the component minimum
+  (parents only ever decrease, and the minimum can never acquire a
+  parent above itself).
+- Per round: two groupBy-min (map-side combinable) + two equi-joins +
+  two distincts, all at a partition count sized to the edge list; the
+  edge set only shrinks, so rounds get cheaper as the graph
+  contracts. Each phase is localCheckpoint-ed to truncate lineage —
+  without it the plan doubles per round and analysis time dominates.
+  (On a real cluster with a checkpoint dir, ``checkpoint()`` to
+  reliable storage is the durable equivalent.)
+- Convergence is detected with a cheap per-round scalar fingerprint
+  (edge count + endpoint sums); because the operator promises EXACT
+  labels, a fingerprint match is then confirmed by the authoritative
+  check — every ORIGINAL edge must connect two nodes with the same
+  label — before the loop is allowed to exit. A fingerprint collision
+  therefore cannot produce wrong output, only one extra round.
+- If the loop hits ``max_iter`` without passing the authoritative
+  check, the function RAISES rather than returning non-converged
+  labels: a silently wrong clustering is strictly worse than a loud
+  failure (the lesson of the r12 golden_record_fusion mismatch).
+- Skew note for 100 TB: a giant component's root accumulates degree;
+  groupBy-min absorbs it via partial aggregation, and the min-nbr
+  join puts one key's adjacency in one task — at extreme scale,
+  GraphFrames splits such keys with a salted skewed join; the hook is
+  isolated in ``_min_nbrs`` if that becomes the bottleneck.
 """
 
 from __future__ import annotations
@@ -50,9 +60,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# One shuffle partition per this many edges in the iterative tail; tiny
-# graphs collapse to a single dense task, billion-edge graphs fan out.
+# One shuffle partition per this many edges; tiny graphs collapse to a
+# single dense task, billion-edge graphs fan out.
 _EDGES_PER_PARTITION = 1_000_000
+
+
+def _min_nbrs(sym: DataFrame) -> DataFrame:
+    """(u, m) where m = min(u, min neighbor of u) over the symmetric
+    edge view. Map-side combinable; the skew hook for giant-degree
+    roots lives here."""
+    return sym.groupBy("u").agg(
+        F.least(F.first("u"), F.min("v")).alias("m")
+    )
+
+
+def _symmetrize(edges: DataFrame) -> DataFrame:
+    return edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
 
 
 def connected_components(
@@ -69,89 +94,131 @@ def connected_components(
 
     Nodes with no edges don't appear — callers keep singletons by
     left-joining this result against the full id set.
+
+    Raises ``RuntimeError`` if the star-contraction fixpoint is not
+    reached within ``max_iter`` rounds (O(log n) needed, so the
+    default covers any graph that fits on hardware; never silent).
     """
+    spark = edges.sparkSession
+    # Canonical parent-pointer seed: (child=hi, parent=lo), self-loops
+    # dropped, deduped. Built in ONE pass over the input so the
+    # upstream pair pipeline (LSH + verify, typically the expensive
+    # part) executes once. persist() — not localCheckpoint — so a
+    # 100 TB edge list spills rather than OOMs and lineage survives
+    # executor loss.
     u, v = F.col(src), F.col(dst)
-    # Symmetrize in one pass (explode, not union: the union's two
-    # branches would each re-execute the whole upstream pair pipeline
-    # when this cache first materializes — measured 2x on the fixture
-    # LSH pipeline). MEMORY_AND_DISK via persist() — not localCheckpoint
-    # — so a 100 TB edge list spills rather than OOMs, and lineage
-    # survives executor loss.
-    sym = (
+    ee = (
         edges.select(
-            F.explode(
-                F.array(
-                    F.struct(u.alias("u"), v.alias("v")),
-                    F.struct(v.alias("u"), u.alias("v")),
-                )
-            ).alias("e")
+            F.greatest(u, v).alias("u"), F.least(u, v).alias("v")
         )
-        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
         .persist()
     )
-    # Materialize the cache and size the iterative tail from the actual
-    # edge count. The count is not an extra pass: the seed aggregate
-    # below would materialize the cache anyway, and every subsequent
-    # iteration reads the cached blocks.
-    n_edges = sym.count()
-    spark = edges.sparkSession
+    n_edges = ee.count()
+    orig = ee  # kept cached for the authoritative convergence check
     ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(1, min(ceiling, n_edges // _EDGES_PER_PARTITION + 1))
-    # Pre-partition the edge cache on the join key (v): per iteration
-    # the join then reuses this layout and only the label table moves.
-    # Materialize it NOW, while `sym` is still cached — one cheap
-    # cache-to-cache shuffle; deferring it past sym.unpersist() would
-    # re-run the whole upstream pair pipeline instead.
-    sym_by_v = sym.repartition(parts, "v").persist()
-    sym_by_v.count()
-    # Seed with iteration-1's result directly: comp0(u) = min(u, min(v)).
-    # The groupBy rides the explicit u-repartition (same key, no second
-    # shuffle), so the seed is one tight shuffle at `parts` width.
-    labels = (
-        sym.repartition(parts, "u")
-        .groupBy(F.col("u").alias("node"))
-        .agg(F.least(F.first("u"), F.min("v")).alias("comp"))
-        .localCheckpoint(eager=True)
-    )
-    sym.unpersist()  # superseded by sym_by_v for the loop
-    prev_sum = None
-    prev_ckpt = None
+    prev_fp = None
+    prev_ckpt: DataFrame | None = None
     converged = False
     for _ in range(max_iter):
-        # Single action per round: materializes the (lazy) checkpoint
-        # AND yields the convergence scalar.
-        cur = labels.agg(
-            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-        if cur is None or cur == prev_sum:
-            converged = True
-            break
-        prev_sum = cur
-        nbr_min = sym_by_v.join(
-            labels, sym_by_v["v"] == labels["node"]
-        ).select(F.col("u").alias("node"), "comp")
-        new_labels = (
-            labels.union(nbr_min)
-            .repartition(parts, "node")
-            .groupBy("node")
-            .agg(F.min("comp").alias("comp"))
+        # ---- large-star: (v, m(u)) for every neighbor v > u --------
+        sym = _symmetrize(ee)
+        large = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(_min_nbrs(sym).hint("shuffle_hash"), "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            # one shuffle: hash on (u, v) at `parts` width satisfies
+            # the dedup's clustering requirement, so distinct() rides it
+            .repartition(parts, "u", "v")
+            .distinct()
             .localCheckpoint(eager=False)
         )
-        # The superseded checkpoint's blocks are dead once the new one is
-        # materialized (nothing downstream can reference it) — free them,
-        # or repeated calls leak executor storage run over run.
+        # ---- small-star: (v, m(u)) for v < u, plus (u, m(u)) -------
+        lsym = _symmetrize(large)
+        lmins = _min_nbrs(lsym)
+        small = (
+            lsym.filter(F.col("v") < F.col("u"))
+            .join(lmins.hint("shuffle_hash"), "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(lmins.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .repartition(parts, "u", "v")
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # One action per round: materializes both lazy checkpoints and
+        # yields the convergence fingerprint.
+        row = small.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).first()
+        fp = (row["n"], row["su"], row["sv"])
+        # small is materialized: the round's large blocks and the
+        # previous round's star set are dead — free them now or the
+        # loop leaks one checkpoint per round.
+        large.unpersist()
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
-        prev_ckpt = labels
-        labels = new_labels
+        prev_ckpt, ee = ee if ee is not orig else None, small
+        if fp == prev_fp:
+            # Fingerprint stable -> authoritative check: every ORIGINAL
+            # edge must join two identically-labeled nodes. Runs on the
+            # contracted star set, once per stable fingerprint.
+            lbl = ee.select(
+                F.col("u").alias("n_"), F.col("v").alias("c_")
+            )
+            bad = (
+                orig.join(
+                    lbl.withColumnRenamed("n_", "u").withColumnRenamed(
+                        "c_", "cu"
+                    ),
+                    "u",
+                    "left",
+                )
+                .join(
+                    lbl.withColumnRenamed("n_", "v").withColumnRenamed(
+                        "c_", "cv"
+                    ),
+                    "v",
+                    "left",
+                )
+                # roots carry no label row: their label is themselves
+                .select(
+                    F.coalesce("cu", "u").alias("cu"),
+                    F.coalesce("cv", "v").alias("cv"),
+                )
+                .filter(F.col("cu") != F.col("cv"))
+                .limit(1)
+                .count()
+            )
+            if bad == 0:
+                converged = True
+                break
+        prev_fp = fp
     if not converged:
-        # max_iter exit: the last checkpoint is still lazy; materialize
-        # it BEFORE dropping the caches its plan reads from (a truncated
-        # checkpoint cannot recompute lost input blocks).
-        labels.count()
-    sym_by_v.unpersist()
+        orig.unpersist()
+        raise RuntimeError(
+            "connected_components: no star-contraction fixpoint after "
+            f"{max_iter} rounds ({n_edges} edges); raise max_iter"
+        )
+    # Fixpoint edge set = disjoint stars (child, root): labels are the
+    # star edges plus a self row per root.
+    labels = ee.select(
+        F.col("u").alias(node_out), F.col("v").alias(comp_out)
+    ).unionByName(
+        ee.select(F.col("v").alias(node_out)).distinct().select(
+            F.col(node_out), F.col(node_out).alias(comp_out)
+        )
+    )
+    # Materialize before dropping the caches the plan reads from.
+    out = labels.localCheckpoint(eager=True)
+    orig.unpersist()
     if prev_ckpt is not None:
         prev_ckpt.unpersist()
-    return labels.select(
-        F.col("node").alias(node_out), F.col("comp").alias(comp_out)
-    )
+    if ee is not orig:
+        ee.unpersist()
+    return out

@@ -49,13 +49,33 @@ class TestConnectedComponents:
         got = _cc(spark, edges)
         assert got == {i: 0 for i in range(n + 1)}
 
-    def test_max_iter_caps_rounds(self, spark):
-        # with max_iter=1 a long chain cannot fully converge — the far
-        # end keeps a non-minimal label (documents that max_iter is a
-        # real cap, not a suggestion)
+    def test_max_iter_exit_raises(self, spark):
+        # with max_iter=1 a long chain cannot fully converge — the
+        # operator must RAISE, never silently return non-minimal
+        # labels (the 30x golden_record_fusion regression: a capped
+        # exit shipped 7411 components where the fixpoint has 7391)
         edges = [(i, i + 1) for i in range(6)]
-        got = _cc(spark, edges, max_iter=1)
-        assert got[6] != 0
+        df = spark.createDataFrame(edges, "src long, dst long")
+        with pytest.raises(RuntimeError, match="fixpoint"):
+            connected_components(df, max_iter=1).collect()
+
+    def test_deep_chain_beyond_old_cap(self, spark):
+        # diameter-60 chain: one-hop propagation needed 60 rounds and
+        # returned wrong labels under the old max_iter=25 cap; with
+        # per-round pointer-jumping (L(u) <- L(L(u))) the fixpoint
+        # lands in O(log diameter) rounds, well inside the default cap
+        n = 60
+        edges = [(i, i + 1) for i in range(n)]
+        got = _cc(spark, edges)
+        assert got == {i: 0 for i in range(n + 1)}
+
+    def test_two_deep_chains_distinct_labels(self, spark):
+        # two disjoint diameter-40 chains converge to their own minima
+        a = [(i, i + 1) for i in range(40)]
+        b = [(100 + i, 101 + i) for i in range(40)]
+        got = _cc(spark, a + b)
+        assert all(got[i] == 0 for i in range(41))
+        assert all(got[100 + i] == 100 for i in range(41))
 
     def test_custom_column_names(self, spark):
         df = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")

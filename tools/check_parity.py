@@ -130,7 +130,20 @@ CLASSIFICATIONS: dict[str, str] = {
     "golden_record_fusion": (
         "oracle-resource at 30x: the one-statement ER stack twin "
         "(detect+cluster+fuse) spills past free disk solo (r12); "
-        "value-exact at 10x in a widened box (r11 sweep, 430 s)"
+        "value-exact at 30x via the staged twin (r13, after the "
+        "connected-components pointer-jump fix — the r12 staged check "
+        "caught the max_iter=25 non-convergence, 7411 vs 7391 rows)"
+    ),
+    "mutual_best_match": (
+        "oracle-resource at 30x: the symmetric top-1 twin spills past "
+        "free disk solo (parity_30x_r2c/r3, 478-686 s before dying); "
+        "value-exact at 30x via the staged bucketed twin "
+        "(parity_staged_30x_d, 3002 pairs)"
+    ),
+    "temporal_reach_parts": (
+        "oracle-resource at 30x: the nested temporal-BFS twin spills "
+        "past free disk solo (parity_30x_r2c); value-exact at 30x via "
+        "the staged round-by-round twin (r13)"
     ),
     "pagerank_copurchase": (
         "oracle-resource at 30x: the nested 2-round power-iteration "
@@ -162,6 +175,8 @@ CLASSIFICATION_KIND: dict[str, str] = {
     "adamic_adar_linkpred": "oracle-resource",
     "label_prop_brands": "oracle-resource",
     "golden_record_fusion": "oracle-resource",
+    "mutual_best_match": "oracle-resource",
+    "temporal_reach_parts": "oracle-resource",
     "pagerank_copurchase": "oracle-resource",
     "ppr_seed_part": "oracle-resource",
     "holm_bonferroni_tests": "precondition",

@@ -509,6 +509,53 @@ def staged_mutual_best_match(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
     ).df()
 
 
+def staged_temporal_reach(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
+    """3-round earliest-arrival relaxation over the timestamped
+    co-purchase graph, one temp table per round (mirrors horizon's
+    r0..r3 CTEs; the naive twin nests the rounds inside one operator
+    tree over the t-stamped edge multiset and spills past free disk at
+    30x — parity_30x_r2c). Each round here is one bounded
+    |ball| x tedges join with the time predicate + a MIN fold."""
+    con.execute(
+        "CREATE TEMP TABLE tr_items AS "
+        "SELECT DISTINCT l.l_orderkey, l.l_partkey, "
+        "date_diff('day', DATE '1970-01-01', "
+        "CAST(o.o_orderdate AS DATE)) AS t "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    )
+    con.execute(
+        "CREATE TEMP TABLE tr_pairs AS "
+        "SELECT a.l_partkey AS u, b.l_partkey AS v, a.t "
+        "FROM tr_items a JOIN tr_items b "
+        "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey"
+    )
+    con.execute(
+        "CREATE TEMP TABLE tr_tedges AS "
+        "SELECT DISTINCT u AS src, v AS dst, t FROM tr_pairs "
+        "UNION SELECT DISTINCT v AS src, u AS dst, t FROM tr_pairs"
+    )
+    con.execute(
+        "CREATE TEMP TABLE tr_r0 AS "
+        "SELECT node, CAST(0 AS BIGINT) AS arrival FROM "
+        "(SELECT MIN(src) AS node FROM tr_tedges)"
+    )
+    for i in (1, 2, 3):
+        con.execute(
+            f"""CREATE TEMP TABLE tr_r{i} AS
+            SELECT node, CAST(MIN(arrival) AS BIGINT) AS arrival FROM (
+                SELECT node, arrival FROM tr_r{i - 1}
+                UNION ALL
+                SELECT e.dst AS node, e.t AS arrival
+                FROM tr_tedges e JOIN tr_r{i - 1} p ON e.src = p.node
+                WHERE e.t >= p.arrival) t
+            GROUP BY node"""
+        )
+    return con.execute(
+        "SELECT node AS part_key, arrival AS arrival_day "
+        "FROM tr_r3 ORDER BY arrival, part_key LIMIT 30"
+    ).df()
+
+
 def staged_golden_record(con: duckdb.DuckDBPyConnection) -> pd.DataFrame:
     """The ER stack (detect + cluster + fuse) staged: the fuzzy-match
     block join materializes once, and the recursive reachability CTE —
@@ -603,6 +650,7 @@ STAGED = {
     "ppr_seed_part": staged_ppr,
     "mutual_best_match": staged_mutual_best_match,
     "golden_record_fusion": staged_golden_record,
+    "temporal_reach_parts": staged_temporal_reach,
 }
 
 
