@@ -37,6 +37,49 @@ def materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+# A stage is a scale hazard when ONE task carries real data volume —
+# the shape of the r12 MBM regression, where AQE broadcast a 72M-pair
+# grid and serialized the whole computation into a single task. 1-task
+# stages moving less than this many bytes (driver-side 1-row
+# aggregates, broadcast builds, LIMIT tails) are normal.
+_SINGLE_TASK_BYTES = 64 * 1024 * 1024
+
+
+def audit_stages(spark, group: str) -> list[dict]:
+    """Single-task stages with material data volume run under job
+    group ``group``, via the local UI REST API (stage metrics carry
+    input + shuffle-read bytes; the status-tracker API does not)."""
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return [{"error": "spark UI disabled; stage audit unavailable"}]
+
+    def _get(path: str):
+        with urllib.request.urlopen(f"{ui}/api/v1{path}", timeout=10) as r:
+            return json.load(r)
+
+    app = _get("/applications")[0]["id"]
+    stage_ids = set()
+    for job in _get(f"/applications/{app}/jobs?status=succeeded"):
+        if job.get("jobGroup") == group:
+            stage_ids.update(job.get("stageIds", []))
+    flagged = []
+    for st in _get(f"/applications/{app}/stages?status=complete"):
+        if st["stageId"] not in stage_ids:
+            continue
+        moved = st.get("inputBytes", 0) + st.get("shuffleReadBytes", 0)
+        if st.get("numTasks") == 1 and moved > _SINGLE_TASK_BYTES:
+            flagged.append(
+                {
+                    "stage_id": st["stageId"],
+                    "name": st.get("name", "")[:80],
+                    "bytes_moved": moved,
+                }
+            )
+    return flagged
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(
         description="wall-time scale probe over declared queries"
@@ -52,6 +95,12 @@ def main() -> None:
         help="work multiple of --big vs --base (linear ceiling)",
     )
     ap.add_argument("--json", help="write per-query records to this path")
+    ap.add_argument(
+        "--audit-stages",
+        action="store_true",
+        help="flag single-task stages moving >64MB during each query's "
+        "scaled run (the r12 AQE-serialization shape)",
+    )
     args = ap.parse_args()
 
     queries = registry.get_queries()
@@ -79,6 +128,9 @@ def main() -> None:
         err = None
         for label, sf_dir in (("base", args.base), ("big", args.big)):
             best = float("inf")
+            group = f"probe:{name}:{label}"
+            if args.audit_stages:
+                spark.sparkContext.setJobGroup(group, name)
             for _ in range(args.runs):
                 t0 = time.perf_counter()
                 try:
@@ -90,6 +142,10 @@ def main() -> None:
                     err = f"{type(e).__name__}"
                     break
                 best = min(best, time.perf_counter() - t0)
+            if args.audit_stages:
+                spark.sparkContext.setJobGroup("", "")
+                if label == "big" and not err:
+                    row["single_task_stages"] = audit_stages(spark, group)
             row[label] = best
             gc.collect()
             if err:
@@ -99,20 +155,23 @@ def main() -> None:
             records.append({"query": name, "error": err, "at": label})
             continue
         ratio = row["big"] / row["base"]
-        verdict = "ok" if ratio <= args.factor else "over"
-        records.append(
-            {
-                "query": name,
-                "base_sec": round(row["base"], 4),
-                "scaled_sec": round(row["big"], 4),
-                "wall_ratio": round(ratio, 2),
-                "ceiling": args.factor,
-                "verdict": verdict,
-            }
-        )
+        hot = row.get("single_task_stages", [])
+        verdict = "ok" if ratio <= args.factor and not hot else "over"
+        rec = {
+            "query": name,
+            "base_sec": round(row["base"], 4),
+            "scaled_sec": round(row["big"], 4),
+            "wall_ratio": round(ratio, 2),
+            "ceiling": args.factor,
+            "verdict": verdict,
+        }
+        if args.audit_stages:
+            rec["single_task_stages"] = hot
+        records.append(rec)
+        flag = f" [{len(hot)} single-task hot stages]" if hot else ""
         print(
             f"{name:42s} {row['base']:8.2f} {row['big']:8.2f} "
-            f"{ratio:6.1f}x {verdict}",
+            f"{ratio:6.1f}x {verdict}{flag}",
             flush=True,
         )
     if args.json:

@@ -162,24 +162,56 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--trigger", default="500 milliseconds")
     ap.add_argument("--watermark", default="30 seconds")
     ap.add_argument("--json", dest="json_out", default=None)
+    ap.add_argument(
+        "--changelog",
+        action="store_true",
+        help=(
+            "enable RocksDB changelog checkpointing: per-batch commits "
+            "upload only the changelog, snapshots move to background "
+            "maintenance (vs the default full-snapshot-per-commit, "
+            "whose upload cost grows with LSM size even at bounded "
+            "state rows)"
+        ),
+    )
+    ap.add_argument(
+        "--compact-on-commit",
+        action="store_true",
+        help="force RocksDB range compaction on every commit "
+        "(bounds sst/tombstone growth at extra per-batch CPU)",
+    )
+    ap.add_argument(
+        "--pipelines",
+        default="dedup,mv",
+        help="comma subset of dedup,mv (default both)",
+    )
     args = ap.parse_args(argv)
 
-    spark = get_spark(
-        "stream-soak",
-        extra_conf={
-            # the provider production clusters run (X78)
-            "spark.sql.streaming.stateStore.providerClass": (
-                "org.apache.spark.sql.execution.streaming.state."
-                "RocksDBStateStoreProvider"
-            ),
-        },
-    )
-    results = [
-        soak_dedup_ttl(
-            spark, args.batches, args.rps, args.trigger, args.watermark
+    rocksdb_conf = {
+        # the provider production clusters run (X78)
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
         ),
-        soak_incremental_mv(spark, args.batches, args.rps, args.trigger),
-    ]
+        "spark.sql.streaming.stateStore.rocksdb."
+        "changelogCheckpointing.enabled": str(args.changelog).lower(),
+        "spark.sql.streaming.stateStore.rocksdb.compactOnCommit": str(
+            args.compact_on_commit
+        ).lower(),
+    }
+    spark = get_spark("stream-soak", extra_conf=rocksdb_conf)
+    wanted = {p.strip() for p in args.pipelines.split(",") if p.strip()}
+    results = []
+    if "dedup" in wanted:
+        results.append(
+            soak_dedup_ttl(
+                spark, args.batches, args.rps, args.trigger,
+                args.watermark,
+            )
+        )
+    if "mv" in wanted:
+        results.append(
+            soak_incremental_mv(spark, args.batches, args.rps, args.trigger)
+        )
     healthy = all(
         r["summary"].get("latency_flat", False)
         and r["summary"].get("state_bounded", True)
@@ -188,6 +220,8 @@ def main(argv: list[str] | None = None) -> int:
     payload = {
         "batches_requested": args.batches,
         "state_store": "rocksdb",
+        "changelog_checkpointing": args.changelog,
+        "compact_on_commit": args.compact_on_commit,
         "healthy": healthy,
         "pipelines": results,
     }
