@@ -552,6 +552,17 @@ _MBM_B = 8  # anchor pair-join blocks; the grid has B*(B+1)/2 = 36 keys
 # whose recall has been MEASURED acceptable with tools/mbm_recall.py
 # (near-dup-structured corpora — the production bitext/near-dup mining
 # case — measure 1.0 and run 2.9x faster at 30x).
+#
+# Break-even (r13, closing the r11 #4 thread): the symmetric
+# ivf-rescore leg WINS on clustered corpora — 30x plain-stacked,
+# 12k anchors, K=32, nprobe=1: recall 1.0 in 97.6 s vs 157.8 s exact
+# solo (1.62x) — and LOSES on decorrelated ones (same anchors, 0.95
+# recall only at >= the exact wall; mbm_recall_curves.json has both
+# curves). Recall is a corpus property, so the serving rule stands:
+# exact + SHUFFLE_HASH below ~10-20k anchors or for unmeasured
+# corpora; ivf-rescore is the opt-in once tools/mbm_recall.py shows
+# recall ~1.0 at small nprobe on YOUR corpus, and its advantage grows
+# with anchor count (candidates ~ nprobe^2/K of exact's pair space).
 _MBM_IVF_MIN_ANCHORS = 5_000
 # The coarse quantizer is _MBM_IVF_K k-means cells fitted on the
 # anchors themselves (r11; r10 used the fixture's label column, which

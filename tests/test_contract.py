@@ -187,6 +187,21 @@ def test_neutral_order_env_escape(monkeypatch):
     assert list(entry_mod.queries()) == list(entry_mod._SAMPLER_PRIORITY)
 
 
+def test_rows_only_set_is_exactly_the_sketches():
+    """Graduation pin (VERDICT r12 #4): _ROWS_ONLY may hold ONLY the
+    two tolerance-checked approximate sketches. kmeans_assignments
+    graduated to oracle-paired in r12 (integer-grid Lloyd); leaving it
+    listed made its stale no_oracle row rank as green and would let a
+    future regression hide."""
+    assert entry_mod._ROWS_ONLY == {
+        "approx_distinct_users",
+        "approx_value_quantiles",
+    }
+    assert set(entry_mod.oracle_sql()) == (
+        set(entry_mod.queries()) - entry_mod._ROWS_ONLY
+    )
+
+
 def test_priority_queries_lead_the_ordering():
     names = list(entry_mod.queries())
     k = len(entry_mod._SAMPLER_PRIORITY)
