@@ -53,7 +53,9 @@ def audit_stages(spark, group: str) -> list[dict]:
 
     ui = spark.sparkContext.uiWebUrl
     if not ui:
-        return [{"error": "spark UI disabled; stage audit unavailable"}]
+        # no UI, no metrics — report nothing rather than a fake flag;
+        # main() enables the UI for audited runs
+        return []
 
     def _get(path: str):
         with urllib.request.urlopen(f"{ui}/api/v1{path}", timeout=10) as r:
@@ -116,7 +118,12 @@ def main() -> None:
         )
     names = args.queries or sorted(queries)
 
-    spark = get_spark("probe-scale")
+    spark = get_spark(
+        "probe-scale",
+        extra_conf=(
+            {"spark.ui.enabled": "true"} if args.audit_stages else None
+        ),
+    )
 
     import gc
 
