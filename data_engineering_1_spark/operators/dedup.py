@@ -311,8 +311,20 @@ def jaccard_pairs(
     parts = int(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
-    doc_tokens = df.repartition(parts, id_col).select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    # doc_tokens feeds up to seven consumers (sizes, the df counts, the
+    # hot cut, cold, hot_sets, both sides of the inverted-index join);
+    # left lazy, every consumer re-runs the regex tokenize + explode over
+    # the corpus (the r13-before jaccard_neardup_pairs plan held 33
+    # parquet scans). Materialize the tokenized relation once (guide
+    # §2.4); at 100 TB this is the persisted token/posting table a real
+    # pipeline would keep next to the signature index.
+    doc_tokens = (
+        df.repartition(parts, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+        .localCheckpoint()
     )
     sizes = doc_tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     if max_token_df_frac is None:

@@ -418,16 +418,20 @@ def covariate_balance_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("c_acctbal") * 100, 0)
         .cast("bigint")
         .alias("acctbal_cents"),
-    )
+    # customer-grain, consumed once per covariate (3x) — materialize the
+    # orders aggregate + dimension join once (guide §2.4; 20 scans in
+    # the r13-before plan, now 2)
+    ).localCheckpoint()
     out = None
     for name in ("n_orders", "spend_cents", "acctbal_cents"):
+        # 2 rows, read by both arms below
         moments = base.groupBy("treated").agg(
             F.count(F.lit(1)).cast("bigint").alias("cnt"),
             F.sum(name).cast("bigint").alias("s1"),
             F.sum(F.col(name).cast("decimal(19,0)") * F.col(name))
             .cast("decimal(38,0)")
             .alias("s2"),
-        )
+        ).localCheckpoint()
         t = moments.where(F.col("treated") == 1).select(
             (F.col("s1").cast("double") / F.col("cnt")).alias("mu_t"),
             (

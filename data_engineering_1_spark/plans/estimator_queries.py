@@ -336,21 +336,45 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact); ratio likewise. Scale: per join, two count/distinct
     aggregates plus the actual join count — the joins themselves are
     the equi-joins the pipeline already runs."""
+    # Key-grain formulation (guide §2.3 "aggregate before you shuffle"):
+    # each table is scanned and key-aggregated ONCE; row/distinct counts
+    # come off that relation and the actual join count is the exact
+    # product-sum sum(ca*cb) over matching keys — the r13-before shape
+    # scanned each table twice and shuffled fact rows through the join
+    # (24 scans; now 6). NULL keys: the join drops them (equality),
+    # countDistinct ignored them — both reproduced below.
     out = None
     for ta, ka, tb, kb in _CARD_JOINS:
         A = load_table(spark, sf_dir, ta)
         B = load_table(spark, sf_dir, tb)
-        a = A.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_left"),
-            F.countDistinct(ka).cast("bigint").alias("da"),
+        ak = (
+            A.groupBy(F.col(ka).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("ca"))
+            .localCheckpoint()
         )
-        b = B.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_right"),
-            F.countDistinct(kb).cast("bigint").alias("db"),
+        bk = (
+            B.groupBy(F.col(kb).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+            .localCheckpoint()
         )
-        j = (
-            A.join(B, F.col(ka) == F.col(kb))
-            .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+        a = ak.agg(
+            F.sum("ca").cast("bigint").alias("n_left"),
+            F.count(F.when(F.col("k").isNotNull(), 1))
+            .cast("bigint")
+            .alias("da"),
+        )
+        b = bk.agg(
+            F.sum("cb").cast("bigint").alias("n_right"),
+            F.count(F.when(F.col("k").isNotNull(), 1))
+            .cast("bigint")
+            .alias("db"),
+        )
+        j = ak.join(bk, "k").agg(
+            F.coalesce(
+                F.sum(F.col("ca").cast("decimal(19,0)") * F.col("cb"))
+                .cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ).alias("actual_rows")
         )
         est = (
             F.col("n_left").cast("decimal(38,0)") * F.col("n_right")

@@ -500,7 +500,12 @@ def feature_information_gain(
     crosstab aggregate per feature (combinable); the class-entropy
     subquery is a 3-row aggregate."""
     o = load_table(spark, sf_dir, "orders")
-    ntot = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    # 1-row scalars consumed once per feature (ntot 4x, hs_df 3x): left
+    # lazy each reuse re-scanned orders (24 scans in the r13-before
+    # plan; now one scan per feature crosstab + one each for these)
+    ntot = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_total")
+    ).localCheckpoint()
     hs_df = (
         o.groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
@@ -515,6 +520,7 @@ def feature_information_gain(
             .alias("t")
         )
         .agg(F.sum("t").cast("double").alias("hs"))
+        .localCheckpoint()
     )
     feats = [
         ("o_orderpriority", F.col("o_orderpriority")),
@@ -650,6 +656,9 @@ def containment_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
+        # tokenize once: dt feeds sizes plus BOTH inverted-index sides
+        # (guide §2.4; 17 scans in the r13-before plan)
+        .localCheckpoint()
     )
     sizes = dt.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_tok")
@@ -811,6 +820,11 @@ def kendall_tau_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("q", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        # |q| x |b| bounded cell table (~1000 rows), consumed by three
+        # distinct subplans (grid densify x2, left join): materialize so
+        # the lineitem scan + cell aggregate run ONCE (guide §2.4 — the
+        # r13-before plan re-ran the scan 48 times through this subtree)
+        .localCheckpoint()
     )
     # densify to the full |q| x |b| grid — the suffix-sum windows
     # below index cells by the other dimension, so a missing (q, b)
@@ -825,6 +839,9 @@ def kendall_tau_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "b",
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
         )
+        # dense grid, same bounded size; feeds four consumers (suffix-sum
+        # pass, both tie aggregates, n0)
+        .localCheckpoint()
     )
     w_lt = (
         Window.partitionBy("q")

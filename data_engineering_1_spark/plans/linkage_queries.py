@@ -76,10 +76,15 @@ def _anchors(sedges: DataFrame):
     deg = sedges.groupBy("src").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )
+    # 30 rows, but consumed 2-3x per query (wedge legs + final join) and
+    # each lazy use re-ran the degree aggregate + top-k over the whole
+    # edge relation (guide §2.4). Materialized once; consumers broadcast
+    # it.
     anchors = (
         deg.orderBy(F.desc("d"), F.asc("src"))
         .limit(30)
         .select(F.col("src").alias("a"), "d")
+        .localCheckpoint()
     )
     return deg, anchors
 
@@ -291,7 +296,7 @@ def adamic_adar_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never shuffles: each wedge leg is a broadcast hash join.
     na = sedges.join(
         F.broadcast(anchors), F.col("a") == sedges["src"]
-    ).select("a", F.col("dst").alias("z"))
+    ).select("a", F.col("dst").alias("z")).localCheckpoint()
     wedge = sedges.withColumnRenamed("src", "z2").join(
         F.broadcast(na),
         F.col("z") == F.col("z2"),
@@ -456,9 +461,11 @@ def reach_2hop_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same broadcast discipline as X253: the edge relation never
     # shuffles — both wedge legs are broadcast hash joins against the
     # anchor-bounded na relation.
+    # anchor-bounded (30 x max-degree rows) and consumed twice (wedge
+    # leg + the strict-2 anti list): materialize once, broadcast after
     na = sedges.join(
         F.broadcast(anchors), F.col("a") == sedges["src"]
-    ).select("a", "d", F.col("dst").alias("z"))
+    ).select("a", "d", F.col("dst").alias("z")).localCheckpoint()
     two = (
         sedges.withColumnRenamed("src", "z2")
         .join(

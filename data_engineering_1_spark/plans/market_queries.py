@@ -272,6 +272,10 @@ def hhi_brand_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("cents")
         )
+        # catalog-bounded (|regions| x |brands|) grid consumed by both
+        # the HHI aggregate and the top-brand window; lazy, each re-ran
+        # the 6-table fact join (24 scans in the r13-before plan)
+        .localCheckpoint()
     )
     agg = rev.groupBy("region").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_brands"),

@@ -772,6 +772,15 @@ def rec_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cutoff"),
     )
+    # `inc` feeds train_items, train_u AND test_u; without materialization
+    # the planner recomputes the orders x lineitem join + cutoff subtree
+    # once per consumer (the r13-before plan held 66 parquet scans / 126
+    # exchanges for this one query — ReuseExchange never fired because
+    # each consumer's projection differs). One narrow localCheckpoint of
+    # the 4-column fact-grain relation truncates all of them (guide
+    # §2.4/§3.3: materialize a shared intermediate instead of paying the
+    # scan-join repeatedly; at 100 TB the same discipline is a persisted
+    # train/test split table).
     inc = (
         o.select("o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("od"))
         .join(li.select("l_orderkey", "l_partkey"),
@@ -783,11 +792,14 @@ def rec_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_partkey",
             (F.col("od") <= F.col("cutoff")).alias("is_train"),
         )
+        .localCheckpoint()
     )
+    # used by supp + both sides of the co-occurrence self-join
     train_items = (
         inc.where("is_train")
         .select(F.col("o_orderkey").alias("l_orderkey"), "l_partkey")
         .distinct()
+        .localCheckpoint()
     )
     supp = train_items.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ord")
@@ -852,8 +864,10 @@ def rec_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("item", "neighbor", "co")
     )
+    # used by cand (positive join + seen-filter anti-join) and per_user
     train_u = (
         inc.where("is_train").select("o_custkey", "l_partkey").distinct()
+        .localCheckpoint()
     )
     test_u = (
         inc.where(~F.col("is_train"))
