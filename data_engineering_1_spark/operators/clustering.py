@@ -182,6 +182,12 @@ def kmeans_lloyd(
                 )
                 .alias("val"),
             )
+            # k x dim rows: ACTUALLY materialize the per-round centroid
+            # table (the docstring always promised this; without it each
+            # round's assign re-ran every earlier round's assign+update,
+            # so the vector scan count grew with n_iter — 8 scans in the
+            # r13-before kmeans plans)
+            .localCheckpoint(eager=True)
         )
     final = assign(vectors, centroids, vec_col=vec_col, id_col=id_col)
     return final, centroids
@@ -266,6 +272,11 @@ def kmeans_lloyd_grid(
     component — far below the inter-centroid scale of any real
     embedding space. Seeds: the k lowest-id vectors, like the float
     variant."""
+    # NOT materialized: re-running the vectorized parquet scan + grid
+    # cast per consumer is cheaper than storing boxed array rows in the
+    # block manager (measured r13: checkpointing qv cost 2.5x on the
+    # sf0.1 bench — deserialized MEMORY_AND_DISK blocks box every array
+    # element, while the columnar scan is nearly free)
     qv = vectors.select(id_col, quantize_grid(vec_col).alias("qv"))
     seed = (
         qv.orderBy(id_col)
@@ -294,6 +305,10 @@ def kmeans_lloyd_grid(
             .groupBy("label", "pos")
             .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
             .select("label", "pos", grid_mean.alias("val"))
+            # k x dim rows: truncate the per-round lineage so round N's
+            # assign does not re-run rounds 1..N-1 (same discipline as
+            # the graph loops in operators/graph.py)
+            .localCheckpoint(eager=True)
         )
     final = _assign_grid(qv, centroids, id_col)
     return final, centroids

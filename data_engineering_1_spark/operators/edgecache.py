@@ -309,3 +309,66 @@ def copurchase_edges_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "edges_distinct",
         lambda: _symmetrize(copurchase_und(spark, sf_dir)),
     )
+
+
+def copurchase_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, d) exact degree table of the simple undirected graph —
+    persisted once per (app, sf_dir). Consumed by the degree-oriented
+    wedge family (triangle count, clustering coefficient) which
+    previously each re-derived it from the pair cache."""
+    return _cached(
+        spark,
+        sf_dir,
+        "deg",
+        lambda: (
+            copurchase_und(spark, sf_dir)
+            .select(F.explode(F.array("u", "v")).alias("node"))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+        ),
+    )
+
+
+def copurchase_oriented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented simple edges (src, dst): every undirected edge
+    points from its (degree, id)-smaller endpoint to the larger — the
+    Schank-Wagner orientation whose out-degree is O(sqrt(m)). This IS
+    the "persisted oriented adjacency" of the triangle/wedge scale
+    story (SURVEY X130): built once per (app, sf_dir) instead of once
+    per query, replacing the per-query localCheckpoint in both
+    triangle_count_copurchase and clustering_coefficient_copurchase."""
+
+    def build() -> DataFrame:
+        und = copurchase_und(spark, sf_dir)
+        deg = copurchase_deg(spark, sf_dir)
+        e = und.join(
+            deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"),
+            "u",
+        ).join(
+            deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"),
+            "v",
+        )
+        u_first = F.struct("du", "u") < F.struct("dv", "v")
+        return e.select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+
+    return _cached(spark, sf_dir, "oriented", build)
+
+
+def copurchase_oriented_adj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src, nbrs) sorted out-neighborhood arrays over the oriented
+    edges (max O(sqrt(m)) elements per row) — persisted once per
+    (app, sf_dir); the wedge queries each join it TWICE per run, and
+    previously each rebuilt it from their private oriented copy."""
+    return _cached(
+        spark,
+        sf_dir,
+        "oriented_adj",
+        lambda: (
+            copurchase_oriented(spark, sf_dir)
+            .groupBy("src")
+            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+        ),
+    )

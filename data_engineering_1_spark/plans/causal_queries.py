@@ -248,7 +248,10 @@ def golden_record_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("p_retailprice") * 100, 0)
         .cast("bigint")
         .alias("cents"),
-    )
+    # |V|-bounded labeled-member relation consumed by three passes
+    # (type vote, name survivor, spread agg): materialize the label ⋈
+    # dimension join once (guide §2.4)
+    ).localCheckpoint()
     votes = members.groupBy("cluster", "p_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("votes")
     )

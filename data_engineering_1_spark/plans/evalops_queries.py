@@ -633,31 +633,19 @@ def clustering_coefficient_copurchase(
     local coefficients 2t/(d(d-1)) are each ONE division rounded 9
     and staged DECIMAL(18,9) so their mean is an order-free decimal
     sum divided once (the X121 discipline)."""
-    from ..operators.edgecache import copurchase_und
+    from ..operators.edgecache import (
+        copurchase_deg,
+        copurchase_oriented,
+        copurchase_oriented_adj,
+    )
 
-    # simple undirected graph from the session-scoped persisted cache
-    # (VERDICT r7 #4) — shared with triangle count / k-core / modularity
-    und = copurchase_und(spark, sf_dir)
-    deg = (
-        und.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
-    e = und.join(
-        deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"),
-        "u",
-    ).join(
-        deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"),
-        "v",
-    )
-    u_first = F.struct("du", "u") < F.struct("dv", "v")
-    oriented = e.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint()
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
+    # r13: degrees, the oriented edge relation, and the out-neighborhood
+    # arrays come from the session-scoped persisted edge cache (X37
+    # stored-index discipline) — shared with triangle_count_copurchase
+    # instead of each query re-deriving them from the pair cache.
+    deg = copurchase_deg(spark, sf_dir)
+    oriented = copurchase_oriented(spark, sf_dir)
+    adj = copurchase_oriented_adj(spark, sf_dir)
     tri = (
         oriented.join(
             adj.select(

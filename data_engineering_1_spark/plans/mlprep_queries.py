@@ -938,28 +938,19 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges, 12.6 s). ``oriented`` is materialized once via
     ``localCheckpoint`` (the "persisted adjacency" of the scale
     story, same discipline as ``operators/graph.py``)."""
-    from ..operators.edgecache import copurchase_und
+    from ..operators.edgecache import (
+        copurchase_oriented,
+        copurchase_oriented_adj,
+    )
 
-    # simple undirected graph from the session-scoped persisted cache
-    # (VERDICT r7 #4) — shared with clustering coeff / k-core / modularity
-    und = copurchase_und(spark, sf_dir)
-    deg = (
-        und.select(F.explode(F.array("u", "v")).alias("node"))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
-    )
-    e = (
-        und.join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), "u")
-        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), "v")
-    )
-    u_first = (F.struct("du", "u") < F.struct("dv", "v"))
-    oriented = e.select(
-        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-    ).localCheckpoint()
-    adj = oriented.groupBy("src").agg(
-        F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
+    # r13: the oriented edge relation and its out-neighborhood arrays
+    # moved into the session-scoped persisted edge cache (the X37
+    # stored-index discipline this docstring's scale story already
+    # promised) — shared with clustering_coefficient_copurchase instead
+    # of each query re-deriving degrees + orientation + adjacency from
+    # the pair cache and re-running the adj aggregate for both join legs.
+    oriented = copurchase_oriented(spark, sf_dir)
+    adj = copurchase_oriented_adj(spark, sf_dir)
     tri = (
         oriented.select("src", "dst")
         .join(
