@@ -311,6 +311,39 @@ def copurchase_edges_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(l_partkey, n_ord) per-part order support — part-catalog grain,
+    persisted once per (app, sf_dir); the recommender family
+    (item-item cosine, user recs, association rules, exposure audit)
+    each re-derived it from the incidence cache per query."""
+    return _cached(
+        spark,
+        sf_dir,
+        "supp",
+        lambda: (
+            copurchase_items(spark, sf_dir)
+            .groupBy("l_partkey")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_ord"))
+        ),
+    )
+
+
+def copurchase_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(u, v, co) undirected co-occurrence counts (u < v) — the
+    aggregated form of the pair multiset, persisted once per
+    (app, sf_dir) for the same four recommender consumers."""
+    return _cached(
+        spark,
+        sf_dir,
+        "pair_counts",
+        lambda: (
+            copurchase_pairs(spark, sf_dir)
+            .groupBy("u", "v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        ),
+    )
+
+
 def copurchase_deg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node, d) exact degree table of the simple undirected graph —
     persisted once per (app, sf_dir). Consumed by the degree-oriented

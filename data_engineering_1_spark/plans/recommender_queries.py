@@ -106,23 +106,22 @@ def _spark_items_supp_pairs(spark: SparkSession, sf_dir: str):
     self-join is keyed on l_orderkey so fan-out is items-per-order
     squared, never catalog-squared, and one orderkey partitioning
     serves distinct + join)."""
-    # incidence + pair multiset served from the session-scoped
-    # persisted cache (operators/edgecache.py, VERDICT r7 #4); only
-    # the support / co-count aggregations run per query
-    from ..operators.edgecache import copurchase_items, copurchase_pairs
+    # incidence, per-part support AND pair co-counts all served from
+    # the session-scoped persisted cache (operators/edgecache.py,
+    # VERDICT r7 #4; support/co-count aggregates promoted r13 — four
+    # queries re-ran the same two aggregations per query)
+    from ..operators.edgecache import (
+        copurchase_items,
+        copurchase_pair_counts,
+        copurchase_supp,
+    )
 
     items = copurchase_items(spark, sf_dir)
-    supp = items.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_ord")
-    )
-    pairs = (
-        copurchase_pairs(spark, sf_dir)
-        .select(
-            F.col("u").alias("part_a"),
-            F.col("v").alias("part_b"),
-        )
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    supp = copurchase_supp(spark, sf_dir)
+    pairs = copurchase_pair_counts(spark, sf_dir).select(
+        F.col("u").alias("part_a"),
+        F.col("v").alias("part_b"),
+        "co",
     )
     return items, supp, pairs
 
@@ -187,6 +186,21 @@ def _spark_neighbors(supp: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def _neighbors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X233 top-5 neighbor relation, persisted once per
+    (app, sf_dir) via the edge-cache registry: item_item_cosine_topk,
+    user_part_recs_topn and rec_exposure_coverage all consume the SAME
+    5-per-item list (catalog-bounded) and each used to rebuild it —
+    broadcast joins, cosine scoring, rank window — per query."""
+    from ..operators.edgecache import _cached
+
+    def build() -> DataFrame:
+        _, supp, pairs = _spark_items_supp_pairs(spark, sf_dir)
+        return _spark_neighbors(supp, pairs)
+
+    return _cached(spark, sf_dir, "nb_top5", build)
+
+
 # ---- X233: item-item cosine neighbor lists --------------------------------
 
 
@@ -214,7 +228,7 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (items-per-order squared); supports broadcast; the rank window
     partitions BY ITEM."""
     _, supp, pairs = _spark_items_supp_pairs(spark, sf_dir)
-    nb = _spark_neighbors(supp, pairs)
+    nb = _neighbors_cached(spark, sf_dir)
     return nb.select(
         "item",
         "neighbor",
@@ -275,7 +289,7 @@ def user_part_recs_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, a left-anti join on the same incidence, and a
     per-customer rank window."""
     items, supp, pairs = _spark_items_supp_pairs(spark, sf_dir)
-    nb = _spark_neighbors(supp, pairs)
+    nb = _neighbors_cached(spark, sf_dir)
     o = load_table(spark, sf_dir, "orders")
     bought = (
         o.select("o_custkey", "o_orderkey")
@@ -491,7 +505,7 @@ def rec_exposure_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank window is whitelisted bounded-global; the 1-row catalog
     count broadcasts (whitelisted cross)."""
     _, supp, pairs = _spark_items_supp_pairs(spark, sf_dir)
-    nb = _spark_neighbors(supp, pairs)
+    nb = _neighbors_cached(spark, sf_dir)
     exposure = nb.groupBy(F.col("neighbor").alias("part")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lists")
     )
