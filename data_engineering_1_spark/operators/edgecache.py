@@ -311,6 +311,31 @@ def copurchase_edges_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def copurchase_user_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (o_custkey, l_partkey) customer-part incidence —
+    persisted once per (app, sf_dir). Consumed by the bipartite HITS
+    query (three passes per run) and the user-recommendation serving
+    query (candidate join + anti-join), each of which re-ran the
+    orders x lineitem join + distinct per consumer."""
+
+    def build() -> DataFrame:
+        from ..io import load_table
+
+        o = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem")
+        return (
+            o.select("o_custkey", "o_orderkey")
+            .join(
+                li.select("l_orderkey", "l_partkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .select("o_custkey", "l_partkey")
+            .distinct()
+        )
+
+    return _cached(spark, sf_dir, "user_items", build)
+
+
 def copurchase_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(l_partkey, n_ord) per-part order support — part-catalog grain,
     persisted once per (app, sf_dir); the recommender family

@@ -270,7 +270,10 @@ def edit1_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("var"),
     )
-    variants = base.unionByName(dels)
+    # name-grain variant table (~|distinct names| x name length rows):
+    # both self-join sides re-ran the distinct + deletion explode when
+    # left lazy (12 scans in the r13-before plan) — materialize once
+    variants = base.unionByName(dels).localCheckpoint()
     a = variants.select(F.col("p_name").alias("name_a"), "var")
     b = variants.select(F.col("p_name").alias("name_b"), "var")
     npairs = (

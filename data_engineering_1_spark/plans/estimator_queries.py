@@ -700,6 +700,11 @@ def leaderboard_churn_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rn") <= _CHURN_TOPK)
         .select("wk", "l_partkey")
+        # |weeks| x top-k rows, consumed 3x (week spine, current side,
+        # previous side): materialize the fact aggregate + rank window
+        # once (guide §2.4; 8 scans / 28 exchanges in the r13-before
+        # plan)
+        .localCheckpoint()
     )
     weeks = (
         tops.select("wk")

@@ -127,14 +127,15 @@ def hits_authority_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: three combinable aggregates + two equi-joins on the
     distinct (customer, part) edge list; top-30 via
     TakeOrderedAndProject."""
+    from ..operators.edgecache import copurchase_user_items
     from ..operators.graph import hits_bipartite
 
-    o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    e = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
+    # r13: the distinct (customer, part) incidence comes from the
+    # session-scoped persisted edge cache — hits_bipartite walks it
+    # three times per run, and each walk re-ran the orders x lineitem
+    # join + distinct (16 scans in the r13-before plan)
+    e = copurchase_user_items(spark, sf_dir).select(
+        F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
     )
     scores = hits_bipartite(e, hub="c", auth="p")
     return (

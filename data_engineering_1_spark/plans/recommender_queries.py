@@ -288,15 +288,13 @@ def user_part_recs_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     the customer-part incidence against the 5-per-item neighbor
     relation, a left-anti join on the same incidence, and a
     per-customer rank window."""
-    items, supp, pairs = _spark_items_supp_pairs(spark, sf_dir)
+    from ..operators.edgecache import copurchase_user_items
+
     nb = _neighbors_cached(spark, sf_dir)
-    o = load_table(spark, sf_dir, "orders")
-    bought = (
-        o.select("o_custkey", "o_orderkey")
-        .join(items, o["o_orderkey"] == items["l_orderkey"])
-        .select("o_custkey", "l_partkey")
-        .distinct()
-    )
+    # r13: the per-customer purchase incidence comes from the session
+    # cache (shared with hits_authority_parts); it is consumed twice
+    # here (candidate join + already-bought anti-join)
+    bought = copurchase_user_items(spark, sf_dir)
     cand = (
         bought.join(
             nb.select(
