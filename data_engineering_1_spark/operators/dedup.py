@@ -312,19 +312,18 @@ def jaccard_pairs(
         df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
     )
     # doc_tokens feeds up to seven consumers (sizes, the df counts, the
-    # hot cut, cold, hot_sets, both sides of the inverted-index join);
-    # left lazy, every consumer re-runs the regex tokenize + explode over
-    # the corpus (the r13-before jaccard_neardup_pairs plan held 33
-    # parquet scans). Materialize the tokenized relation once (guide
-    # §2.4); at 100 TB this is the persisted token/posting table a real
-    # pipeline would keep next to the signature index.
-    doc_tokens = (
-        df.repartition(parts, id_col)
-        .select(
-            F.col(id_col),
-            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
-        )
-        .localCheckpoint()
+    # hot cut, cold, hot_sets, both sides of the inverted-index join)
+    # and every consumer re-runs the regex tokenize + explode. A
+    # localCheckpoint here was TRIED in r13 and reverted: storing the
+    # exploded token rows as deserialized blocks measured consistently
+    # SLOWER at sf0.1 than recomputing the tokenize (dedup_survivor
+    # +0.8 s, prefix-filter family +0.5-1.4 s) — the explode pipelines
+    # fuse into each consumer's first shuffle stage, while the block
+    # write+read does not. At 100 TB the equivalent is a persisted
+    # token/posting parquet table (columnar), not an in-session
+    # materialization.
+    doc_tokens = df.repartition(parts, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     )
     sizes = doc_tokens.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
     if max_token_df_frac is None:

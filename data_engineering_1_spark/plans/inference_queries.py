@@ -500,12 +500,7 @@ def feature_information_gain(
     crosstab aggregate per feature (combinable); the class-entropy
     subquery is a 3-row aggregate."""
     o = load_table(spark, sf_dir, "orders")
-    # 1-row scalars consumed once per feature (ntot 4x, hs_df 3x): left
-    # lazy each reuse re-scanned orders (24 scans in the r13-before
-    # plan; now one scan per feature crosstab + one each for these)
-    ntot = o.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_total")
-    ).localCheckpoint()
+    ntot = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
     hs_df = (
         o.groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cn"))
@@ -520,7 +515,6 @@ def feature_information_gain(
             .alias("t")
         )
         .agg(F.sum("t").cast("double").alias("hs"))
-        .localCheckpoint()
     )
     feats = [
         ("o_orderpriority", F.col("o_orderpriority")),

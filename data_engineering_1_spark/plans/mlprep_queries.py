@@ -379,9 +379,6 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("tok"),
         )
-        # consumed by the df count AND the ordered-array build; lazy, the
-        # shingle explode over the corpus ran twice (guide §2.4)
-        .localCheckpoint()
     )
     dfreq = dt.groupBy("tok").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
@@ -401,11 +398,13 @@ def prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_JACC_T_NUM} * size(arr) + {_JACC_T_DEN} - 1) "
         f"DIV {_JACC_T_DEN}"
     ).cast("int") + 1
-    # doc-grain array relation, consumed 4x (both prefix-join sides via
-    # pref, both verify sides): materialize the rarest-first sort once
+    # NOT materialized (tried r13, reverted): the doc-grain array
+    # relation is consumed 4x, but checkpointing the shingle arrays as
+    # deserialized blocks measured ~1 s slower than recomputing from
+    # the fused scan pipeline at sf0.1
     sized = ordered.select(
         "doc_id", "arr", n.cast("int").alias("n"), plen.alias("plen")
-    ).localCheckpoint()
+    )
     pref = sized.select(
         "doc_id",
         "n",
