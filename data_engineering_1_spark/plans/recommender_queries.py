@@ -818,9 +818,15 @@ def rec_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = train_items.alias("a")
     b = train_items.alias("b")
+    # SHUFFLE_HASH: the orderkey-bounded self-join needs no sort (both
+    # sides are the same checkpointed relation; per-partition build
+    # fits), and the sort dominated the SMJ plan — the session A/B with
+    # preferSortMergeJoin=false reproduced a ~1.1 s win on this query
+    # twice, so pin the strategy here instead of flipping the global
+    # default (guide §3.1; same discipline as the MBM hints)
     pairs = (
         a.join(
-            b,
+            b.hint("shuffle_hash"),
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
@@ -885,19 +891,30 @@ def rec_holdout_hitrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         inc.where(~F.col("is_train"))
         .select("o_custkey", "l_partkey")
         .distinct()
-        .join(train_u, ["o_custkey", "l_partkey"], "left_anti")
+        .join(
+            train_u.hint("shuffle_hash"),
+            ["o_custkey", "l_partkey"],
+            "left_anti",
+        )
     )
     cand = (
+        # neighbors is part-catalog grain x 5 (same broadcast contract
+        # as si/sn above); broadcasting it keeps the train incidence
+        # from shuffling for the candidate join
         train_u.join(
-            neighbors.select(
-                F.col("item").alias("l_partkey"),
-                F.col("neighbor").alias("part"),
-                "co",
+            F.broadcast(
+                neighbors.select(
+                    F.col("item").alias("l_partkey"),
+                    F.col("neighbor").alias("part"),
+                    "co",
+                )
             ),
             "l_partkey",
         )
         .join(
-            train_u.select("o_custkey", F.col("l_partkey").alias("part")),
+            train_u.select(
+                "o_custkey", F.col("l_partkey").alias("part")
+            ).hint("shuffle_hash"),
             ["o_custkey", "part"],
             "left_anti",
         )
