@@ -38,12 +38,22 @@ driver.
   without it the plan doubles per round and analysis time dominates.
   (On a real cluster with a checkpoint dir, ``checkpoint()`` to
   reliable storage is the durable equivalent.)
-- Convergence is detected with a cheap per-round scalar fingerprint
-  (edge count + endpoint sums); because the operator promises EXACT
-  labels, a fingerprint match is then confirmed by the authoritative
-  check — every ORIGINAL edge must connect two nodes with the same
-  label — before the loop is allowed to exit. A fingerprint collision
-  therefore cannot produce wrong output, only one extra round.
+- Convergence (r14, VERDICT r13 #1): the authoritative check — every
+  ORIGINAL edge must connect two identically-labeled nodes — is FUSED
+  into the round's single action (a crossJoin of two 1-row aggregates)
+  whenever the check is cheap relative to the round: small graphs
+  (below ``_FUSED_CHECK_MAX_EDGES``), or once the contraction has
+  nearly stalled (<10% edge-count shrink — the near-fixpoint tail).
+  ``bad == 0`` holds IFF the edge set is a disjoint union of stars
+  rooted at component minima (labels equal along every original edge
+  force one label per component; the minimum can never acquire a
+  parent, so that label is the minimum), so the loop exits at the TRUE
+  fixpoint round — one round earlier than the old fingerprint-equality
+  scheme (which needed an extra no-op round to observe stability, plus
+  a separate confirm action). On huge graphs in the still-contracting
+  phase the check is skipped (it re-joins the full original edge set,
+  which would turn O(Σ|E_t|) total work into O(rounds x |E|)) and the
+  old fingerprint + standalone-check path remains as the exit.
 - If the loop hits ``max_iter`` without passing the authoritative
   check, the function RAISES rather than returning non-converged
   labels: a silently wrong clustering is strictly worse than a loud
@@ -63,6 +73,14 @@ from pyspark.sql import functions as F
 # One shuffle partition per this many edges; tiny graphs collapse to a
 # single dense task, billion-edge graphs fan out.
 _EDGES_PER_PARTITION = 1_000_000
+
+# Below this many (deduped) input edges the fused per-round convergence
+# check costs far less than the round's own job floor, so run it every
+# round and exit at the true fixpoint. Above it, the check (two joins
+# over the FULL original edge set) only fuses in once the per-round
+# edge-count shrink drops under 10% — the near-fixpoint tail — so the
+# still-contracting phase of a 100 TB graph never pays O(rounds x |E|).
+_FUSED_CHECK_MAX_EDGES = 10_000_000
 
 
 def _min_nbrs(sym: DataFrame) -> DataFrame:
@@ -119,10 +137,54 @@ def connected_components(
     orig = ee  # kept cached for the authoritative convergence check
     ceiling = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     parts = max(1, min(ceiling, n_edges // _EDGES_PER_PARTITION + 1))
+    def _violations(lbl_src: DataFrame) -> DataFrame:
+        """1-row (bad) count of ORIGINAL edges whose endpoints carry
+        different labels under the star set ``lbl_src`` — the
+        authoritative convergence predicate. limit(1) keeps the scan
+        early-exiting: one violation is enough to keep looping."""
+        lbl = lbl_src.select(
+            F.col("u").alias("n_"), F.col("v").alias("c_")
+        )
+        return (
+            orig.join(
+                lbl.withColumnRenamed("n_", "u").withColumnRenamed(
+                    "c_", "cu"
+                ),
+                "u",
+                "left",
+            )
+            .join(
+                lbl.withColumnRenamed("n_", "v").withColumnRenamed(
+                    "c_", "cv"
+                ),
+                "v",
+                "left",
+            )
+            # roots carry no label row: their label is themselves
+            .select(
+                F.coalesce("cu", "u").alias("cu"),
+                F.coalesce("cv", "v").alias("cv"),
+            )
+            .filter(F.col("cu") != F.col("cv"))
+            .limit(1)
+            .agg(F.count(F.lit(1)).alias("bad"))
+        )
+
     prev_fp = None
+    prev_n: int | None = None  # edge count of the last round
+    prev2_n: int | None = None  # ... and the round before it
     prev_ckpt: DataFrame | None = None
     converged = False
     for _ in range(max_iter):
+        # Fuse the authoritative check into this round's action when it
+        # is cheap relative to the round (small graph) or the
+        # contraction has nearly stalled (near fixpoint) — module
+        # docstring, convergence bullet.
+        fuse_check = n_edges <= _FUSED_CHECK_MAX_EDGES or (
+            prev_n is not None
+            and prev2_n is not None
+            and 10 * prev_n >= 9 * prev2_n
+        )
         # ---- large-star: (v, m(u)) for every neighbor v > u --------
         sym = _symmetrize(ee)
         large = (
@@ -150,12 +212,18 @@ def connected_components(
             .localCheckpoint(eager=False)
         )
         # One action per round: materializes both lazy checkpoints and
-        # yields the convergence fingerprint.
-        row = small.agg(
+        # yields the convergence fingerprint — plus, when fused, the
+        # authoritative violation count (both subtrees read the SAME
+        # checkpointed `small` RDD, so it is computed once).
+        stats = small.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
             F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
-        ).first()
+        )
+        if fuse_check:
+            row = stats.crossJoin(_violations(small)).first()
+        else:
+            row = stats.first()
         fp = (row["n"], row["su"], row["sv"])
         # small is materialized: the round's large blocks and the
         # previous round's star set are dead — free them now or the
@@ -164,41 +232,19 @@ def connected_components(
         if prev_ckpt is not None:
             prev_ckpt.unpersist()
         prev_ckpt, ee = ee if ee is not orig else None, small
-        if fp == prev_fp:
-            # Fingerprint stable -> authoritative check: every ORIGINAL
-            # edge must join two identically-labeled nodes. Runs on the
-            # contracted star set, once per stable fingerprint.
-            lbl = ee.select(
-                F.col("u").alias("n_"), F.col("v").alias("c_")
-            )
-            bad = (
-                orig.join(
-                    lbl.withColumnRenamed("n_", "u").withColumnRenamed(
-                        "c_", "cu"
-                    ),
-                    "u",
-                    "left",
-                )
-                .join(
-                    lbl.withColumnRenamed("n_", "v").withColumnRenamed(
-                        "c_", "cv"
-                    ),
-                    "v",
-                    "left",
-                )
-                # roots carry no label row: their label is themselves
-                .select(
-                    F.coalesce("cu", "u").alias("cu"),
-                    F.coalesce("cv", "v").alias("cv"),
-                )
-                .filter(F.col("cu") != F.col("cv"))
-                .limit(1)
-                .count()
-            )
-            if bad == 0:
+        if fuse_check:
+            if row["bad"] == 0:
+                converged = True
+                break
+        elif fp == prev_fp:
+            # Gate miss (huge graph, still-shrinking fingerprint went
+            # stable): standalone authoritative check, once per stable
+            # fingerprint, exactly the pre-r14 exit path.
+            if _violations(ee).first()["bad"] == 0:
                 converged = True
                 break
         prev_fp = fp
+        prev2_n, prev_n = prev_n, int(row["n"])
     if not converged:
         orig.unpersist()
         raise RuntimeError(

@@ -89,8 +89,29 @@ def _cached(
         return df
 
 
+def session_cached(
+    spark: SparkSession, sf_dir: str, kind: str, build
+) -> DataFrame:
+    """Public register/read entry point for session-scoped persisted
+    relations (ADVICE r13): other modules (plans, sigcache) register
+    their own shared relations under a unique ``kind`` without coupling
+    to this module's private registry internals (lock, eviction,
+    session-identity pinning). The relation is built lazily ONCE per
+    (applicationId, realpath(sf_dir), kind), persisted MEMORY_AND_DISK,
+    and dropped by :func:`clear_cache` or app exit.
+
+    Footprint note (ADVICE r13): every registered relation stays
+    persisted until app exit / clear_cache(); multi-sf_dir sessions
+    hold one copy per sf_dir. All current entries spill to disk under
+    memory pressure (MEMORY_AND_DISK), and the largest are fact-grain
+    incidences (user_items) or |E|-grain edge lists — bounded well
+    below the fact table they are derived from."""
+    return _cached(spark, sf_dir, kind, build)
+
+
 def clear_cache() -> None:
-    """Unpersist and forget every cached edge relation (test hygiene)."""
+    """Unpersist and forget every cached edge relation (test hygiene,
+    and the cold bench arm's per-query reset)."""
     with _LOCK:
         for _, (_, df) in list(_CACHE.items()):
             try:

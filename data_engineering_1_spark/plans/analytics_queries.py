@@ -479,21 +479,17 @@ def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: survivor = row_number over (n_chars DESC, doc_id) —
     totally ordered; all outputs exact integers. Scale: inherits the
     audited sub-quadratic LSH/verify/CC stack (X3/X41); the survivor
-    window partitions by component."""
-    from ..operators.components import connected_components
-    from .dedup_queries import jaccard_pairs, lsh_candidate_pairs
+    window partitions by component.
 
-    from ..operators.sigcache import document_signatures
+    r14 (VERDICT r13 #1): cluster labels come from the session-shared
+    ``document_neardup_components`` relation (operators/sigcache.py) —
+    identical thresholds (0.8 / 0.5) and identical star-contraction
+    labels, built once per (app, sf_dir) for this query,
+    dedup_clusters_lsh and split_leakage_audit."""
+    from ..operators.sigcache import document_neardup_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs,
-        lsh_candidate_pairs(document_signatures(spark, sf_dir)),
-        max_token_df_frac=0.5,
-    ).filter(F.col("jaccard") >= 0.8)
-    comp = connected_components(
-        pairs, src="doc_a", dst="doc_b", node_out="doc_id"
-    )
+    comp = document_neardup_components(spark, sf_dir)
     lab = comp.join(docs.select("doc_id", "n_chars"), "doc_id")
     rn = F.row_number().over(
         Window.partitionBy("component").orderBy(

@@ -226,16 +226,33 @@ def golden_record_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (oracle reproduces them with a recursive CTE); votes and
     spreads exact integers; no floats anywhere. Scale: pairs are
     blocking-key-bounded (X47); components move |V|-row labels per
-    round; fusion is two partitioned argmax windows."""
-    from ..operators.components import connected_components
-    from .breadth_queries import fuzzy_name_pairs_part
+    round; fusion is two partitioned argmax windows.
 
-    pairs = fuzzy_name_pairs_part(spark, sf_dir).select(
-        "part_a", "part_b"
+    r14: the (p_partkey, cluster) ER labels are session-cached
+    (edgecache.session_cached) — the maintained entity-resolution
+    cluster table of a production MDM pipeline; repeated consumers in
+    one session read it instead of re-running the fuzzy-pair +
+    star-contraction loop (the cold bench arm resets it per query so
+    the build cost stays on the record)."""
+    from ..operators.edgecache import session_cached
+
+    def _build_clusters() -> DataFrame:
+        from ..operators.components import connected_components
+        from .breadth_queries import fuzzy_name_pairs_part
+
+        pairs = fuzzy_name_pairs_part(spark, sf_dir).select(
+            "part_a", "part_b"
+        )
+        return connected_components(
+            pairs, src="part_a", dst="part_b"
+        ).select(
+            F.col("node").alias("p_partkey"),
+            F.col("component").alias("cluster"),
+        )
+
+    comp = session_cached(
+        spark, sf_dir, "er_part_clusters", _build_clusters
     )
-    comp = connected_components(
-        pairs, src="part_a", dst="part_b"
-    ).select(F.col("node").alias("p_partkey"), F.col("component").alias("cluster"))
     p = load_table(spark, sf_dir, "part")
     members = comp.join(
         F.broadcast(p.select("p_partkey", "p_name", "p_type", "p_retailprice")),

@@ -72,6 +72,114 @@ _EWMA_FRAME = 50
 # ---- X263: winnowing fingerprints -------------------------------------------
 
 
+def _winnow_fps_plan(
+    spark: SparkSession, sf_dir: str, write_parts: int | None = None
+) -> DataFrame:
+    """The raw (doc_id, h, nfp) winnowed-fingerprint plan — every
+    8-char k-gram hashed (md5 bridge), kept iff it is the min of its
+    trailing 4-window, dual df cutoff applied, per-doc size counted
+    AFTER the cutoff. Exactly the pre-r14 in-query pipeline; see the
+    winnowing_fingerprints docstring for the semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    # the k-gram explode fans each doc into |chars| rows of md5 work;
+    # a single-row-group parquet file would otherwise run that entire
+    # CPU-bound generate in ONE task — spread docs across the cluster
+    # width first (10 MB shuffle buys 32-way explode parallelism)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    kg = docs.repartition(parts, "doc_id").select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.length("text") - _WIN_K + 1
+            )
+        ).alias("pos"),
+        F.lower("text").alias("txt"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(
+            F.substring(
+                F.md5(F.expr(f"substring(txt, pos, {_WIN_K})")), 1, 8
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(_WIN_W - 1), 0)
+    )
+    fps0 = (
+        kg.withColumn("wmin", F.min("h").over(w))
+        .where(F.col("h") == F.col("wmin"))
+        .select("doc_id", "h")
+        .distinct()
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    # df cutoff and per-doc sizes as WINDOW counts over ONE linear
+    # pipeline (not side aggregates joined back): the expensive k-gram
+    # explode subtree has exactly one consumer chain, and no
+    # |docs|-grain relation is ever broadcast or joined back; the only
+    # broadcast is the 1-row corpus total.
+    fps = (
+        fps0.withColumn(
+            "df",
+            F.count(F.lit(1)).over(Window.partitionBy("h")),
+        )
+        .crossJoin(F.broadcast(nd))  # 1-row corpus total
+        .where(
+            (F.col("df") * 100 <= F.col("n_docs") * _WIN_MAX_DF_PCT)
+            & (F.col("df") <= _WIN_MAX_DF_ABS)
+        )
+        .withColumn(
+            "nfp",
+            F.count(F.lit(1))
+            .over(Window.partitionBy("doc_id"))
+            .cast("bigint"),
+        )
+        .select("doc_id", "h", "nfp")
+    )
+    if write_parts is not None:
+        return fps.repartition(write_parts, "h")
+    return fps
+
+
+def _winnow_fps_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h, nfp) winnowed fingerprints — persisted columnar
+    index (durable ``warehouse/winnow_fps`` + session cache, VERDICT
+    r13 #3): the fingerprint index a MOSS-style overlap service
+    maintains next to the corpus. The artifact's fingerprint is salted
+    with every parameter it bakes in (k-gram width, window, both df
+    cutoffs), so a constant change self-invalidates."""
+    from ..operators.edgecache import durable_read_or_build, session_cached
+    from ..operators.sigcache import warehouse_write_parts
+
+    def build() -> DataFrame:
+        durable = durable_read_or_build(
+            spark,
+            sf_dir,
+            "winnow_fps",
+            lambda: _winnow_fps_plan(
+                spark, sf_dir, write_parts=warehouse_write_parts(sf_dir)
+            ),
+            source="documents.parquet",
+            version=(
+                f"win-v1:k{_WIN_K}w{_WIN_W}"
+                f"pct{_WIN_MAX_DF_PCT}abs{_WIN_MAX_DF_ABS}"
+            ),
+        )
+        return (
+            durable
+            if durable is not None
+            else _winnow_fps_plan(spark, sf_dir)
+        )
+
+    return session_cached(spark, sf_dir, "winnow_fps", build)
+
+
 @declared_query(
     "winnowing_fingerprints",
     oracle=f"""
@@ -159,77 +267,22 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the single fps pipeline and nfp_a/nfp_b ride the pair rows into the
     final aggregate, so no corpus-grain relation is ever broadcast (or
     even joined back); the only broadcast left is the 1-row corpus
-    total (plan-pinned in test_plan_shapes.py)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # the k-gram explode fans each doc into |chars| rows of md5 work;
-    # a single-row-group parquet file would otherwise run that entire
-    # CPU-bound generate in ONE task — spread docs across the cluster
-    # width first (10 MB shuffle buys 32-way explode parallelism)
+    total (plan-pinned in test_plan_shapes.py).
+
+    r14 (VERDICT r13 #3): the (doc_id, h, nfp) fingerprint relation is
+    a persisted columnar index (``warehouse/winnow_fps``, the sigcache
+    durable pattern) + session cache — the k-gram md5 explode (the
+    query's genuine CPU, ~|corpus bytes| hashes) runs once per fixture
+    instead of once per run; the cold bench arm prices the build. The
+    artifact is value-exact (md5-bridge BIGINTs + exact counts) and
+    salts its fingerprint with every baked-in parameter."""
     parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    kg = docs.repartition(parts, "doc_id").select(
-        "doc_id",
-        F.explode(
-            F.sequence(
-                F.lit(1), F.length("text") - _WIN_K + 1
-            )
-        ).alias("pos"),
-        F.lower("text").alias("txt"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.conv(
-            F.substring(
-                F.md5(F.expr(f"substring(txt, pos, {_WIN_K})")), 1, 8
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("h"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(_WIN_W - 1), 0)
-    )
-    fps0 = (
-        kg.withColumn("wmin", F.min("h").over(w))
-        .where(F.col("h") == F.col("wmin"))
-        .select("doc_id", "h")
-        .distinct()
-    )
-    nd = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    # df cutoff and per-doc sizes as WINDOW counts over ONE linear
-    # pipeline (not side aggregates joined back): the expensive k-gram
-    # explode subtree has exactly one consumer chain, the self-join's
-    # two sides are identical subplans (one computation via exchange
-    # reuse), and the former |docs|-grain sa/sb joins are GONE — nfp_a /
-    # nfp_b ride the pair rows into the final aggregate (max of a
-    # per-doc constant, exact).
-    fps = (
-        fps0.withColumn(
-            "df",
-            F.count(F.lit(1)).over(Window.partitionBy("h")),
-        )
-        .crossJoin(F.broadcast(nd))  # 1-row corpus total
-        .where(
-            (F.col("df") * 100 <= F.col("n_docs") * _WIN_MAX_DF_PCT)
-            & (F.col("df") <= _WIN_MAX_DF_ABS)
-        )
-        .withColumn(
-            "nfp",
-            F.count(F.lit(1))
-            .over(Window.partitionBy("doc_id"))
-            .cast("bigint"),
-        )
-        .select("doc_id", "h", "nfp")
-        # pin the pair-join width: the self-join's OUTPUT is ~27x its
-        # input (Σ df² pairs), which AQE's input-size coalescing can't
-        # see — it folded the 358k-row side to ONE partition at sf0.1
-        # and serialized the whole 9.9M-pair expansion (measured 11.7s
-        # -> 3.3s with the pin); both aliases share this one exchange
-        .repartition(parts, "h")
-    )
+    fps = _winnow_fps_cached(spark, sf_dir).repartition(parts, "h")
+    # ^ pin the pair-join width: the self-join's OUTPUT is ~27x its
+    # input (Σ df² pairs), which AQE's input-size coalescing can't
+    # see — it folded the 358k-row side to ONE partition at sf0.1
+    # and serialized the whole 9.9M-pair expansion (measured 11.7s
+    # -> 3.3s with the pin); both aliases share this one exchange
     a = fps.alias("a")
     b = fps.alias("b")
     shared = (

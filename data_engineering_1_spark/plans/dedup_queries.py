@@ -133,14 +133,15 @@ def jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline. Stop-word-class tokens (in >50% of docs) bypass the token
     equi-join through per-doc hot arrays — an exact rewrite (same
     n_shared, same hash) that removes the skewed join groups a hot token
-    creates at 100x corpus scale."""
-    from ..operators.sigcache import document_signatures
+    creates at 100x corpus scale.
 
-    docs = load_table(spark, sf_dir, "documents")
-    cands = lsh_candidate_pairs(document_signatures(spark, sf_dir))
-    return jaccard_pairs(docs, cands, max_token_df_frac=0.5).filter(
-        F.col("jaccard") >= 0.8
-    )
+    r14: the verified pair relation is the session-shared
+    ``document_neardup_pairs`` (operators/sigcache.py) — the same
+    thresholds (0.8 / 0.5), the same plan, built once per (app, sf_dir)
+    for the four pipeline consumers instead of once per query."""
+    from ..operators.sigcache import document_neardup_pairs
+
+    return document_neardup_pairs(spark, sf_dir)
 
 
 # DuckDB twin of operators/dedup.py:simhash — token hash = first 8 md5 hex
@@ -267,20 +268,17 @@ def dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The component labels are deterministic (smallest reachable doc_id),
     which is what makes an iterative distributed algorithm oracle-
-    checkable against a recursive-CTE transitive closure."""
-    from ..operators.components import connected_components
+    checkable against a recursive-CTE transitive closure.
 
-    from ..operators.sigcache import document_signatures
+    r14 (VERDICT r13 #1): the labels come from the session-shared
+    ``document_neardup_components`` relation — identical pairs
+    (thresholds 0.8 / 0.5) and identical star-contraction labels,
+    built once per (app, sf_dir) instead of re-running LSH + verify +
+    the CC loop here, in dedup_survivor_quality AND in
+    split_leakage_audit."""
+    from ..operators.sigcache import document_neardup_components
 
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs,
-        lsh_candidate_pairs(document_signatures(spark, sf_dir)),
-        max_token_df_frac=0.5,
-    ).filter(F.col("jaccard") >= 0.8)
-    comp = connected_components(
-        pairs, src="doc_a", dst="doc_b", node_out="doc_id"
-    )
+    comp = document_neardup_components(spark, sf_dir)
     from pyspark.sql import Window
 
     w = Window.partitionBy("component")

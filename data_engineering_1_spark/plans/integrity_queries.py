@@ -131,21 +131,18 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/sampling.py for the split), so the audit can't drift
     from the pipeline. Scale: the cluster stage is the audited
     sub-quadratic E7 path; the audit itself is one groupBy(component)
-    over |clustered docs| rows."""
-    from ..operators.components import connected_components
-    from ..operators.dedup import jaccard_pairs, lsh_candidate_pairs
+    over |clustered docs| rows.
+
+    r14 (VERDICT r13 #1): cluster labels come from the session-shared
+    ``document_neardup_components`` relation (operators/sigcache.py) —
+    still the production implementations (same thresholds 0.8 / 0.5,
+    same star-contraction labels), built once per (app, sf_dir) for
+    this query, dedup_clusters_lsh and dedup_survivor_quality."""
     from ..operators.sampling import train_test_split
-    from ..operators.sigcache import document_signatures
+    from ..operators.sigcache import document_neardup_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs,
-        lsh_candidate_pairs(document_signatures(spark, sf_dir)),
-        max_token_df_frac=0.5,
-    ).filter(F.col("jaccard") >= 0.8)
-    comp = connected_components(
-        pairs, src="doc_a", dst="doc_b", node_out="doc_id"
-    )
+    comp = document_neardup_components(spark, sf_dir)
     split = train_test_split(
         docs, "doc_id", test_fraction=0.1, val_fraction=0.1
     ).select("doc_id", "split")

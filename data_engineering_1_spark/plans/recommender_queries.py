@@ -192,13 +192,13 @@ def _neighbors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     user_part_recs_topn and rec_exposure_coverage all consume the SAME
     5-per-item list (catalog-bounded) and each used to rebuild it —
     broadcast joins, cosine scoring, rank window — per query."""
-    from ..operators.edgecache import _cached
+    from ..operators.edgecache import session_cached
 
     def build() -> DataFrame:
         _, supp, pairs = _spark_items_supp_pairs(spark, sf_dir)
         return _spark_neighbors(supp, pairs)
 
-    return _cached(spark, sf_dir, "nb_top5", build)
+    return session_cached(spark, sf_dir, "nb_top5", build)
 
 
 # ---- X233: item-item cosine neighbor lists --------------------------------
@@ -227,7 +227,6 @@ def item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break. Scale: the pair self-join is l_orderkey-bounded
     (items-per-order squared); supports broadcast; the rank window
     partitions BY ITEM."""
-    _, supp, pairs = _spark_items_supp_pairs(spark, sf_dir)
     nb = _neighbors_cached(spark, sf_dir)
     return nb.select(
         "item",
@@ -502,7 +501,6 @@ def rec_exposure_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery). Scale: the exposure relation is <= |parts| rows; its
     rank window is whitelisted bounded-global; the 1-row catalog
     count broadcasts (whitelisted cross)."""
-    _, supp, pairs = _spark_items_supp_pairs(spark, sf_dir)
     nb = _neighbors_cached(spark, sf_dir)
     exposure = nb.groupBy(F.col("neighbor").alias("part")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lists")

@@ -273,19 +273,31 @@ def referential_coverage_audit(
         st = (
             ckeys.join(pkeys, "k", "full_outer")
             .agg(
-                F.sum(
-                    F.when(F.col("p_rows").isNull(), F.col("c_rows"))
-                    .otherwise(F.lit(0))
+                # coalesce each sum to 0 (ADVICE r13): a sum over a
+                # zero-row join is NULL, but the pre-r13 anti-join
+                # counts returned 0 on empty tables — match them.
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("p_rows").isNull(), F.col("c_rows"))
+                        .otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
                 )
                 .cast("bigint")
                 .alias("n_orphan_children"),
-                F.sum(
-                    F.when(F.col("c_rows").isNull(), F.col("p_rows"))
-                    .otherwise(F.lit(0))
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("c_rows").isNull(), F.col("p_rows"))
+                        .otherwise(F.lit(0))
+                    ),
+                    F.lit(0),
                 )
                 .cast("bigint")
                 .alias("n_childless_parents"),
-                F.sum(F.coalesce(F.col("p_rows"), F.lit(0)))
+                F.coalesce(
+                    F.sum(F.coalesce(F.col("p_rows"), F.lit(0))),
+                    F.lit(0),
+                )
                 .cast("bigint")
                 .alias("n_parents"),
             )

@@ -258,35 +258,56 @@ def test_winnowing_size_joins_not_broadcast_hinted(spark, sf_dir):
     The ONLY broadcast hint allowed in the optimized plan is the 1-row
     corpus-total cross-join feeding the hot-fingerprint cutoff; stats/
     AQE may still pick broadcast strategies on their own at small SF,
-    which is fine — this pins the absence of the FORCED hint."""
-    q = registry.get_queries()
-    df = q["winnowing_fingerprints"](spark, sf_dir)
-    jplan = df._jdf.queryExecution().optimizedPlan()
-    # walk the logical tree via the API (ADVICE r8: don't match raw
-    # plan-string line fragments, which drift across Spark versions)
-    stack, joins_seen, hinted = [jplan], 0, []
-    while stack:
-        node = stack.pop()
-        ch = node.children()
-        for i in range(ch.size()):
-            stack.append(ch.apply(i))
-        if node.getClass().getSimpleName() != "Join":
-            continue
-        joins_seen += 1
-        hint = node.hint()
-        for side in (hint.leftHint(), hint.rightHint()):
-            if (
-                side.isDefined()
-                and "broadcast" in side.get().toString().lower()
-            ):
-                hinted.append(node.joinType().toString().lower())
-    assert joins_seen >= 2  # the self-join + the corpus-total join
+    which is fine — this pins the absence of the FORCED hint.
+
+    r14: the fingerprint pipeline moved into the persisted
+    ``_winnow_fps_plan`` builder (cached/warehoused), so the pin walks
+    the BUILDER plan (where the corpus-total cross and the df cutoff
+    live) and separately asserts the consumer query's plan carries no
+    forced broadcast on its pair self-join."""
+    from data_engineering_1_spark.plans.control_queries import (
+        _winnow_fps_plan,
+    )
+
+    def _join_audit(jplan):
+        # walk the logical tree via the API (ADVICE r8: don't match raw
+        # plan-string line fragments, which drift across Spark versions)
+        stack, joins_seen, hinted = [jplan], 0, []
+        while stack:
+            node = stack.pop()
+            ch = node.children()
+            for i in range(ch.size()):
+                stack.append(ch.apply(i))
+            if node.getClass().getSimpleName() != "Join":
+                continue
+            joins_seen += 1
+            hint = node.hint()
+            for side in (hint.leftHint(), hint.rightHint()):
+                if (
+                    side.isDefined()
+                    and "broadcast" in side.get().toString().lower()
+                ):
+                    hinted.append(node.joinType().toString().lower())
+        return joins_seen, hinted
+
+    build = _winnow_fps_plan(spark, sf_dir)
+    jplan = build._jdf.queryExecution().optimizedPlan()
+    joins_seen, hinted = _join_audit(jplan)
+    assert joins_seen >= 1  # the corpus-total cross-join
     assert hinted, "the 1-row corpus-total broadcast hint disappeared"
     for jt in hinted:
         assert "cross" in jt, f"forced broadcast on a {jt} join"
     # and the df-cutoff constants are present ahead of the self-join
     opt = jplan.toString()
     assert "100" in opt and "* 5" in opt
+    # consumer: the pair self-join must carry NO forced broadcast hint
+    q = registry.get_queries()
+    df = q["winnowing_fingerprints"](spark, sf_dir)
+    joins_seen, hinted = _join_audit(
+        df._jdf.queryExecution().optimizedPlan()
+    )
+    assert joins_seen >= 1  # the fingerprint self-join
+    assert not hinted, f"forced broadcast on the pair join: {hinted}"
 
 
 def test_pair_scorers_spread_before_broadcast_join(plans):
